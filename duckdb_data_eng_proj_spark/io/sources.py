@@ -1,0 +1,93 @@
+"""Sources: parquet star-schema loader + the all-VARCHAR CSV contract.
+
+Reference semantics being reproduced:
+- ``read_csv(..., all_varchar=true, null_padding=true, strict_mode=
+  false)`` (reference: pipeline.py:43-77): every column STRING, ragged
+  rows tolerated, over-wide rows captured in an extra trailing column
+  so the quarantine predicate (pipeline.py:89-94) can see them.
+  Spark equivalent: explicit all-StringType schema with one extra
+  trailing column + PERMISSIVE mode (null-fills short rows, binds the
+  extra token when present).
+- parquet scans are the testdata path (TESTDATA.md); at 100 TB these
+  are the real input format — explicit schemas are not needed, and
+  filter/column pushdown reaches the scan via Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS) which the Spark
+    parquet reader rejects outright — read it as raw nanos
+    (``nanosAsLong``) and rebuild a microsecond TIMESTAMP column, which
+    is exact here (the generator writes whole microseconds).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql paths)."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def all_varchar_schema(columns: list[str], extra: str | None = "column12") -> StructType:
+    """All-StringType schema with an optional trailing overflow column.
+
+    Mirrors the reference's quarantine contract (pipeline.py:85-113 and
+    SURVEY.md G1): the overflow column is non-empty only for rows that
+    carry more fields than the declared header (e.g. an unescaped
+    comma), and the quarantine stage filters on exactly that.
+    """
+    fields = [StructField(c, StringType(), True) for c in columns]
+    if extra is not None:
+        fields.append(StructField(extra, StringType(), True))
+    return StructType(fields)
+
+
+def read_csv_all_varchar(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    extra: str | None = "column12",
+) -> DataFrame:
+    """CSV scan with the reference's tolerant all-VARCHAR semantics.
+
+    PERMISSIVE is Spark's default but is named explicitly: short rows
+    null-fill, over-long rows bind their 13th token to ``extra``.
+    """
+    return (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .schema(all_varchar_schema(columns, extra))
+        .csv(path)
+    )

@@ -1,0 +1,14 @@
+"""Operator registry: one oracle-checked query per SURVEY.md §2 row.
+
+Importing this package imports every query module, which populates
+``REGISTRY``. ``__spark_entry__.py`` exposes it to the driver.
+"""
+
+from duckdb_data_eng_proj_spark.queries.registry import REGISTRY, QuerySpec, register, t
+
+# Populate the registry (import order = SURVEY.md §2 order).
+from duckdb_data_eng_proj_spark.queries import relational  # noqa: E402,F401
+from duckdb_data_eng_proj_spark.queries import scalar_fns  # noqa: E402,F401
+from duckdb_data_eng_proj_spark.queries import extensions  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register", "t"]

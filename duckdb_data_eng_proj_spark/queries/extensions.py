@@ -1,0 +1,147 @@
+"""Extension operators (SURVEY.md §2.8 + training-data-pipeline ops).
+
+Registry wrappers; the heavy lifting lives in
+``duckdb_data_eng_proj_spark.operators.*``. Grows per milestone M4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+
+
+@register(
+    "ext_dedup_exact",
+    oracle=(
+        "SELECT event_id, user_id, event_type FROM ("
+        "  SELECT event_id, user_id, event_type, "
+        "  row_number() OVER (PARTITION BY user_id, event_type "
+        "  ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1"
+    ),
+    doc=(
+        "Exact dedup with deterministic keep-first (generalizes app_dupes, "
+        "pipeline.py:116-124): row_number over (key) ordered by (ts, "
+        "unique id) — unlike dropDuplicates, survives partition reordering. "
+        "At 100 TB: one shuffle on the dedup key; skew handled by AQE."
+    ),
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "ext_json_extract",
+    oracle=(
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value "
+        "FROM events"
+    ),
+    doc="JSON field extraction from events.props (get_json_object → int).",
+)
+def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_value")
+    )
+
+
+@register(
+    "ext_win_tumbling",
+    oracle=(
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    doc=(
+        "Tumbling-window aggregate over events.ts (batch formulation of "
+        "the streaming op): F.window 1-hour buckets ≡ date_trunc('hour'). "
+        "Decimal sum for partition-order independence."
+    ),
+)
+def ext_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "ext_rank_window",
+    oracle=(
+        "SELECT c_custkey, c_nationkey, c_acctbal, "
+        "row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn, "
+        "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk, "
+        "dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk "
+        "FROM customer"
+    ),
+    doc="Ranking windows (SURVEY §2.8 ext_rank_window): row_number/rank/dense_rank.",
+)
+def ext_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "ext_sessionize",
+    oracle=(
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, event_id, "
+        "  CASE WHEN lag(ts) OVER w IS NULL "
+        "       OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END "
+        "  AS new_session "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sessions AS ("
+        "  SELECT user_id, ts, "
+        "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "COUNT(*) AS n_events, CAST(MIN(ts) AS TIMESTAMP) AS session_start, "
+        "CAST(MAX(ts) AS TIMESTAMP) AS session_end "
+        "FROM sessions GROUP BY user_id, session_id"
+    ),
+    doc=(
+        "Sessionization, 30-min gap (SURVEY §2.8 ext_sessionize): lag → "
+        "new-session flag → running sum = session id → per-session agg. "
+        "Batch formulation; streaming variant in streaming/ uses "
+        "session_window."
+    ),
+)
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.col("ts").cast("long") - prev_ts.cast("long")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run).cast("bigint"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
