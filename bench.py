@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a noop sink (full computation, no collect/IO
+skew in the measurement). Each query is timed best-of-2 on a warm
+session — the reference comparison (BASELINE.md) is warm-connection
+DuckDB, so JVM startup is excluded from per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_data_eng_proj_spark.queries import REGISTRY  # noqa: E402
+from duckdb_data_eng_proj_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the plans that
+# matter at scale (wide joins, windows, sessionization, dedup, text).
+BENCH_QUERIES = [
+    "win_partition_sum",   # flagship: scan→agg→window
+    "join_left_fanout",    # 1:N fan-out join
+    "agg_conditional",     # conditional aggregation
+    "agg_rate_nullif",     # ratio-of-aggregates
+    "ext_dedup_exact",     # window-based dedup
+    "ext_sessionize",      # lag+cumsum sessionization
+    "ext_win_tumbling",    # tumbling windows
+    "ext_rank_window",     # ranking windows
+    "fn_math",             # per-row expression throughput
+    "fn_unnest",           # explode/tokenize throughput
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the session (JVM JIT, parquet footer cache) on a tiny query.
+    _force(REGISTRY["prj_star"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for qid in BENCH_QUERIES:
+        if qid not in REGISTRY:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(REGISTRY[qid].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[qid] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

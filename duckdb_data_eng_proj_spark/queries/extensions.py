@@ -72,7 +72,10 @@ def ext_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(18,6)").alias("total_value"),
+            # exact cents-sum (events.value is 2dp) — see relational.cents
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("decimal(20,0)") / 100)
+            .cast("decimal(18,6)")
+            .alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
