@@ -1,0 +1,110 @@
+"""Text-analysis building blocks: tokenize, n-gram shingles, MinHash.
+
+Design notes (100 TB path):
+- Everything here is a pure Column expression over built-in
+  ``pyspark.sql.functions`` higher-order functions — JVM-side,
+  whole-stage-codegen'd, no Python in the loop. A 100 TB documents
+  table runs these as a single narrow map stage (no shuffle).
+- MinHash uses lexicographic MIN over md5 hex digests seeded per hash
+  index. md5 is deterministic and identical across engines, which is
+  what makes the DuckDB oracle parity checks exact. For production
+  throughput xxhash64 would be ~5× faster (also built-in:
+  ``F.xxhash64``) — md5 is kept because cross-engine checkability is
+  the acceptance gate here.
+
+Reference parity: the reference project has no text operators (its
+scalar census is SURVEY.md §2.7); these implement the north-star
+training-data-pipeline surface (BASELINE.json) over the driver's
+``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenization of lower-cased, trimmed text; empty tokens
+# dropped so trailing separators don't produce phantom tokens.
+TOKEN_SPLIT_RE = r"\s+"
+
+# "BPE-ish" sub-token pattern: letter runs, digit runs, single
+# punctuation marks — a deterministic stand-in for a real BPE vocab.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword language
+# heuristic. Order = deterministic argmax tie-break order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "y", "las", "por"),
+}
+
+EN_STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"] + ("in", "is", "it", "on", "for")
+
+
+def tokens(text: Column) -> Column:
+    """lower → trim → split on whitespace → drop empty tokens."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Sliding word n-grams joined by single spaces (duplicates kept).
+
+    Empty array (typed) when the document has fewer than ``n`` tokens —
+    ``F.sequence`` with start > stop would otherwise count backwards.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.array_join(F.slice(tok, i + F.lit(1), n), " "),
+    )
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def distinct_ngrams(tok: Column, n: int) -> Column:
+    """Shingle *set* (distinct n-grams) — the Jaccard/MinHash input."""
+    return F.array_distinct(word_ngrams(tok, n))
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
+    """MinHash signature: per hash index j, MIN over md5('j|' ++ s).
+
+    Lexicographic min over fixed-width hex digests is a valid MinHash
+    family (each seeded md5 is an independent pseudo-permutation of the
+    shingle space). NULL when the shingle set is empty.
+    """
+    def seeded(j: int):
+        # NB: must be a one-argument lambda — PySpark dispatches HOF
+        # lambdas on arity, so `lambda s, j=j:` would silently become
+        # the (element, index) form and hash the wrong thing.
+        prefix = F.lit(f"{j}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    return [
+        F.array_min(F.transform(shingles, seeded(j))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+
+
+def lsh_band_buckets(sig_cols: list[str], rows_per_band: int) -> list[Column]:
+    """LSH band buckets: md5 of the concatenated signature slice.
+
+    Two docs land in the same (band, bucket) iff their signatures agree
+    on every row of that band — the standard bands×rows construction.
+    """
+    n_bands = len(sig_cols) // rows_per_band
+    return [
+        F.md5(
+            F.concat(*[F.col(sig_cols[b * rows_per_band + r]) for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+
+
+def hex_nibble(hash_col: Column, pos: int) -> Column:
+    """Value 0-15 of hex digit ``pos`` (0-based) of a hex-string hash."""
+    return F.conv(F.substring(hash_col, pos + 1, 1), 16, 10).cast("int")

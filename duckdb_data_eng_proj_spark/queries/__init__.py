@@ -10,5 +10,6 @@ from duckdb_data_eng_proj_spark.queries.registry import REGISTRY, QuerySpec, reg
 from duckdb_data_eng_proj_spark.queries import relational  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import scalar_fns  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extensions  # noqa: E402,F401
+from duckdb_data_eng_proj_spark.queries import training  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "t"]

@@ -1,0 +1,732 @@
+"""Training-data-pipeline operators: text analysis, dedup, similarity.
+
+North-star ops over the ``documents`` / ``embeddings`` testdata tables
+(BASELINE.json; the reference project itself has no text/vector
+surface — SURVEY.md §2.8). Every query here is oracle-checked: the
+DuckDB SQL mirrors the Spark plan expression-by-expression, and the
+hash primitives (md5, sequential double folds) are chosen to be
+bit-identical across engines.
+
+Scale design (the part that matters at 100 TB):
+- Tokenize / shingle / MinHash / SimHash are narrow map stages —
+  pure built-in higher-order functions, whole-stage codegen, zero
+  shuffles, zero Python.
+- Near-dup candidate generation is LSH band-bucket join (shuffle on
+  bucket hash — uniformly distributed by construction, no skew) —
+  never an O(n²) crossJoin.
+- Exact n-gram Jaccard uses an inverted-index join on shingle
+  (shuffle keyed by shingle; stop-shingle skew would be handled by
+  AQE skew-join at scale).
+- Vector similarity is bucketed (label buckets / IVF centroids) so
+  the pair space is bounded; brute-force top-k exists as the
+  small-side baseline with the query set broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.operators.textops import (
+    BPE_TOKEN_RE,
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    distinct_ngrams,
+    hex_nibble,
+    lsh_band_buckets,
+    minhash_signature,
+    tokens,
+    word_ngrams,
+)
+from duckdb_data_eng_proj_spark.operators.vectors import cosine, dot
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB oracle fragments (mirror the Spark expressions 1:1)
+# ---------------------------------------------------------------------------
+
+# tokens(text): lower → trim → split \s+ → drop empties
+_TOK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+_TOKS_CTE = f"toks AS (SELECT doc_id, {_TOK} AS tk FROM documents)"
+
+# distinct word bigrams (the shingle set for MinHash / Jaccard)
+_BG = (
+    "CASE WHEN len(tk) >= 2 THEN list_distinct(list_transform(range(len(tk) - 1), "
+    "i -> tk[i+1] || ' ' || tk[i+2])) ELSE []::VARCHAR[] END"
+)
+_BG_CTE = f"bg AS (SELECT doc_id, {_BG} AS bg FROM toks)"
+
+_N_HASHES = 8
+_ROWS_PER_BAND = 2
+
+
+def _minhash_sql(j: int) -> str:
+    return f"list_aggregate(list_transform(bg, s -> md5('{j}|' || s)), 'min')"
+
+
+_SIG_CTE = "sig AS (SELECT doc_id, " + ", ".join(
+    f"{_minhash_sql(j)} AS h{j}" for j in range(_N_HASHES)
+) + " FROM bg)"
+
+_BANDS_CTE = "bands AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS bucket FROM sig"
+    for b in range(_N_HASHES // _ROWS_PER_BAND)
+) + ")"
+
+_LSH_PRELUDE = f"WITH {_TOKS_CTE}, {_BG_CTE}, {_SIG_CTE}, {_BANDS_CTE}"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential left fold in DOUBLE — same order as F.aggregate."""
+    return (
+        f"list_reduce(list_transform(range(len({a})), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+# per-row squared norm, reused by every similarity oracle
+_EMB_CTE = (
+    "e AS (SELECT vec_id, label, embedding, "
+    f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings)"
+)
+
+
+def _lsh_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket) rows — the shared MinHash-LSH front half."""
+    d = t(spark, sf_dir, "documents")
+    bg = d.select("doc_id", distinct_ngrams(tokens(F.col("text")), 2).alias("bg"))
+    sig = bg.select("doc_id", *minhash_signature(F.col("bg"), _N_HASHES))
+    sig_cols = [f"h{j}" for j in range(_N_HASHES)]
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*lsh_band_buckets(sig_cols, _ROWS_PER_BAND))).alias(
+            "band", "bucket"
+        ),
+    )
+    return bands.filter(F.col("bucket").isNotNull())
+
+
+def _bigram_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", distinct_ngrams(tokens(F.col("text")), 2).alias("bg"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_text_tokens",
+    oracle=(
+        f"WITH {_TOKS_CTE} "
+        "SELECT tkn AS token, COUNT(*) AS cnt FROM "
+        "(SELECT unnest(tk) AS tkn FROM toks) GROUP BY tkn"
+    ),
+    doc=(
+        "Corpus token frequency (SURVEY §2.8 ext_text_tokens): tokenize → "
+        "explode → groupBy count. One shuffle keyed by token; partial "
+        "aggregation (map-side combine) makes the shuffle O(|vocab|) per "
+        "partition, not O(corpus)."
+    ),
+)
+def ext_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "txt_token_count",
+    oracle=(
+        f"WITH {_TOKS_CTE} "
+        "SELECT d.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens_ws, "
+        "CAST(len(regexp_extract_all(lower(trim(d.text)), "
+        f"'{BPE_TOKEN_RE}')) AS BIGINT) AS n_tokens_bpe, "
+        "CAST(length(trim(d.text)) AS BIGINT) AS n_chars "
+        "FROM documents d JOIN toks t USING (doc_id)"
+    ),
+    doc=(
+        "Per-doc token counting, whitespace + BPE-ish regex "
+        "([a-z]+|[0-9]+|punct). Narrow map stage, no shuffle."
+    ),
+)
+def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm_text = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all(norm_text, F.lit(BPE_TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens_bpe"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars"),
+    )
+
+
+def _lang_hits_spark(tk, lang: str):
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tk, lambda x: F.array_contains(markers, x))).cast("long")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(tk, x -> list_contains([{lst}], x))) AS BIGINT)"
+
+
+_LANG_PRED_SQL = (
+    "CASE WHEN en_hits > 0 AND en_hits >= de_hits AND en_hits >= fr_hits "
+    "AND en_hits >= es_hits THEN 'en' "
+    "WHEN de_hits > 0 AND de_hits >= fr_hits AND de_hits >= es_hits THEN 'de' "
+    "WHEN fr_hits > 0 AND fr_hits >= es_hits THEN 'fr' "
+    "WHEN es_hits > 0 THEN 'es' ELSE 'und' END"
+)
+
+
+@register(
+    "txt_lang_id",
+    oracle=(
+        f"WITH {_TOKS_CTE}, hits AS (SELECT doc_id, "
+        + ", ".join(f"{_lang_hits_sql(lg)} AS {lg}_hits" for lg in LANG_MARKERS)
+        + " FROM toks) "
+        f"SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, {_LANG_PRED_SQL} AS pred_lang "
+        "FROM hits"
+    ),
+    doc=(
+        "Language ID via stopword-marker hits with deterministic argmax "
+        "tie-break (en>de>fr>es, 'und' when no marker hits). Pure map "
+        "stage; a production version swaps the marker sets for char "
+        "n-gram profiles — same plan shape."
+    ),
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    hits = d.select(
+        "doc_id", *[_lang_hits_spark(tk, lg).alias(f"{lg}_hits") for lg in LANG_MARKERS]
+    )
+    en, de, fr, es = [F.col(f"{lg}_hits") for lg in ("en", "de", "fr", "es")]
+    pred = (
+        F.when((en > 0) & (en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de > 0) & (de >= fr) & (de >= es), "de")
+        .when((fr > 0) & (fr >= es), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+    return hits.select(
+        "doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", pred.alias("pred_lang")
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+
+
+@register(
+    "txt_quality_score",
+    oracle=(
+        f"WITH {_TOKS_CTE}, m AS ("
+        "SELECT d.doc_id, CAST(length(trim(d.text)) AS BIGINT) AS n_chars, "
+        "CAST(len(t.tk) AS BIGINT) AS n_tokens, "
+        "list_reduce(list_prepend(0, list_transform(t.tk, x -> length(x))), "
+        "(a, b) -> a + b) AS sum_tok_len, "
+        "CAST(len(regexp_extract_all(lower(trim(d.text)), '[^a-z0-9\\s]')) AS BIGINT) "
+        "AS punct_cnt, "
+        f"CAST(len(list_filter(t.tk, x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) "
+        "AS stop_cnt "
+        "FROM documents d JOIN toks t USING (doc_id)) "
+        "SELECT doc_id, n_chars, n_tokens, "
+        "round(CAST(sum_tok_len AS DOUBLE) / nullif(n_tokens, 0), 4) AS avg_token_len, "
+        "round(CAST(punct_cnt AS DOUBLE) / nullif(n_chars, 0), 4) AS punct_ratio, "
+        "round(CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0), 4) AS stopword_ratio, "
+        "round(0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) "
+        "+ 0.3 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)) "
+        "+ 0.2 * (1.0 - least(1.0, 10.0 * CAST(punct_cnt AS DOUBLE) / nullif(n_chars, 0))), 4) "
+        "AS quality_score FROM m"
+    ),
+    doc=(
+        "Per-doc quality scoring: length / punctuation / stopword-ratio "
+        "components combined into [0,1]. Integer counting is exact; the "
+        "single double division + round(4) is cross-engine stable. Pure "
+        "map stage."
+    ),
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    norm_text = F.lower(F.trim(F.col("text")))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    m = d.select(
+        "doc_id",
+        F.length(F.trim(F.col("text"))).cast("long").alias("n_chars"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).alias("sum_tok_len"),
+        F.size(F.regexp_extract_all(norm_text, F.lit(r"[^a-z0-9\s]"), 0))
+        .cast("long")
+        .alias("punct_cnt"),
+        F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("stop_cnt"),
+    )
+    n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
+    tok_div = F.nullif(n_tokens, F.lit(0))
+    chr_div = F.nullif(n_chars, F.lit(0))
+    stop_ratio_raw = F.col("stop_cnt").cast("double") / tok_div
+    punct_ratio_raw = F.col("punct_cnt").cast("double") / chr_div
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(F.col("sum_tok_len").cast("double") / tok_div, 4).alias("avg_token_len"),
+        F.round(punct_ratio_raw, 4).alias("punct_ratio"),
+        F.round(stop_ratio_raw, 4).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.least(F.lit(1.0), n_tokens.cast("double") / 50.0)
+            + 0.3 * stop_ratio_raw
+            + 0.2 * (1.0 - F.least(F.lit(1.0), 10.0 * punct_ratio_raw)),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "txt_fingerprint",
+    oracle=(
+        f"WITH {_TOKS_CTE}, sh AS (SELECT doc_id, tk, "
+        "CASE WHEN len(tk) >= 5 THEN list_transform(range(len(tk) - 4), "
+        "i -> array_to_string(tk[i+1:i+5], ' ')) ELSE []::VARCHAR[] END AS shingles "
+        "FROM toks) "
+        "SELECT doc_id, "
+        "CASE WHEN len(tk) >= 5 THEN "
+        "list_aggregate(list_transform(shingles, s -> md5(s)), 'min') "
+        "ELSE md5(array_to_string(tk, ' ')) END AS fingerprint, "
+        "CASE WHEN len(tk) >= 5 THEN CAST(len(list_distinct(shingles)) AS BIGINT) "
+        "ELSE CAST(1 AS BIGINT) END AS n_shingles FROM sh"
+    ),
+    doc=(
+        "Document fingerprinting: min-hash over rolling 5-gram shingles "
+        "(winnowing's keep-min rule with window = whole doc); short docs "
+        "fall back to a whole-text hash. Pure map stage; the fingerprint "
+        "column then feeds exact-dedup by fingerprint at corpus scale."
+    ),
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    base = d.select("doc_id", tk.alias("tk"), word_ngrams(tk, 5).alias("shingles"))
+    has5 = F.size(F.col("tk")) >= 5
+    return base.select(
+        "doc_id",
+        F.when(
+            has5, F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s)))
+        )
+        .otherwise(F.md5(F.array_join(F.col("tk"), " ")))
+        .alias("fingerprint"),
+        F.when(has5, F.size(F.array_distinct(F.col("shingles"))).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+        .alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=(
+        f"{_LSH_PRELUDE} "
+        "SELECT doc_id, band, bucket FROM bands WHERE bucket IS NOT NULL"
+    ),
+    doc=(
+        "MinHash-LSH bucket assignment: bigram shingle set → 8 seeded-md5 "
+        "minhashes → 4 bands × 2 rows → bucket = md5(band slice). The "
+        "(band, bucket) rows are the join key for candidate generation — "
+        "at 100 TB this is THE near-dup plan: one narrow map stage, then "
+        "a shuffle keyed by uniformly-distributed bucket hash."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_bands_df(spark, sf_dir)
+
+
+@register(
+    "ext_dedup_near",
+    oracle=(
+        f"{_LSH_PRELUDE}, "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket "
+        "AND x.doc_id < y.doc_id WHERE x.bucket IS NOT NULL) "
+        "SELECT c.doc_a, c.doc_b, "
+        "round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / "
+        "(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 4) AS jaccard "
+        "FROM cand c JOIN bg a ON a.doc_id = c.doc_a JOIN bg b ON b.doc_id = c.doc_b "
+        "WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / "
+        "(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.02"
+    ),
+    doc=(
+        "Near-dup pipeline end-to-end: LSH candidates (band-bucket "
+        "self-join, doc_a < doc_b) verified with exact bigram-set "
+        "Jaccard. The candidate join replaces the O(n²) crossJoin — "
+        "only same-bucket pairs are ever materialized; verification "
+        "joins the (small) candidate list back to the shingle sets."
+    ),
+)
+def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _lsh_bands_df(spark, sf_dir)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = _bigram_sets_df(spark, sf_dir)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
+    inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
+    union = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= 0.02)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=(
+        f"WITH {_TOKS_CTE}, {_BG_CTE}, "
+        "inv AS (SELECT doc_id, unnest(bg) AS g FROM bg), "
+        "shared AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "COUNT(*) AS n_shared FROM inv x JOIN inv y ON x.g = y.g "
+        "AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, len(bg) AS sz FROM bg) "
+        "SELECT s.doc_a, s.doc_b, "
+        "round(CAST(s.n_shared AS DOUBLE) / (a.sz + b.sz - s.n_shared), 4) AS jaccard "
+        "FROM shared s JOIN sz a ON a.doc_id = s.doc_a JOIN sz b ON b.doc_id = s.doc_b "
+        "WHERE CAST(s.n_shared AS DOUBLE) / (a.sz + b.sz - s.n_shared) >= 0.05"
+    ),
+    doc=(
+        "Exact n-gram Jaccard via inverted-index join: explode shingle "
+        "sets, self-join on shingle, count shared per pair, derive "
+        "|A∪B| = |A|+|B|-shared. This shape (index join + per-pair "
+        "count) is the scalable exact-verification plan — shuffle is "
+        "keyed by shingle, pairs never enumerate beyond co-occurring "
+        "docs. AQE skew-join handles stop-shingle hot keys at scale."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _bigram_sets_df(spark, sf_dir)
+    inv = sets.select("doc_id", F.explode("bg").alias("g"))
+    x, y = inv.alias("x"), inv.alias("y")
+    shared = (
+        x.join(y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sz = sets.select("doc_id", F.size("bg").alias("sz"))
+    a = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    b = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    )
+    return (
+        shared.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= 0.05)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _simhash_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tkd = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tkn")
+    )
+    md5c = F.md5(F.col("tkn"))
+    pre = tkd.select(
+        "doc_id", *[hex_nibble(md5c, p).alias(f"n{p}") for p in range(16)]
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col(f"n{p}").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{p}_{b}")
+        for p in range(16)
+        for b in range(4)
+    ]
+    g = pre.groupBy("doc_id").agg(*aggs)
+    nibbles = [
+        sum(
+            [
+                F.when(F.col(f"s{p}_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(4)
+            ],
+            start=F.lit(0),
+        )
+        for p in range(16)
+    ]
+    hex_chars = [F.lower(F.conv(nib.cast("string"), 10, 16)) for nib in nibbles]
+    return g.select("doc_id", F.concat(*hex_chars).alias("simhash"))
+
+
+def _simhash_oracle() -> str:
+    nib = "CAST('0x' || substr(md5(tkn), {p}, 1) AS INT)"
+    pre_cols = ", ".join(nib.format(p=p + 1) + f" AS n{p}" for p in range(16))
+    agg_cols = ", ".join(
+        f"SUM(CASE WHEN (n{p} & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS s{p}_{b}"
+        for p in range(16)
+        for b in range(4)
+    )
+    nibble_exprs = [
+        "("
+        + " + ".join(f"CASE WHEN s{p}_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(4))
+        + ")"
+        for p in range(16)
+    ]
+    hex_concat = " || ".join(f"lower(to_hex({e}))" for e in nibble_exprs)
+    return (
+        f"WITH {_TOKS_CTE}, "
+        "tkn AS (SELECT doc_id, unnest(list_distinct(tk)) AS tkn FROM toks), "
+        f"pre AS (SELECT doc_id, {pre_cols} FROM tkn), "
+        f"g AS (SELECT doc_id, {agg_cols} FROM pre GROUP BY doc_id) "
+        f"SELECT doc_id, {hex_concat} AS simhash FROM g"
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc=(
+        "64-bit SimHash signature (16 hex chars): per distinct token, "
+        "md5 bits vote ±1 per position; sign of the per-doc sum sets the "
+        "bit. Implemented as one explode + one 64-column conditional "
+        "aggregation — a single shuffle keyed by doc_id with map-side "
+        "combine, fully codegen'd. Near-dup pairs = signatures within "
+        "small Hamming distance (bucketed by 16-bit chunks at scale)."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_select(spark, sf_dir)
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=(
+        f"WITH {_EMB_CTE} "
+        "SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS cos_sim "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        f"WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.3"
+    ),
+    doc=(
+        "Embedding-cosine near-dup: pairs within the same label bucket "
+        "with cosine ≥ 0.3. The label equi-join bounds the pair space "
+        "(bucketed all-pairs, shuffle keyed by label) — the same plan "
+        "runs with LSH/IVF bucket ids when no natural bucket exists."
+    ),
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    en = e.select("vec_id", "label", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    a, b = en.alias("a"), en.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(cos >= 0.3)
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_sim_topk",
+    oracle=(
+        f"WITH {_EMB_CTE}, scored AS ("
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"{_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_raw "
+        "FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) "
+        "SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM ("
+        "SELECT query_id, neighbor_id, cos_raw, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank "
+        "FROM scored) WHERE rank <= 5"
+    ),
+    doc=(
+        "Brute-force cosine top-k (k=5) for a 10-query batch: query set "
+        "broadcast against the full corpus, windowed row_number per "
+        "query. The baseline ANN oracle — sim_ann_ivf* is the scale "
+        "path. Deterministic tie-break by neighbor_id."
+    ),
+)
+def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        F.broadcast(q)
+        .join(en, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
+_ASSIGN_CTES = (
+    f"{_EMB_CTE}, cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm "
+    "FROM e WHERE vec_id < 16), "
+    "assign AS (SELECT vec_id, centroid_id, cos_raw FROM ("
+    "SELECT v.vec_id, c.centroid_id, "
+    f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm) AS cos_raw, "
+    "row_number() OVER (PARTITION BY v.vec_id ORDER BY "
+    f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm) DESC, c.centroid_id) AS rn "
+    "FROM e v CROSS JOIN cent c) WHERE rn = 1)"
+)
+
+
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """(normed vectors, centroids, assignment) — shared IVF front half."""
+    e = t(spark, sf_dir, "embeddings")
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cent = en.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("centroid_id"))
+    assign = (
+        en.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return en, cent, assign
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=(
+        f"WITH {_ASSIGN_CTES} "
+        "SELECT vec_id, centroid_id, round(cos_raw, 4) AS cos_sim FROM assign"
+    ),
+    doc=(
+        "IVF coarse quantization: 16 deterministic centroids (vec_id < "
+        "16 stands in for k-means — same plan shape), every vector "
+        "assigned to its argmax-cosine centroid via broadcast join + "
+        "row_number. The assignment column is the ANN partition key: at "
+        "100 TB the corpus is written bucketed by centroid_id so probes "
+        "touch only nprobe buckets."
+    ),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, assign = _ivf_parts(spark, sf_dir)
+    return assign.select(
+        "vec_id", "centroid_id", F.round("cos_raw", 4).alias("cos_sim")
+    )
+
+
+@register(
+    "sim_ann_ivf_search",
+    oracle=(
+        f"WITH {_ASSIGN_CTES}, "
+        "probes AS (SELECT query_id, centroid_id FROM ("
+        "SELECT q.vec_id AS query_id, c.centroid_id, row_number() OVER ("
+        "PARTITION BY q.vec_id ORDER BY "
+        f"{_dot_sql('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm) DESC, c.centroid_id) AS prn "
+        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE prn <= 4), "
+        "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p "
+        "JOIN assign a ON a.centroid_id = p.centroid_id "
+        "WHERE a.vec_id <> p.query_id), "
+        "scored AS (SELECT c.query_id, c.neighbor_id, "
+        f"{_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cos_raw "
+        "FROM cand c JOIN e q ON q.vec_id = c.query_id "
+        "JOIN e n ON n.vec_id = c.neighbor_id) "
+        "SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM ("
+        "SELECT query_id, neighbor_id, cos_raw, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank "
+        "FROM scored) WHERE rank <= 5"
+    ),
+    doc=(
+        "IVF probe search (nprobe=4, k=5): per query, rank centroids, "
+        "take candidates from the 4 nearest inverted lists only, then "
+        "exact-rescore and top-k. Versus brute force this touches "
+        "nprobe/16 of the corpus — the standard recall/throughput dial. "
+        "Candidate generation is a join on centroid_id (bucket-local at "
+        "scale); rescoring joins candidates back to vectors by id."
+    ),
+)
+def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en, cent, assign = _ivf_parts(spark, sf_dir)
+    q = en.filter(F.col("vec_id") < 10)
+    pcos = dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    pw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(F.col("vec_id").alias("query_id"), "centroid_id", pcos.alias("pcos"))
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= 4)
+        .select("query_id", "centroid_id")
+    )
+    cand = probes.join(assign, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    qv = en.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    nv = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
+    scored = cand.join(qv, "query_id").join(nv, "neighbor_id").select(
+        "query_id", "neighbor_id", cos.alias("cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
