@@ -1,0 +1,100 @@
+"""Registry entries for the five ETL composites + six analytics queries.
+
+These run the full loan-portfolio pipeline on the reference's own CSV
+inputs (/root/reference/data) with the golden run's injected clock, so
+results are deterministic. No DuckDB oracle is registered — the
+correctness gate for these is golden-output parity
+(tests/test_etl_golden.py compares every column against
+/root/reference/output/), which is stronger than the testdata oracle.
+The driver records a rows-only check for them (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_data_eng_proj_spark.etl import run_pipeline
+from duckdb_data_eng_proj_spark.etl.analytics import ANALYTICS
+from duckdb_data_eng_proj_spark.queries.registry import register
+
+_REF = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+_RUN_TS = dt.datetime(2026, 1, 23, 12, 30, 57)  # the golden run's clock
+_AS_OF = dt.date(2026, 1, 23)
+
+_memo: dict[int, object] = {}
+
+
+def _pipeline(spark: SparkSession):
+    key = id(spark)
+    if key not in _memo:
+        _memo[key] = run_pipeline(
+            spark,
+            f"{_REF}/data/applications_expanded.csv",
+            f"{_REF}/data/lms_updates_expanded.csv",
+            run_ts=_RUN_TS,
+            as_of_date=_AS_OF,
+        )
+    return _memo[key]
+
+
+def _reg(qid: str, doc: str, picker):
+    @register(qid, oracle=None, doc=doc)
+    def q(spark: SparkSession, sf_dir: str, _p=picker) -> DataFrame:  # noqa: ARG001
+        return _p(_pipeline(spark))
+
+    q.__name__ = qid
+    return q
+
+
+_reg(
+    "etl_quarantine",
+    "Quarantine split: over-wide CSV rows isolated on the overflow "
+    "column (pipeline.py:82-113); golden: 1 bad / 199 good.",
+    lambda p: p.raw_applications_bad,
+)
+_reg(
+    "etl_clean_apps",
+    "Typed + 9-flag application cleaning with risk_category, LTI "
+    "ratio, JSON flags (pipeline.py:127-205); golden: "
+    "cleaned_applications.csv, 199 rows, full-column parity.",
+    lambda p: p.cleaned_applications,
+)
+_reg(
+    "etl_clean_lms",
+    "Typed + 10-flag LMS cleaning with delinquency bucket "
+    "(pipeline.py:207-330); staged only in the reference.",
+    lambda p: p.lms_cleaned,
+)
+_reg(
+    "etl_portfolio",
+    "apps ⟕ LMS fan-out join with renames + recomputed bucket + "
+    "month-diff (pipeline.py:334-384); golden: loan_portfolio.csv, "
+    "244 rows, full-column parity.",
+    lambda p: p.loan_portfolio,
+)
+_reg(
+    "etl_quality_report",
+    "Single-row report: 22 counters + sorted problematic-id list "
+    "(pipeline.py:386-492); golden: data_quality_report.csv parity "
+    "incl. the NULL list element.",
+    lambda p: p.data_quality_report,
+)
+
+
+def _q_picker(qid: str):
+    fn = ANALYTICS[qid]
+    if qid == "q0":
+        return lambda p: fn(p.loan_portfolio, p.data_quality_report)
+    return lambda p: fn(p.loan_portfolio)
+
+
+for _qid, _rows in [("q0", 52), ("q1", 24), ("q2", 14), ("q3", 10), ("q4", 5), ("q5", 23)]:
+    _reg(
+        f"etl_{_qid}",
+        f"Reference analytics query {_qid} (queries.sql), DataFrame "
+        f"form; verified row count {_rows} on reference data.",
+        _q_picker(_qid),
+    )
