@@ -1,0 +1,72 @@
+"""Registry entries for the Structured Streaming surface.
+
+``ext_stream_ingest`` streams the reference's LMS CSV as two "daily"
+file drops (one micro-batch each) and returns the cleaned output —
+batch-replay equivalence is asserted in tests/test_streaming.py, and
+the driver records a rows-only check (streaming state isn't
+SQL-expressible for the oracle). ``ext_stream_window`` IS
+oracle-checked: its streaming execution must produce exactly the
+batch date_trunc counts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_data_eng_proj_spark.queries.registry import register
+from duckdb_data_eng_proj_spark.streaming.ingest import (
+    stream_clean_lms,
+    stream_window_counts,
+)
+
+_REF = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+_RUN_TS = dt.datetime(2026, 1, 23, 12, 30, 57)
+
+
+def split_lms_csv(src: str, n_head: int = 90) -> str:
+    """Split the LMS CSV into two header-carrying 'daily' files in a
+    fresh temp dir (simulates two file-drop days)."""
+    with open(src, encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    header, rows = lines[0], lines[1:]
+    out_dir = tempfile.mkdtemp(prefix="lms_days_")
+    for i, chunk in enumerate([rows[:n_head], rows[n_head:]]):
+        with open(os.path.join(out_dir, f"day{i}.csv"), "w", encoding="utf-8") as f:
+            f.write("\n".join([header, *chunk]) + "\n")
+    return out_dir
+
+
+@register(
+    "ext_stream_ingest",
+    oracle=None,
+    doc=(
+        "LMS daily-updates flow as Structured Streaming (SURVEY §2.8): "
+        "CSV file source, one micro-batch per daily file, foreachBatch "
+        "accumulation, batch cleaners applied over the accumulated "
+        "whole — output ≡ batch pipeline on the union (asserted in "
+        "tests/test_streaming.py)."
+    ),
+)
+def ext_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    days_dir = split_lms_csv(f"{_REF}/data/lms_updates_expanded.csv")
+    return stream_clean_lms(spark, days_dir, run_ts=_RUN_TS)
+
+
+@register(
+    "ext_stream_window",
+    oracle=(
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+        "event_type, COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+    ),
+    doc=(
+        "Watermarked tumbling-window streaming aggregate executed with "
+        "availableNow over static events; must hash-match the batch "
+        "date_trunc oracle — the streaming/batch unification check."
+    ),
+)
+def ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_window_counts(spark, sf_dir)

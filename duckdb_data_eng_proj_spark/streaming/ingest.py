@@ -1,0 +1,126 @@
+"""Streaming ingest + windowed aggregation (Structured Streaming).
+
+Two flows:
+
+1. ``stream_clean_lms`` — the reference's "daily LMS updates" file
+   drop as a stream: CSV file source (same all-VARCHAR tolerant
+   schema as batch), micro-batches accumulated via ``foreachBatch``
+   into an append store, then the SAME batch cleaning functions
+   (etl/loan_pipeline.py) applied over the accumulated whole. This
+   gives batch-replay equivalence by construction: after all files
+   are processed, output ≡ batch pipeline on the union — the
+   duplicate flags are global, exactly like the reference's daily
+   full-table rebuild. At scale the accumulate-and-rebuild step
+   becomes incremental (dropDuplicates with watermark state for the
+   dup flags; everything else is stateless and streams through).
+
+2. ``stream_window_counts`` — tumbling 1-hour event counts with a
+   1-day watermark, run with ``availableNow`` over the static events
+   table. Complete output mode so every window is emitted
+   deterministically; the DuckDB oracle is the batch date_trunc
+   formulation.
+
+Both run with ``trigger(availableNow=True)`` so they terminate after
+draining the source — the registry/driver can treat them as batch
+queries with streaming execution underneath.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.etl.loan_pipeline import (
+    LMS_COLUMNS,
+    clean_lms,
+    dupe_keys,
+)
+from duckdb_data_eng_proj_spark.io.sources import all_varchar_schema
+
+
+def stream_clean_lms(
+    spark: SparkSession,
+    input_dir: str,
+    run_ts: dt.datetime | None = None,
+) -> DataFrame:
+    """Stream CSV files from ``input_dir`` (one micro-batch per file
+    set), then apply the batch LMS cleaning over the accumulated rows.
+
+    Returns the cleaned DataFrame after the stream drains
+    (availableNow). Late/out-of-order *files* are handled naturally:
+    every new file is a micro-batch; the rebuild makes flags global.
+    """
+    schema = all_varchar_schema(LMS_COLUMNS, extra="column8")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per daily file
+        .csv(input_dir)
+    )
+
+    acc: dict[str, DataFrame | None] = {"df": None}
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        # localCheckpoint pins the micro-batch's rows so the union
+        # stays valid after the stream terminates.
+        pinned = batch_df.localCheckpoint(eager=True)
+        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
+
+    ckpt = tempfile.mkdtemp(prefix="lms_stream_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    raw = acc["df"]
+    if raw is None:
+        raw = spark.createDataFrame([], schema)
+    loan_dupes = dupe_keys(raw, "loan_id", exclude_blank=True)
+    app_dupes = dupe_keys(raw, "application_id", exclude_blank=True)
+    return clean_lms(raw, loan_dupes, app_dupes, run_ts)
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counts per event_type with a 1-day watermark,
+    executed as a streaming query over the static events parquet."""
+    # Streaming file source needs a *directory*; expose the single
+    # parquet file through a temp dir symlink. The schema must be the
+    # raw on-disk one (ts = nanos bigint — see io/sources.py), so read
+    # it pre-conversion under the nanosAsLong conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="events_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    ts = F.col("ts")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    agg = (
+        stream.withColumn("__ts", ts)
+        .withWatermark("__ts", "1 day")
+        .groupBy(F.window("__ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="win_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
