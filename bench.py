@@ -49,7 +49,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    spark = get_spark(app_name="bench")
+    # Latency profile (see session.get_spark): sub-GB input, so trade
+    # AQE's per-stage materialization + tiny-shuffle compression for
+    # interactive latency, and size scan splits to the actual input.
+    input_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)
+    )
+    spark = get_spark(app_name="bench", input_bytes=input_bytes, latency_profile=True)
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the session (JVM JIT, parquet footer cache) on a tiny query.
@@ -60,7 +66,7 @@ def main() -> None:
         if qid not in REGISTRY:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(REGISTRY[qid].fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -32,6 +32,9 @@ TESTDATA_TABLES = (
 )
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from ``{sf_dir}/{name}.parquet``.
 
@@ -39,7 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet reader rejects outright — read it as raw nanos
     (``nanosAsLong``) and rebuild a microsecond TIMESTAMP column, which
     is exact here (the generator writes whole microseconds).
+
+    DataFrames are memoized per (session, dir, table): they are
+    immutable lazy plans, and re-creating one re-reads the parquet
+    footer on the JVM side (~30-100 ms) — pure overhead when dozens of
+    registry queries touch the same tables.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -25,26 +25,48 @@ import os
 from pyspark.sql import SparkSession
 
 
+def scan_split_bytes(input_bytes: int, cpus: int) -> int:
+    """Scale-aware parquet split size: target ~2 tasks per core for
+    the given input volume, clamped to [512 KiB, 128 MiB].
+
+    At 100 TB this returns the 128 MiB default (1 TB/core — splits
+    stay big); at benchmark scale (tens of MB) it shrinks splits so a
+    scan actually uses the machine instead of one task. Same dial,
+    both ends — partition sizing is workload-relative, not a constant.
+    """
+    target = input_bytes // (2 * cpus) if cpus > 0 else input_bytes
+    return max(512 * 1024, min(128 * 1024 * 1024, target))
+
+
 def get_spark(
     app_name: str = "duckdb-data-eng-proj-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
+    input_bytes: int | None = None,
+    latency_profile: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     ``cpus`` defaults to $SPARK_GRAFT_CPUS then 32 (driver contract).
+    ``input_bytes`` (optional) auto-sizes the parquet scan split.
+    ``latency_profile`` tunes for small-input interactive latency:
+    AQE's per-query-stage materialization costs ~100 ms/query and only
+    pays off when runtime stats change the plan — for sub-GB inputs it
+    can't, so the profile trades it (and tiny-shuffle compression) for
+    latency. Default posture keeps AQE on (the 100 TB configuration).
     """
     if cpus is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     cpus = int(cpus)
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 2 * cpus // 1 if cpus <= 64 else cpus)
+        shuffle_partitions = 16 if latency_profile else max(cpus, 2 * cpus)
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(not latency_profile).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
@@ -53,4 +75,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if input_bytes is not None:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", str(scan_split_bytes(input_bytes, cpus))
+        )
+    if latency_profile:
+        builder = builder.config("spark.shuffle.compress", "false").config(
+            "spark.shuffle.spill.compress", "false"
+        )
     return builder.getOrCreate()
