@@ -117,6 +117,16 @@ def _null_or_blank(c: F.Column) -> F.Column:
     return c.isNull() | (F.trim(c) == "")
 
 
+def _try_int(c: F.Column) -> F.Column:
+    """DuckDB-compatible integer parsing: TRY_CAST('12.5' AS INTEGER)
+    rounds (→13) where Spark's try_cast('int') nulls. Route through
+    DOUBLE + round half-away (Spark ROUND matches DuckDB's) + try_cast
+    so dirty numeric columns degrade identically to the reference.
+    Known residual divergence (documented, tests/test_semantic_laws.py):
+    hex strings ('0x1f') parse in DuckDB only."""
+    return F.round(c.try_cast("double"), 0).try_cast("int")
+
+
 def _json_flags(names: list[str]) -> F.Column:
     """to_json(map(...)) of the flag columns — identical text to the
     reference's DuckDB output (key order preserved, lowercase bools)."""
@@ -210,9 +220,9 @@ def clean_applications(
         F.col("installation_type"),
         F.col("system_size_kwp").try_cast("double").alias("system_size_kwp"),
         F.col("loan_amount_eur").try_cast("double").alias("loan_amount_eur"),
-        F.col("loan_term_months").try_cast("int").alias("loan_term_months"),
+        _try_int(F.col("loan_term_months")).alias("loan_term_months"),
         F.col("application_date").try_cast("date").alias("application_date"),
-        F.col("credit_score").try_cast("int").alias("credit_score"),
+        _try_int(F.col("credit_score")).alias("credit_score"),
         F.col("annual_income_eur").try_cast("double").alias("annual_income_eur"),
         F.col("postal_code"),
         F.lower(F.col("status")).alias("status"),
@@ -300,7 +310,7 @@ def clean_lms(
         F.col("application_id"),
         F.col("disbursement_date").try_cast("date").alias("disbursement_date"),
         F.col("current_balance_eur").try_cast("double").alias("current_balance_eur"),
-        F.col("days_past_due").try_cast("int").alias("days_past_due"),
+        _try_int(F.col("days_past_due")).alias("days_past_due"),
         F.lower(F.col("payment_status")).alias("payment_status"),
         F.col("last_payment_date").try_cast("date").alias("last_payment_date"),
         F.col("next_payment_due").try_cast("date").alias("next_payment_due"),

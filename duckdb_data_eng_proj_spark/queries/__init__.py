@@ -14,5 +14,6 @@ from duckdb_data_eng_proj_spark.queries import training  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import etl_composites  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import udf_multimodal  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import streaming_q  # noqa: E402,F401
+from duckdb_data_eng_proj_spark.queries import extras  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "t"]

@@ -1,0 +1,299 @@
+"""Coverage beyond the reference: OLAP staples the reference lacks.
+
+SURVEY.md §2.4/§2.3 lists these as "not present in reference — Spark
+built-ins if extensions want them": grouping sets / rollup / cube,
+COUNT(DISTINCT), percentiles, ordered window frames + lead/lag, and
+the join shapes (salted-skew, range, as-of) a 100 TB engine needs.
+All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+
+# ---------------------------------------------------------------------------
+# aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_count_distinct",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, "
+        "COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority"
+    ),
+    doc=(
+        "Exact COUNT(DISTINCT) per group: Spark expands this to a "
+        "two-phase aggregate (distinct shuffle then count) — the exact "
+        "path; approx_count_distinct (HLL) is the constant-memory "
+        "100 TB alternative when ±2% is acceptable (not oracle-matched: "
+        "engines' HLL sketches differ)."
+    ),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=(
+        "SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt "
+        "FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)"
+    ),
+    doc="ROLLUP hierarchy totals (region → nation → grand total).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    return n.rollup("n_regionkey", "n_nationkey").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "agg_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt "
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+    ),
+    doc="CUBE over two dimensions (all 4 grouping combinations).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+    ),
+    doc="Explicit GROUPING SETS (two single-key sets in one pass).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.io.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+        "round(quantile_cont(o_totalprice, 0.95), 4) AS p95 "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    doc=(
+        "Exact interpolated percentiles (Spark `percentile` ≡ DuckDB "
+        "quantile_cont). Exact percentiles need the full sorted group — "
+        "at 100 TB switch to approx_percentile (t-digest sketch, "
+        "constant memory, mergeable across partitions)."
+    ),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered window frames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_lead_lag_frames",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "lag(event_id) OVER w AS prev_event, "
+        "lead(event_id) OVER w AS next_event, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS running_cents "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    doc=(
+        "lead/lag + ordered ROWS frame running sum (exact integer "
+        "cents — raw-double running sums are partition-order traps). "
+        "One shuffle keyed by user_id; frames evaluate in a single "
+        "sorted pass per partition."
+    ),
+)
+def win_lead_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.sum(cents).over(run).cast("long").alias("running_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join shapes for scale
+# ---------------------------------------------------------------------------
+
+_N_SALT = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle=(
+        "SELECT o.o_orderpriority, COUNT(*) AS n_lines, "
+        "CAST(SUM(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS qty_cents "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    ),
+    doc=(
+        "Manually salted equi-join: the big side derives salt = key % 8, "
+        "the small side explodes ×8 so every (key, salt) pair matches — "
+        "one hot key becomes 8 parallel partitions. Result is provably "
+        "identical to the plain join (the oracle IS the plain join). At "
+        "100 TB prefer AQE skew-join (adaptive, no ×8 duplication); "
+        "manual salting is for when one key dominates even a split."
+    ),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_orderkey") % _N_SALT).cast("int")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(_N_SALT)])))
+    )
+    joined = li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("qty_cents"),
+    )
+
+
+@register(
+    "join_range",
+    oracle=(
+        "WITH buckets AS (SELECT * FROM (VALUES "
+        "(0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0), (3, 40.0, 51.0)"
+        ") AS b(bucket_id, lo, hi)) "
+        "SELECT b.bucket_id, COUNT(*) AS n_lines "
+        "FROM lineitem l JOIN buckets b "
+        "ON l.l_quantity >= b.lo AND l.l_quantity < b.hi "
+        "GROUP BY b.bucket_id"
+    ),
+    doc=(
+        "Range (theta) join against a bucket table: broadcast "
+        "nested-loop with the tiny range side. For two BIG range sides "
+        "at scale: discretize ranges into grid cells and equi-join on "
+        "cell id (turns NLJ into a hash join) — same pattern as the "
+        "LSH bucket joins."
+    ),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    buckets = li.sparkSession.createDataFrame(
+        [(0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 40.0), (3, 40.0, 51.0)],
+        "bucket_id: int, lo: double, hi: double",
+    )
+    j = li.join(
+        F.broadcast(buckets),
+        (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+    )
+    return j.groupBy("bucket_id").agg(F.count("*").alias("n_lines"))
+
+
+@register(
+    "join_asof",
+    oracle=(
+        "SELECT o.o_orderkey, o.o_custkey, "
+        "(SELECT max(e.ts) FROM events e WHERE e.user_id = o.o_custkey "
+        "AND e.ts <= o.o_orderdate) AS last_event_ts "
+        "FROM orders o WHERE o.o_custkey <= 200"
+    ),
+    doc=(
+        "As-of join (latest event per key at or before each order "
+        "time), via the union-window formulation: tag both streams, "
+        "union, one sort per key carries the last event time forward "
+        "(last_value ignoring NULLs over ROWS UNBOUNDED PRECEDING), "
+        "keep query rows. ONE shuffle total — no correlated subquery, "
+        "no per-row probe; this is the scalable as-of shape (the "
+        "oracle is the correlated-subquery spelling)."
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    e = t(spark, sf_dir, "events")
+    queries = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("at_ts"),
+        F.lit(1).alias("is_query"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("event_ts"),
+    )
+    updates = e.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("at_ts"),
+        F.lit(0).alias("is_query"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("ts").alias("event_ts"),
+    )
+    # events sort before queries at equal timestamps → `<=` semantics
+    w = (
+        Window.partitionBy("key")
+        .orderBy("at_ts", "is_query")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = queries.unionByName(updates).withColumn(
+        "last_event_ts", F.last("event_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_query") == 1).select(
+        "o_orderkey", F.col("key").alias("o_custkey"), "last_event_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# partitioned sink + pruned scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snk_parquet_partitioned",
+    oracle=None,
+    doc=(
+        "Partitioned parquet layout: write orders partitioned by order "
+        "month, read back with a month filter — the read plan scans "
+        "only the matching partition directories (partition pruning; "
+        "the 100 TB table layout). Rows-only check: round-trip count "
+        "under the filter."
+    ),
+)
+def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    o = t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.trunc("o_orderdate", "month").cast("string")
+    )
+    out = tempfile.mkdtemp(prefix="orders_part_")
+    o.write.mode("overwrite").partitionBy("order_month").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("order_month") >= "1995-06-01").groupBy(
+        "order_month"
+    ).agg(F.count("*").alias("n_orders"))

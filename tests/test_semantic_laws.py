@@ -1,0 +1,188 @@
+"""Law-based tests for the semantic shims (SURVEY.md §5, G-items).
+
+Batched property style: a single adversarial+random corpus becomes one
+DataFrame, one DuckDB relation — every law checked in one pass per
+engine (per-example Spark jobs would be 100× slower for no coverage
+gain).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+ADVERSARIAL = [
+    "NULL",
+    "null",
+    "",
+    " ",
+    "  42  ",
+    "-0",
+    "0.0",
+    "1e3",
+    "1E-2",
+    "+5",
+    "12.5",
+    "-12.5",
+    ".5",
+    "5.",
+    "1,000",
+    "€50",
+    "nan",
+    "NaN",
+    "inf",
+    "-inf",
+    "Infinity",
+    "0x1f",
+    "2024-11-15",
+    "2024-1-5",
+    "2024/11/15",
+    "15-11-2024",
+    "2024-13-01",
+    "2024-02-30",
+    "2024-02-29",
+    "2023-02-29",
+    "not_a_date",
+    "2024-11-15 10:30:00",
+    "99999999999999999999",
+    "-99999999999999999999",
+    "3.4028236e38",
+    "1.7976931348623157e308",
+    "1e999",
+    "true",
+    "false",
+    "\t7\n",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(42)
+    rand = []
+    for _ in range(200):
+        kind = rng.randrange(4)
+        if kind == 0:
+            rand.append(str(rng.uniform(-1e6, 1e6)))
+        elif kind == 1:
+            rand.append(str(rng.randint(-10**12, 10**12)))
+        elif kind == 2:
+            d = dt.date(2000, 1, 1) + dt.timedelta(days=rng.randint(0, 20000))
+            rand.append(d.isoformat())
+        else:
+            rand.append("".join(rng.choice("0123456789abc-/. ") for _ in range(8)))
+    return ADVERSARIAL + rand
+
+
+def test_try_cast_total_and_engine_equal(spark, corpus):
+    """try_cast never throws (totality), and the engines agree wherever
+    the ETL depends on agreement (G-fn_try_cast):
+    - DOUBLE: full agreement on every input (NaN≡NaN).
+    - INTEGER via the ETL's _try_int shim: agreement except hex
+      strings (DuckDB parses '0x1f'; Spark does not — documented).
+    - DATE: Spark-accepted ⊆ DuckDB-accepted with equal values
+      (DuckDB additionally accepts '2024/11/15', 'Infinity', …).
+    """
+    from duckdb_data_eng_proj_spark.etl.loan_pipeline import _try_int
+
+    df = spark.createDataFrame([(s,) for s in corpus], "s: string")
+    got = df.select(
+        "s",
+        F.col("s").try_cast("double").alias("d"),
+        _try_int(F.col("s")).alias("i"),
+        F.col("s").try_cast("date").alias("dt"),
+    ).collect()
+
+    def same(a, b):
+        if a is None or b is None:
+            return a is b
+        if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+            return True  # NaN ≡ NaN
+        return a == b
+
+    con = duckdb.connect()
+    mismatches = []
+    for row in got:
+        dd, di, ddt = con.execute(
+            "SELECT TRY_CAST(? AS DOUBLE), TRY_CAST(? AS INTEGER), TRY_CAST(? AS DATE)",
+            [row.s, row.s, row.s],
+        ).fetchone()
+        if not same(dd, row.d):
+            mismatches.append(("double", row.s, row.d, dd))
+        is_hex = row.s.strip().lower().startswith(("0x", "-0x", "+0x"))
+        if not is_hex and not same(di, row.i):
+            mismatches.append(("int", row.s, row.i, di))
+        if row.dt is not None and not same(ddt, row.dt):
+            mismatches.append(("date", row.s, row.dt, ddt))
+    assert not mismatches, f"first mismatches: {mismatches[:10]}"
+
+
+def test_month_diff_boundary_law(spark):
+    """fn_date_diff_month counts month-boundary crossings: diff(d, d+1day)
+    is 1 iff the next day starts a new month, regardless of day-of-month
+    (G-fn_date_diff_month ✓probe anchors: 01-31→02-01 = 1; 01-01→01-31 = 0)."""
+    start = dt.date(2023, 11, 25)
+    days = [start + dt.timedelta(days=i) for i in range(500)]
+    df = spark.createDataFrame([(d,) for d in days], "d: date")
+    nxt = F.date_add("d", 1)
+    diff = (F.year(nxt) * 12 + F.month(nxt)) - (F.year("d") * 12 + F.month("d"))
+    rows = df.select("d", diff.alias("m")).collect()
+    for r in rows:
+        expected = 1 if (r.d + dt.timedelta(days=1)).day == 1 else 0
+        assert r.m == expected, r
+
+
+def test_null_aware_in_flag_three_valued(spark):
+    """G2: x IN (subquery) three-valued logic, incl. NULL-in-set and
+    empty-set corner cases, matches DuckDB exactly."""
+    from duckdb_data_eng_proj_spark.etl.loan_pipeline import in_subquery_flag
+
+    xs = ["a", "b", None, "c"]
+    sets = {
+        "plain": ["a", "x"],
+        "with_null": ["a", None],
+        "empty": [],
+    }
+    con = duckdb.connect()
+    for name, keys in sets.items():
+        df = spark.createDataFrame([(x,) for x in xs], "x: string")
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys] or [], "k: string"
+        )
+        got = {
+            r["x"]: r["__in_flag"]
+            for r in in_subquery_flag(df, "x", kdf, "k").collect()
+        }
+        con.execute("DROP TABLE IF EXISTS ks")
+        con.execute("CREATE TABLE ks (k VARCHAR)")
+        for k in keys:
+            con.execute("INSERT INTO ks VALUES (?)", [k])
+        for x in xs:
+            (want,) = con.execute(
+                "SELECT ? IN (SELECT k FROM ks)", [x]
+            ).fetchone()
+            assert got[x] == want, (name, x, got[x], want)
+
+
+def test_json_flag_text_identical(spark):
+    """fn_json_map: to_json(map(...)) emits byte-identical text in both
+    engines, including key order and NULL booleans (the flag-JSON
+    columns depend on this)."""
+    cases = [(True, False, None), (False, None, True), (None, None, None)]
+    df = spark.createDataFrame(cases, "a: boolean, b: boolean, c: boolean")
+    got = df.select(
+        F.to_json(
+            F.create_map(
+                F.lit("k1"), F.col("a"), F.lit("k2"), F.col("b"), F.lit("k3"), F.col("c")
+            )
+        ).alias("j")
+    ).collect()
+    con = duckdb.connect()
+    for (a, b, c), row in zip(cases, got):
+        (want,) = con.execute(
+            "SELECT to_json(map(['k1','k2','k3'], [?, ?, ?]))", [a, b, c]
+        ).fetchone()
+        assert row.j == want, ((a, b, c), row.j, want)
