@@ -44,6 +44,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_data_eng_proj_spark.functions import (
+    month_boundary_diff,
+    null_or_blank,
+    processed_at,
+    try_int_duckdb,
+)
 from duckdb_data_eng_proj_spark.io.sources import read_csv_all_varchar
 
 APP_COLUMNS = [
@@ -100,31 +106,11 @@ LMS_FLAG_NAMES = [
 ]
 
 
-def _processed_at(run_ts: dt.datetime | None) -> F.Column:
-    """Injectable 'now' (naive Europe/Berlin wall-clock, second grain).
-
-    Reference: date_trunc('second', CURRENT_TIMESTAMP AT TIME ZONE
-    'Europe/Berlin') — pipeline.py:202,327,487.
-    """
-    if run_ts is not None:
-        return F.lit(run_ts).cast("timestamp")
-    return F.date_trunc(
-        "second", F.from_utc_timestamp(F.current_timestamp(), "Europe/Berlin")
-    )
-
-
-def _null_or_blank(c: F.Column) -> F.Column:
-    return c.isNull() | (F.trim(c) == "")
-
-
-def _try_int(c: F.Column) -> F.Column:
-    """DuckDB-compatible integer parsing: TRY_CAST('12.5' AS INTEGER)
-    rounds (→13) where Spark's try_cast('int') nulls. Route through
-    DOUBLE + round half-away (Spark ROUND matches DuckDB's) + try_cast
-    so dirty numeric columns degrade identically to the reference.
-    Known residual divergence (documented, tests/test_semantic_laws.py):
-    hex strings ('0x1f') parse in DuckDB only."""
-    return F.round(c.try_cast("double"), 0).try_cast("int")
+# clock / blank-test / int-parse shims live in functions/ (shared
+# with the streaming path); aliased for brevity here.
+_processed_at = processed_at
+_null_or_blank = null_or_blank
+_try_int = try_int_duckdb
 
 
 def _json_flags(names: list[str]) -> F.Column:
@@ -382,12 +368,8 @@ def build_loan_portfolio(
 
     asof = F.lit(as_of_date) if as_of_date is not None else F.current_date()
     disb = F.col("l.disbursement_date")
-    months_since = F.when(
-        disb.isNull(), F.lit(None).cast("int")
-    ).otherwise(
-        ((F.year(asof) * 12 + F.month(asof)) - (F.year(disb) * 12 + F.month(disb))).cast(
-            "int"
-        )
+    months_since = F.when(disb.isNull(), F.lit(None).cast("int")).otherwise(
+        month_boundary_diff(disb, asof).cast("int")
     )
 
     lms_cols = [

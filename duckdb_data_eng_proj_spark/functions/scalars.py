@@ -1,0 +1,29 @@
+"""Cross-engine scalar shims (SURVEY.md §2.7 gotchas, as functions).
+
+Each exists because the naive Spark spelling diverges from DuckDB
+semantics; tests/test_semantic_laws.py pins the laws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def null_or_blank(c: Column) -> Column:
+    """``x IS NULL OR TRIM(x) = ''`` — the reference's blank test
+    (pipeline.py:93,149,216,...)."""
+    return c.isNull() | (F.trim(c) == "")
+
+
+def try_int_duckdb(c: Column) -> Column:
+    """DuckDB-compatible TRY_CAST(... AS INTEGER): decimal strings
+    round half-away ('12.5' → 13) instead of nulling (Spark default).
+    Residual divergence: hex strings parse only in DuckDB."""
+    return F.round(c.try_cast("double"), 0).try_cast("int")
+
+
+def month_boundary_diff(a: Column, b: Column) -> Column:
+    """DuckDB ``date_diff('month', a, b)``: counts month-boundary
+    crossings (01-31→02-01 = 1), NOT fractional months_between."""
+    return (F.year(b) * 12 + F.month(b)) - (F.year(a) * 12 + F.month(a))

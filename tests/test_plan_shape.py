@@ -1,0 +1,82 @@
+"""Plan-shape regression tests: the scale contract as assertions.
+
+Every test here failed-by-design at some point during development (a
+missing filter pushdown, an accidental extra shuffle) — they pin the
+physical properties that keep these queries viable at 100 TB, where a
+plan regression is slower than any constant-factor code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.plans import (
+    count_exchanges,
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from duckdb_data_eng_proj_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_filter_reaches_parquet_scan(spark):
+    """A filtered projection must push both the predicate and the
+    column set into the scan (no full-table read for a 2-column query)."""
+    df = REGISTRY["flt_between"].fn(spark, SF_DIR)
+    filters = pushed_filters(df)
+    assert any("c_acctbal" in f for f in filters), filters
+    (cols,) = read_schema_columns(df)
+    assert cols == {"c_custkey", "c_acctbal"}, cols
+
+
+def test_fanout_join_broadcasts_small_side(spark):
+    df = REGISTRY["join_left_fanout"].fn(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    # broadcast join ⇒ no shuffle exchange needed for the join itself
+    assert count_exchanges(df) == 0
+
+
+def test_groupby_is_single_exchange(spark):
+    """Partial (map-side) aggregation + one shuffle — never two."""
+    df = REGISTRY["agg_multikey"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+    plan_scans = read_schema_columns(df)
+    # column pruning: the scan reads only the grouping/agg columns
+    assert all(len(c) <= 3 for c in plan_scans), plan_scans
+
+
+def test_flagship_window_reuses_aggregated_rows(spark):
+    """scan → partial agg → exchange → final agg → exchange(window key)
+    — the second exchange moves only aggregated rows. Two exchanges
+    total; the raw table is shuffled exactly once."""
+    df = REGISTRY["win_partition_sum"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 2
+
+
+def test_dedup_near_has_no_cartesian(spark):
+    """The LSH near-dup pipeline must never degenerate into a
+    cartesian/cross join — candidates come from the bucket equi-join."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["ext_dedup_near"].fn(spark, SF_DIR)
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Brute-force top-k must keep the WindowGroupLimit optimization
+    (per-partition top-k pushdown before the final window) — without
+    it every (query, candidate) pair survives to the sort."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["ext_sim_topk"].fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_scan_prunes_to_projected_columns(spark):
+    """documents has 5 columns; a doc_id+text query must read 2."""
+    from duckdb_data_eng_proj_spark.queries.registry import t
+
+    df = t(spark, SF_DIR, "documents").select("doc_id", F.length("text").alias("n"))
+    (cols,) = read_schema_columns(df)
+    assert cols == {"doc_id", "text"}, cols
