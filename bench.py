@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "ext_rank_window",     # ranking windows
     "fn_math",             # per-row expression throughput
     "fn_unnest",           # explode/tokenize throughput
+    "tpch_q1",             # full-scan pricing summary (map-side combine)
+    "tpch_q3",             # selective broadcast join + top-k
+    "tpch_q6",             # scan-bandwidth + pushed predicates
+    "dedup_minhash_lsh",   # shingle→minhash→band (text map stage)
 ]
 
 

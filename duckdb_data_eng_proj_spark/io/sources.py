@@ -70,6 +70,22 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return spark.read.parquet(path)
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer splits.
+
+    For compute-heavy narrow stages (hashing, vector math) a small
+    file (one or two parquet splits) would otherwise pin the whole
+    stage to one or two cores; shuffling a few MB of raw rows is
+    noise next to the compute. No-op when the input already has
+    enough splits — at 100 TB inputs always do, so this never
+    *reduces* parallelism."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql paths)."""
     for name in TESTDATA_TABLES:

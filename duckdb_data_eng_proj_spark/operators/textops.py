@@ -5,12 +5,12 @@ Design notes (100 TB path):
   ``pyspark.sql.functions`` higher-order functions — JVM-side,
   whole-stage-codegen'd, no Python in the loop. A 100 TB documents
   table runs these as a single narrow map stage (no shuffle).
-- MinHash uses lexicographic MIN over md5 hex digests seeded per hash
-  index. md5 is deterministic and identical across engines, which is
-  what makes the DuckDB oracle parity checks exact. For production
-  throughput xxhash64 would be ~5× faster (also built-in:
-  ``F.xxhash64``) — md5 is kept because cross-engine checkability is
-  the acceptance gate here.
+- MinHash hashes each shingle ONCE (md5) and derives all n hash
+  functions arithmetically (Kirsch-Mitzenmacher) — hashing is the
+  dominant near-dup cost at corpus scale. md5 is deterministic and
+  identical across engines, which is what makes the DuckDB oracle
+  parity checks exact; for production throughput ``F.xxhash64`` is
+  ~5× faster but has no DuckDB twin.
 
 Reference parity: the reference project has no text operators (its
 scalar census is SURVEY.md §2.7); these implement the north-star
@@ -70,22 +70,48 @@ def distinct_ngrams(tok: Column, n: int) -> Column:
     return F.array_distinct(word_ngrams(tok, n))
 
 
-def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
-    """MinHash signature: per hash index j, MIN over md5('j|' ++ s).
+# Mersenne prime 2^61-1: (a + j*b) mod P stays under 2^63 for j <= 7
+# with a,b < 2^60 (15 hex digits), so the arithmetic is exact BIGINT
+# in both engines.
+MINHASH_P = (1 << 61) - 1
 
-    Lexicographic min over fixed-width hex digests is a valid MinHash
-    family (each seeded md5 is an independent pseudo-permutation of the
-    shingle space). NULL when the shingle set is empty.
+
+def minhash_pairs(shingles: Column) -> Column:
+    """Per-shingle (a, b|1) 60-bit hash pair — the K-M base hashes.
+
+    Callers MUST materialize this as its own projection column and
+    derive the n minima from that column: embedding the pair expr
+    inside each minimum would re-hash every shingle n times (Spark
+    HOFs are interpreted — no CSE across expressions).
+
+    NB: HOF lambdas must be one-argument — PySpark dispatches on
+    arity, so `lambda s, j=j:` would silently become the
+    (element, index) form and hash the wrong thing.
     """
-    def seeded(j: int):
-        # NB: must be a one-argument lambda — PySpark dispatches HOF
-        # lambdas on arity, so `lambda s, j=j:` would silently become
-        # the (element, index) form and hash the wrong thing.
-        prefix = F.lit(f"{j}|")
-        return lambda s: F.md5(F.concat(prefix, s))
+    return F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(F.md5(s), 17, 15), 16, 10)
+            .cast("long")
+            .bitwiseOR(1)
+            .alias("b"),
+        ),
+    )
+
+
+def minhash_from_pairs(pairs: Column, n_hashes: int) -> list[Column]:
+    """MinHash signature via Kirsch-Mitzenmacher double hashing: hash j
+    is MIN over (a + j*b) mod P. Same guarantees as n independent
+    hashes for MinHash-style sketches at 1/n the hashing cost — md5 is
+    the dominant near-dup cost at corpus scale. NULL when the shingle
+    set is empty."""
+
+    def km(j: int):
+        return lambda p: (p["a"] + F.lit(j) * p["b"]) % MINHASH_P
 
     return [
-        F.array_min(F.transform(shingles, seeded(j))).alias(f"h{j}")
+        F.array_min(F.transform(pairs, km(j))).alias(f"h{j}")
         for j in range(n_hashes)
     ]
 
@@ -96,13 +122,18 @@ def lsh_band_buckets(sig_cols: list[str], rows_per_band: int) -> list[Column]:
     Two docs land in the same (band, bucket) iff their signatures agree
     on every row of that band — the standard bands×rows construction.
     """
+    def parts(b: int) -> list[Column]:
+        # F.concat, not concat_ws: NULL signatures (empty shingle set)
+        # must propagate to a NULL bucket like SQL `||` does.
+        cols: list[Column] = []
+        for r in range(rows_per_band):
+            if r:
+                cols.append(F.lit("|"))
+            cols.append(F.col(sig_cols[b * rows_per_band + r]).cast("string"))
+        return cols
+
     n_bands = len(sig_cols) // rows_per_band
-    return [
-        F.md5(
-            F.concat(*[F.col(sig_cols[b * rows_per_band + r]) for r in range(rows_per_band)])
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
+    return [F.md5(F.concat(*parts(b))).alias(f"band{b}") for b in range(n_bands)]
 
 
 def hex_nibble(hash_col: Column, pos: int) -> Column:

@@ -34,11 +34,13 @@ from duckdb_data_eng_proj_spark.operators.textops import (
     distinct_ngrams,
     hex_nibble,
     lsh_band_buckets,
-    minhash_signature,
+    minhash_from_pairs,
+    minhash_pairs,
     tokens,
     word_ngrams,
 )
-from duckdb_data_eng_proj_spark.operators.vectors import cosine, dot
+from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+from duckdb_data_eng_proj_spark.operators.vectors import dot
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 # ---------------------------------------------------------------------------
@@ -60,20 +62,48 @@ _N_HASHES = 8
 _ROWS_PER_BAND = 2
 
 
+# Kirsch-Mitzenmacher double hashing (operators/textops.py): one md5
+# per shingle → (a, b|1) 60-bit ints → hash j = min (a + j·b) mod P.
+# Every CTE is referenced exactly once (DuckDB inlines CTEs per
+# reference — a UNION ALL over sig would re-run the whole hash
+# pipeline per band; the struct-unnest keeps it single-pass).
+_MINHASH_P = (1 << 61) - 1
+
+_HS_CTE = "hs AS (SELECT doc_id, list_transform(bg, s -> md5(s)) AS hs FROM bg)"
+
+_PAIRS_CTE = (
+    "pairs AS (SELECT doc_id, list_transform(hs, h -> {"
+    "'a': CAST('0x' || substr(h, 1, 15) AS BIGINT), "
+    "'b': CAST('0x' || substr(h, 17, 15) AS BIGINT) | 1"
+    "}) AS ps FROM hs)"
+)
+
+
 def _minhash_sql(j: int) -> str:
-    return f"list_aggregate(list_transform(bg, s -> md5('{j}|' || s)), 'min')"
+    return (
+        f"list_aggregate(list_transform(ps, p -> (p.a + {j} * p.b) % {_MINHASH_P}),"
+        " 'min')"
+    )
 
 
 _SIG_CTE = "sig AS (SELECT doc_id, " + ", ".join(
     f"{_minhash_sql(j)} AS h{j}" for j in range(_N_HASHES)
-) + " FROM bg)"
+) + " FROM pairs)"
 
-_BANDS_CTE = "bands AS (" + " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(h{2 * b} || h{2 * b + 1}) AS bucket FROM sig"
-    for b in range(_N_HASHES // _ROWS_PER_BAND)
-) + ")"
+_BANDS_CTE = (
+    "bands AS (SELECT doc_id, u.band AS band, u.bucket AS bucket FROM ("
+    "SELECT doc_id, unnest(["
+    + ", ".join(
+        f"{{'band': {b}, 'bucket': md5(CAST(h{2 * b} AS VARCHAR) || '|' || "
+        f"CAST(h{2 * b + 1} AS VARCHAR))}}"
+        for b in range(_N_HASHES // _ROWS_PER_BAND)
+    )
+    + "]) AS u FROM sig))"
+)
 
-_LSH_PRELUDE = f"WITH {_TOKS_CTE}, {_BG_CTE}, {_SIG_CTE}, {_BANDS_CTE}"
+_LSH_PRELUDE = (
+    f"WITH {_TOKS_CTE}, {_BG_CTE}, {_HS_CTE}, {_PAIRS_CTE}, {_SIG_CTE}, {_BANDS_CTE}"
+)
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -92,10 +122,17 @@ _EMB_CTE = (
 
 
 def _lsh_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, bucket) rows — the shared MinHash-LSH front half."""
-    d = t(spark, sf_dir, "documents")
+    """(doc_id, band, bucket) rows — the shared MinHash-LSH front half.
+
+    Projection chain: shingles → materialized (a,b) pair column (md5
+    once per shingle — see minhash_pairs) → 8 array-min projections →
+    band buckets. The input is repartitioned up to core count first:
+    hashing dominates, and a sub-MB documents file would otherwise run
+    the whole stage on two cores."""
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
     bg = d.select("doc_id", distinct_ngrams(tokens(F.col("text")), 2).alias("bg"))
-    sig = bg.select("doc_id", *minhash_signature(F.col("bg"), _N_HASHES))
+    ps = bg.select("doc_id", minhash_pairs(F.col("bg")).alias("ps"))
+    sig = ps.select("doc_id", *minhash_from_pairs(F.col("ps"), _N_HASHES))
     sig_cols = [f"h{j}" for j in range(_N_HASHES)]
     bands = sig.select(
         "doc_id",
@@ -107,7 +144,7 @@ def _lsh_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigram_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
     return d.select("doc_id", distinct_ngrams(tokens(F.col("text")), 2).alias("bg"))
 
 
@@ -449,7 +486,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
     tkd = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tkn")
     )
@@ -536,7 +573,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     en = e.select("vec_id", "label", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"))
     a, b = en.alias("a"), en.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
@@ -579,7 +616,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     en = e.select(
         "vec_id",
         "embedding",
@@ -620,7 +657,7 @@ _ASSIGN_CTES = (
 
 def _ivf_parts(spark: SparkSession, sf_dir: str):
     """(normed vectors, centroids, assignment) — shared IVF front half."""
-    e = t(spark, sf_dir, "embeddings")
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     en = e.select(
         "vec_id",
         "embedding",
