@@ -767,3 +767,83 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
     )
+
+
+def _simhash_chunk(col: str, c: int):
+    """16-bit chunk c (0-3) of a 16-hex-char simhash, as int."""
+    return F.conv(F.substring(F.col(col), 4 * c + 1, 4), 16, 10).cast("int")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=(
+        f"WITH sh AS ({_simhash_oracle()}), "
+        "ch AS (SELECT doc_id, c, substr(simhash, 4*c + 1, 4) AS v "
+        "FROM sh, range(4) t(c)), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM ch x JOIN ch y ON x.c = y.c AND x.v = y.v "
+        "AND x.doc_id < y.doc_id) "
+        "SELECT c.doc_a, c.doc_b, "
+        + " + ".join(
+            f"bit_count(xor(CAST('0x' || substr(a.simhash, {4 * c + 1}, 4) AS BIGINT), "
+            f"CAST('0x' || substr(b.simhash, {4 * c + 1}, 4) AS BIGINT)))"
+            for c in range(4)
+        )
+        + " AS hamming_dist "
+        "FROM cand c JOIN sh a ON a.doc_id = c.doc_a "
+        "JOIN sh b ON b.doc_id = c.doc_b "
+        "WHERE "
+        + " + ".join(
+            f"bit_count(xor(CAST('0x' || substr(a.simhash, {4 * c + 1}, 4) AS BIGINT), "
+            f"CAST('0x' || substr(b.simhash, {4 * c + 1}, 4) AS BIGINT)))"
+            for c in range(4)
+        )
+        + " <= 3"
+    ),
+    doc=(
+        "SimHash near-dup pairs within Hamming distance 3 via pigeonhole "
+        "bucketing: split the 64-bit signature into 4 x 16-bit chunks — "
+        "any pair within distance 3 shares >= 1 exact chunk, so the "
+        "candidate join is an equi-join on (chunk_idx, chunk_value), "
+        "never all-pairs. Exact distance = sum of per-chunk "
+        "bit_count(xor). The standard web-scale simhash dedup plan "
+        "(Manku et al., WWW'07 shape)."
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _simhash_select(spark, sf_dir)
+    chunks = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.substring("simhash", 4 * c + 1, 4) for c in range(4)])
+        ).alias("c", "v"),
+    )
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.c") == F.col("y.c"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    dist = sum(
+        [
+            F.bit_count(
+                _simhash_chunk("sh_a", c).bitwiseXOR(_simhash_chunk("sh_b", c))
+            )
+            for c in range(4)
+        ],
+        start=F.lit(0),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming_dist", dist)
+        .filter(F.col("hamming_dist") <= 3)
+        .select("doc_a", "doc_b", "hamming_dist")
+    )
