@@ -297,3 +297,106 @@ def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(F.col("order_month") >= "1995-06-01").groupBy(
         "order_month"
     ).agg(F.count("*").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# string suite / JSON struct / vector centroids
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_string_suite",
+    oracle=(
+        "SELECT c_custkey, "
+        "levenshtein(lower(c_name), lower(c_mktsegment)) AS name_seg_dist, "
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, "
+        "split_part(c_name, '#', 2) AS name_suffix, "
+        "left(c_mktsegment, 4) AS seg4, "
+        "reverse(c_mktsegment) AS seg_rev, "
+        "translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr, "
+        "ascii(c_mktsegment) AS seg_ascii "
+        "FROM customer"
+    ),
+    doc=(
+        "Extended string-function suite beyond the reference's census "
+        "(SURVEY §2.7): levenshtein (fuzzy-match verification for "
+        "dedup), lpad, split_part, left, reverse, translate, ascii — "
+        "all JVM built-ins, map-stage only."
+    ),
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.lower("c_name"), F.lower("c_mktsegment")).alias(
+            "name_seg_dist"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+        F.expr("left(c_mktsegment, 4)").alias("seg4"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_tr"),
+        F.ascii(F.col("c_mktsegment")).alias("seg_ascii"),
+    )
+
+
+@register(
+    "js_from_json",
+    oracle=(
+        "SELECT event_id, "
+        "CAST(json_extract_string(props, '$.k') AS INT) AS k_value, "
+        "CAST(len(json_keys(props)) AS INT) AS n_keys, "
+        "CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50 "
+        "THEN 'high' ELSE 'low' END AS k_band "
+        "FROM events"
+    ),
+    doc=(
+        "Typed JSON parsing (beyond ext_json_extract's string path): "
+        "from_json with an explicit schema → struct field access + "
+        "key census. Schema-on-read stays a map stage; at scale parse "
+        "once, persist the struct column."
+    ),
+)
+def js_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    keys = F.json_object_keys("props")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_value"),
+        F.size(keys).alias("n_keys"),
+        F.when(parsed["k"] >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "vec_centroid_label",
+    oracle=(
+        "SELECT label, i AS pos, "
+        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_sort(list(CAST(embedding[i+1] AS DOUBLE)))), (a, b) -> a + b) "
+        "/ COUNT(*), 6) AS centroid "
+        "FROM embeddings, range(64) t(i) GROUP BY label, i"
+    ),
+    doc=(
+        "Per-label centroid of every embedding dimension — the k-means "
+        "update step / IVF training primitive. Cross-engine exactness "
+        "for a double mean under parallelism: collect the group's "
+        "values, SORT them, then fold sequentially — the sorted fold "
+        "is partition-order independent and identical in both engines. "
+        "At 100 TB swap to treeAggregate-style partial means when "
+        "bitwise parity isn't required; the plan stays one shuffle "
+        "keyed by (label, dim)."
+    ),
+)
+def vec_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    sorted_sum = F.aggregate(
+        F.sort_array(F.collect_list("val")), F.lit(0.0), lambda a, x: a + x
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(sorted_sum / F.count("*"), 6).alias("centroid")
+    )
