@@ -70,3 +70,33 @@ def ext_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: A
 )
 def ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_window_counts(spark, sf_dir)
+
+
+@register(
+    "ext_stream_session",
+    oracle=(
+        "WITH flagged AS ("
+        "  SELECT user_id, ts, event_id, "
+        "  CASE WHEN lag(ts) OVER w IS NULL "
+        "       OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END "
+        "  AS new_session "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sessions AS ("
+        "  SELECT user_id, ts, "
+        "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "  ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged) "
+        "SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, "
+        "COUNT(*) AS n_events FROM sessions GROUP BY user_id, session_id"
+    ),
+    doc=(
+        "STREAMING session windows (30-min gap) with stateful "
+        "session_window + watermark, flushed via a sentinel far-future "
+        "event so availableNow emits every session (streaming/ingest.py). "
+        "Oracle = the batch lag/cumsum sessionization — the streaming/"
+        "batch unification law for session state."
+    ),
+)
+def ext_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import stream_session_counts
+
+    return stream_session_counts(spark, sf_dir)

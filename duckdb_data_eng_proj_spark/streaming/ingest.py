@@ -124,3 +124,83 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+SENTINEL_USER = -999_999_999
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user over the events stream.
+
+    Append-mode session_window state only emits when the watermark
+    passes a session's close, and availableNow stops at the last real
+    event — the final sessions would be withheld. The flush pattern:
+    after draining the real data, drop a sentinel event (far-future
+    timestamp, reserved user id) into the source directory and run one
+    more availableNow pass on the SAME checkpoint; the watermark
+    advances past every real session and the state flushes. The
+    sentinel's own (still-open) session is filtered out.
+
+    Batch-replay law: output ≡ the batch lag/cumsum sessionization
+    aggregated per session (the ext_sessionize oracle shape) — checked
+    by the registry oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="events_session_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    ckpt = tempfile.mkdtemp(prefix="session_stream_ckpt_")
+
+    ts = F.col("ts")
+    nanos = dict(raw.dtypes).get("ts") == "bigint"
+    if nanos:
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+
+    acc: dict[str, DataFrame | None] = {"df": None}
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)
+        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
+
+    def run_pass() -> None:
+        stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+        agg = (
+            stream.withColumn("__ts", ts)
+            .withWatermark("__ts", "0 seconds")
+            .groupBy(F.session_window("__ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(absorb)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_pass()  # drains real data; final sessions still in state
+
+    # state-flush pass: one far-future sentinel event
+    far_future = raw.sparkSession.createDataFrame(
+        [(int(-1), SENTINEL_USER, "sentinel", 0.0, "{}")],
+        "event_id: long, user_id: long, event_type: string, value: double, props: string",
+    ).withColumn(
+        "ts",
+        F.lit("2100-01-01 00:00:00").cast("timestamp"),
+    )
+    if nanos:
+        far_future = far_future.withColumn(
+            "ts", (F.col("ts").cast("long") * 1_000_000_000)
+        )
+    far_future.select(*raw.columns).coalesce(1).write.mode("append").parquet(src_dir)
+    run_pass()  # watermark jumps to 2100 → every real session emits
+
+    out = acc["df"]
+    assert out is not None
+    return out.filter(F.col("user_id") != SENTINEL_USER)
