@@ -400,3 +400,104 @@ def vec_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "pos").agg(
         F.round(sorted_sum / F.count("*"), 6).alias("centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot / set ops / range frames
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "agg_pivot",
+    oracle=(
+        "SELECT user_id, "
+        + ", ".join(
+            f"COUNT(*) FILTER (event_type = '{et}') AS n_{et}"
+            for et in _EVENT_TYPES
+        )
+        + " FROM events GROUP BY user_id"
+    ),
+    doc=(
+        "PIVOT: events long→wide per user (one column per event type). "
+        "Spark's .pivot() with an explicit value list compiles to the "
+        "same single-pass conditional aggregation as the oracle's "
+        "FILTER form — explicit values keep it one pass (omitting them "
+        "adds a distinct-values job)."
+    ),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(et), F.lit(0)).alias(f"n_{et}") for et in _EVENT_TYPES],
+    )
+
+
+@register(
+    "set_intersect_except",
+    oracle=(
+        "WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000), "
+        "recent AS (SELECT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
+        "SELECT 'both' AS which, o_custkey FROM (SELECT o_custkey FROM hi "
+        "INTERSECT SELECT o_custkey FROM recent) "
+        "UNION ALL "
+        "SELECT 'hi_only' AS which, o_custkey FROM (SELECT o_custkey FROM hi "
+        "EXCEPT SELECT o_custkey FROM recent)"
+    ),
+    doc=(
+        "INTERSECT / EXCEPT (absent from the reference, SURVEY §2.6): "
+        "distinct set semantics incl. NULL-equality; Spark plans both "
+        "as aggregated semi/anti joins."
+    ),
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    both = hi.intersect(recent).select(F.lit("both").alias("which"), "o_custkey")
+    hi_only = hi.subtract(recent).select(
+        F.lit("hi_only").alias("which"), "o_custkey"
+    )
+    return both.unionByName(hi_only)
+
+
+@register(
+    "win_range_frame",
+    oracle=(
+        "SELECT user_id, event_id, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT) "
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cents_last_hour "
+        "FROM events"
+    ),
+    doc=(
+        "Time-based RANGE frame: per user, rolling sum of the trailing "
+        "hour (exact integer cents). The frame is value-based on epoch "
+        "seconds — rows at equal timestamps share a frame, unlike ROWS. "
+        "One shuffle keyed by user_id, single sorted pass."
+    ),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(cents).over(w).cast("long").alias("cents_last_hour"),
+    )
