@@ -1,0 +1,157 @@
+"""Iterative algorithms: unrolled Lloyd's k-means over embeddings.
+
+The registry's one capability class that SQL can't express in general
+is iteration; a FIXED number of iterations unrolls into CTEs, so this
+op gets a full DuckDB oracle anyway: k=8 centroids seeded from
+vec_id<8, two Lloyd iterations (assign by max cosine → recompute
+centroids), output per-cluster membership and centroid stats.
+
+Cross-engine exactness for the centroid means uses the sorted-fold
+trick (vec_centroid_label): collect each (cluster, dim) group's
+values, sort, fold sequentially — partition-order independent and
+bit-identical in both engines, so the *second* iteration's
+assignments (which depend on first-iteration float means) still
+match exactly. No intermediate rounding — only the final output is
+rounded.
+
+Scale shape per iteration: one broadcast join (k centroids) + one
+argmax window + one shuffle keyed by (cluster, dim). At 100 TB the
+driver loop (real k-means) persists assignments between iterations
+and checks movement; the per-iteration plan is exactly this one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+from duckdb_data_eng_proj_spark.operators.vectors import dot
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+
+_K = 8
+_DIM = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(len({a})), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _assign_cte(name: str, cent: str) -> str:
+    cos = f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm)"
+    return (
+        f"{name} AS (SELECT vec_id, cid FROM ("
+        f"SELECT v.vec_id, c.cid, row_number() OVER ("
+        f"PARTITION BY v.vec_id ORDER BY {cos} DESC, c.cid) AS rn "
+        f"FROM e v CROSS JOIN {cent} c) WHERE rn = 1)"
+    )
+
+
+def _update_ctes(prefix: str, assign: str) -> str:
+    """Per-dim sorted-fold means → ordered centroid arrays + norms."""
+    mean = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_sort(list(CAST(e.embedding[i+1] AS DOUBLE)))), (x, y) -> x + y) "
+        "/ COUNT(*)"
+    )
+    return (
+        f"{prefix}m AS (SELECT a.cid, t.i AS pos, {mean} AS m "
+        f"FROM {assign} a JOIN e ON e.vec_id = a.vec_id, range({_DIM}) t(i) "
+        f"GROUP BY a.cid, t.i), "
+        f"{prefix} AS (SELECT cid, list(m ORDER BY pos) AS c_emb, "
+        f"sqrt({_dot_sql('list(m ORDER BY pos)', 'list(m ORDER BY pos)')}) AS c_nrm "
+        f"FROM {prefix}m GROUP BY cid)"
+    )
+
+
+_ORACLE = (
+    "WITH e AS (SELECT vec_id, embedding, "
+    f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+    f"cent0 AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm "
+    f"FROM e WHERE vec_id < {_K}), "
+    + _assign_cte("a1", "cent0")
+    + ", "
+    + _update_ctes("cent1", "a1")
+    + ", "
+    + _assign_cte("a2", "cent1")
+    + ", "
+    + _update_ctes("cent2", "a2")
+    + " SELECT a.cid AS cluster_id, COUNT(*) AS n_members, "
+    "round(MAX(c.c_nrm), 4) AS centroid_norm, "
+    "round(MAX(c.c_emb[1]), 4) AS centroid_d0 "
+    "FROM a2 a JOIN cent2 c ON c.cid = a.cid GROUP BY a.cid"
+)
+
+
+def _assign(en: DataFrame, cent: DataFrame) -> DataFrame:
+    cos = dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    return (
+        en.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _update(en: DataFrame, assign: DataFrame) -> DataFrame:
+    exploded = (
+        assign.join(en, "vec_id")
+        .select("cid", F.posexplode(F.col("embedding")).alias("pos", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+    )
+    sorted_sum = F.aggregate(
+        F.sort_array(F.collect_list("val")), F.lit(0.0), lambda a, x: a + x
+    )
+    means = exploded.groupBy("cid", "pos").agg(
+        (sorted_sum / F.count("*")).alias("m")
+    )
+    cent = means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("c_emb")
+    )
+    c_nrm: Column = F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    return cent.select("cid", "c_emb", c_nrm.alias("c_nrm"))
+
+
+@register(
+    "ml_kmeans_2iter",
+    oracle=_ORACLE,
+    doc=(
+        "Lloyd's k-means, k=8, two unrolled iterations (seeded from "
+        "vec_id<8): assign-by-max-cosine → sorted-fold centroid means "
+        "→ reassign → recompute. The iteration unrolls into the oracle "
+        "CTE chain, so even second-iteration assignments (functions of "
+        "first-iteration float means) hash-match exactly."
+    ),
+)
+def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cent0 = en.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    a1 = _assign(en, cent0)
+    cent1 = _update(en, a1)
+    a2 = _assign(en, cent1)
+    cent2 = _update(en, a2)
+    return (
+        a2.join(cent2, "cid")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.max("c_nrm"), 4).alias("centroid_norm"),
+            F.round(F.max(F.element_at("c_emb", 1)), 4).alias("centroid_d0"),
+        )
+    )
