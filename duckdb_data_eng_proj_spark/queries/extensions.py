@@ -57,13 +57,16 @@ def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type, "
         "COUNT(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS total_value "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 "
+        "AS total_value "
         "FROM events GROUP BY 1, 2"
     ),
     doc=(
         "Tumbling-window aggregate over events.ts (batch formulation of "
         "the streaming op): F.window 1-hour buckets ≡ date_trunc('hour'). "
-        "Decimal sum for partition-order independence."
+        "Exact integer-cents sum for partition-order independence, "
+        "emitted DOUBLE (DECIMAL serializes differently in the driver "
+        "hasher — round-1 hash-fail)."
     ),
 )
 def ext_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,8 +76,7 @@ def ext_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             # exact cents-sum (events.value is 2dp) — see relational.cents
-            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("decimal(20,0)") / 100)
-            .cast("decimal(18,6)")
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100)
             .alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")

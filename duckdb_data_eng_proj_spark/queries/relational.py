@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.io.sources import read_csv_all_varchar
@@ -33,20 +33,6 @@ def cents(col):
     decimal aggregation path.
     """
     return F.round(F.col(col) * 100, 0).cast("long")
-
-
-def dsum(col, alias):
-    """Order-independent exact sum of a 2dp double column as DECIMAL(18,2).
-
-    Doubles summed in parallel are order-dependent; integer-cents
-    addition is exact and associative, so both Spark and DuckDB produce
-    the same value regardless of partitioning (registry docstring).
-    """
-    return (F.sum(cents(col)).cast("decimal(20,0)") / 100).cast(DEC).alias(alias)
-
-
-def _dsum_sql(col, alias):
-    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS {alias}"
 
 
 # ---------------------------------------------------------------------------
@@ -485,9 +471,11 @@ def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_global_counters",
     oracle=(
         "SELECT COUNT(*) AS total_orders, "
-        "SUM(CAST(o_totalprice > 200000 AS INT)) AS flag_big_order, "
-        "SUM(CAST(o_orderstatus = 'F' AS INT)) AS flag_finished, "
-        "SUM(CAST(o_orderpriority = '1-URGENT' AS INT)) AS flag_urgent "
+        # DuckDB SUM(INT) yields HUGEINT, which serializes differently
+        # from Spark's BIGINT in the driver's hasher — pin BIGINT.
+        "CAST(SUM(CAST(o_totalprice > 200000 AS INT)) AS BIGINT) AS flag_big_order, "
+        "CAST(SUM(CAST(o_orderstatus = 'F' AS INT)) AS BIGINT) AS flag_finished, "
+        "CAST(SUM(CAST(o_orderpriority = '1-URGENT' AS INT)) AS BIGINT) AS flag_urgent "
         "FROM orders"
     ),
     doc="Global counter block: COUNT(*) + SUM(flag::INT) (report, pipeline.py:393-421).",
@@ -506,11 +494,14 @@ def agg_global_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle=(
         "SELECT l_returnflag, "
-        "SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_bulk, "
-        "CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(18,2)) "
-        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS bulk_revenue, "
+        # BIGINT / DOUBLE result types on both sides: DuckDB HUGEINT and
+        # DECIMAL serialize differently from Spark in the driver hasher.
+        "CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk, "
+        "CAST(SUM(CASE WHEN l_quantity > 25 THEN "
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / 100 "
+        "AS bulk_revenue, "
         "CAST(ROUND(CAST(SUM(CASE WHEN l_quantity > 25 THEN "
-        "CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) "
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) END) AS DOUBLE) / 100 "
         "/ NULLIF(COUNT(CASE WHEN l_quantity > 25 THEN 1 END), 0), 4) AS DOUBLE) "
         "AS avg_bulk_price "
         "FROM lineitem GROUP BY l_returnflag"
@@ -529,8 +520,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt_bulk = F.count(F.when(bulk, F.lit(1)))
     return li.groupBy("l_returnflag").agg(
         F.sum(F.when(bulk, 1).otherwise(0)).alias("n_bulk"),
-        (F.sum(F.when(bulk, price_cents).otherwise(F.lit(0))).cast("decimal(20,0)") / 100)
-        .cast(DEC)
+        (F.sum(F.when(bulk, price_cents).otherwise(F.lit(0))).cast("double") / 100)
         .alias("bulk_revenue"),
         F.round(
             (sum_bulk_cents / F.lit(100.0)).cast("double") / F.nullif(cnt_bulk, F.lit(0)), 4
@@ -644,33 +634,50 @@ def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH monthly AS ("
         "  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS cohort_month, "
         "         o_orderpriority AS priority, COUNT(*) AS n_orders, "
-        f"         {_dsum_sql('o_totalprice', 'volume')} "
-        "  FROM orders GROUP BY 1, 2) "
-        "SELECT cohort_month, priority, n_orders, volume, "
-        "CAST(ROUND(CAST(volume AS DOUBLE) / CAST(NULLIF(SUM(volume) OVER "
-        "(PARTITION BY cohort_month), 0) AS DOUBLE), 4) AS DOUBLE) AS volume_share "
-        "FROM monthly"
+        "         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
+        "         AS vol_cents "
+        "  FROM orders GROUP BY 1, 2), "
+        "mt AS (SELECT cohort_month, CAST(SUM(vol_cents) AS BIGINT) AS mvol_cents "
+        "       FROM monthly GROUP BY cohort_month) "
+        "SELECT m.cohort_month, m.priority, m.n_orders, "
+        "CAST(m.vol_cents AS DOUBLE) / 100 AS volume, "
+        "CAST(ROUND(CAST(m.vol_cents AS DOUBLE) / "
+        "CAST(NULLIF(mt.mvol_cents, 0) AS DOUBLE), 4) AS DOUBLE) AS volume_share "
+        "FROM monthly m JOIN mt USING (cohort_month)"
     ),
     doc=(
         "FLAGSHIP (q5 analog, queries.sql:206-245): monthly order volume by "
-        "priority with share-of-month via an unordered partition window "
-        "(SUM OVER PARTITION BY). scan→agg→window→(sort at presentation)."
+        "priority with share-of-month denominator. The share is SUM OVER "
+        "(PARTITION BY month); a window straight over the aggregated rows "
+        "would force a second full-width exchange just to sum ~400 rows, "
+        "so the post-agg output is coalesced to one partition first — a "
+        "single partition satisfies any clustering, so the window runs "
+        "with no further exchange. One shuffle total (the groupBy); the "
+        "group count is months×priorities, bounded at any data scale."
     ),
 )
 def win_partition_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     o = t(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("cohort_month"),
         F.col("o_orderpriority").alias("priority"),
-    ).agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "volume"))
-    w = Window.partitionBy("cohort_month")
-    month_vol = F.sum("volume").over(w)
-    return monthly.select(
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("vol_cents"),
+    )
+    mvol = F.sum("vol_cents").over(Window.partitionBy("cohort_month"))
+    return monthly.coalesce(1).select(
         "cohort_month",
         "priority",
         "n_orders",
-        "volume",
-        F.round(F.col("volume").cast("double") / F.nullif(month_vol, F.lit(0)).cast("double"), 4)
+        (F.col("vol_cents").cast("double") / 100).alias("volume"),
+        F.round(
+            F.col("vol_cents").cast("double")
+            / F.nullif(mvol, F.lit(0)).cast("double"),
+            4,
+        )
         .cast("double")
         .alias("volume_share"),
     )

@@ -45,20 +45,26 @@ def _charge_e6() -> F.Column:
     return _disc_price_e4() * (100 + _cents("l_tax"))
 
 
-def _dec(expr: F.Column, divisor: int, typ: str) -> F.Column:
-    return (expr.cast("decimal(38,0)") / divisor).cast(typ)
+def _dbl(expr: F.Column, divisor: int) -> F.Column:
+    """Exact integer-unit sum → DOUBLE (sum/divisor).
+
+    The sum itself is an exact integer on both engines; int→double
+    conversion and the single division are IEEE-identical, while
+    DECIMAL result columns serialize differently in the driver hasher
+    (round-1 hash-fail root cause) — so money totals emit DOUBLE.
+    """
+    return expr.cast("double") / divisor
 
 
 @register(
     "tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
-        f"CAST(CAST(SUM({_Q}) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS sum_qty, "
-        f"CAST(CAST(SUM({_C}) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS sum_base_price, "
-        f"CAST(CAST(SUM({_C} * (100 - {_D})) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) "
-        "AS sum_disc_price, "
-        f"CAST(CAST(SUM({_C} * (100 - {_D}) * (100 + {_T})) AS DECIMAL(38,0)) / 1000000 "
-        "AS DECIMAL(18,6)) AS sum_charge, "
+        f"CAST(SUM({_Q}) AS DOUBLE) / 100 AS sum_qty, "
+        f"CAST(SUM({_C}) AS DOUBLE) / 100 AS sum_base_price, "
+        f"CAST(SUM({_C} * (100 - {_D})) AS DOUBLE) / 10000 AS sum_disc_price, "
+        f"CAST(SUM({_C} * (100 - {_D}) * (100 + {_T})) AS DOUBLE) / 1000000 "
+        "AS sum_charge, "
         f"round(CAST(SUM({_Q}) AS DOUBLE) / COUNT(*) / 100, 4) AS avg_qty, "
         f"round(CAST(SUM({_C}) AS DOUBLE) / COUNT(*) / 100, 4) AS avg_price, "
         f"round(CAST(SUM({_D}) AS DOUBLE) / COUNT(*) / 100, 4) AS avg_disc, "
@@ -78,12 +84,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count("*")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _dec(F.sum(_cents("l_quantity")), 100, "decimal(18,2)").alias("sum_qty"),
-        _dec(F.sum(_cents("l_extendedprice")), 100, "decimal(18,2)").alias(
-            "sum_base_price"
-        ),
-        _dec(F.sum(_disc_price_e4()), 10000, "decimal(18,4)").alias("sum_disc_price"),
-        _dec(F.sum(_charge_e6()), 1000000, "decimal(18,6)").alias("sum_charge"),
+        _dbl(F.sum(_cents("l_quantity")), 100).alias("sum_qty"),
+        _dbl(F.sum(_cents("l_extendedprice")), 100).alias("sum_base_price"),
+        _dbl(F.sum(_disc_price_e4()), 10000).alias("sum_disc_price"),
+        _dbl(F.sum(_charge_e6()), 1000000).alias("sum_charge"),
         F.round(F.sum(_cents("l_quantity")).cast("double") / n / 100, 4).alias(
             "avg_qty"
         ),
@@ -101,8 +105,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3",
     oracle=(
         "SELECT l.l_orderkey, "
-        f"CAST(CAST(SUM({_C} * (100 - {_D})) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) "
-        "AS revenue, "
+        f"CAST(SUM({_C} * (100 - {_D})) AS DOUBLE) / 10000 AS revenue, "
         "CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_orderpriority "
         "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
         "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
@@ -134,7 +137,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dec(F.sum(_disc_price_e4()), 10000, "decimal(18,4)").alias("revenue"))
+        .agg(_dbl(F.sum(_disc_price_e4()), 10000).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -145,8 +148,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5",
     oracle=(
         "SELECT n.n_name, "
-        f"CAST(CAST(SUM({_C} * (100 - {_D})) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) "
-        "AS revenue "
+        f"CAST(SUM({_C} * (100 - {_D})) AS DOUBLE) / 10000 AS revenue "
         "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
         "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
         "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
@@ -188,15 +190,15 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.groupBy("n_name").agg(
-        _dec(F.sum(_disc_price_e4()), 10000, "decimal(18,4)").alias("revenue")
+        _dbl(F.sum(_disc_price_e4()), 10000).alias("revenue")
     )
 
 
 @register(
     "tpch_q6",
     oracle=(
-        f"SELECT CAST(CAST(SUM({_C} * {_D}) AS DECIMAL(38,0)) / 10000 "
-        "AS DECIMAL(18,4)) AS revenue, COUNT(*) AS n_lines "
+        f"SELECT CAST(SUM({_C} * {_D}) AS DOUBLE) / 10000 AS revenue, "
+        "COUNT(*) AS n_lines "
         "FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
         "AND l_shipdate < TIMESTAMP '1997-01-01' "
@@ -219,8 +221,8 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        _dec(
-            F.sum(_cents("l_extendedprice") * _cents("l_discount")), 10000, "decimal(18,4)"
+        _dbl(
+            F.sum(_cents("l_extendedprice") * _cents("l_discount")), 10000
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )

@@ -47,11 +47,12 @@ def test_groupby_is_single_exchange(spark):
 
 
 def test_flagship_window_reuses_aggregated_rows(spark):
-    """scan → partial agg → exchange → final agg → exchange(window key)
-    — the second exchange moves only aggregated rows. Two exchanges
-    total; the raw table is shuffled exactly once."""
+    """scan → partial agg → exchange → final agg → coalesce(1) → window.
+    The post-agg coalesce(1) satisfies the window's clustering
+    requirement, so exactly one exchange exists in the whole plan and
+    the raw table is shuffled exactly once."""
     df = REGISTRY["win_partition_sum"].fn(spark, SF_DIR)
-    assert count_exchanges(df) == 2
+    assert count_exchanges(df) == 1
 
 
 def test_dedup_near_has_no_cartesian(spark):
