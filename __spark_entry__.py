@@ -12,13 +12,16 @@ row — see duckdb_data_eng_proj_spark/queries/).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from duckdb_data_eng_proj_spark.queries import REGISTRY  # noqa: E402
 
@@ -30,9 +33,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY[FLAGSHIP].fn(spark, "/root/testdata/sf0.001")
 
 
+def _verified_green() -> set[str]:
+    """Query ids that already have an all-green row in a past
+    CORRECTNESS_r*.json (rows+schema+hash, or rows for oracle-less).
+
+    Used purely for enumeration order: if a driver run truncates or
+    times out, the never-yet-verified ids must come first so every
+    round widens the hard correctness signal instead of re-proving
+    round-1 rows (VERDICT r1 "What's missing" #1).
+    """
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for qid, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if row.get("rows_match") and row.get("schema_match", True) and (
+                row.get("hash_match") or qid not in REGISTRY or REGISTRY[qid].oracle is None
+            ):
+                green.add(qid)
+    return green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {qid: spec.fn for qid, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Never-driver-verified ids enumerate first (registry order within
+    each group) so a truncated verify run still covers new ground.
+    """
+    green = _verified_green()
+    ordered = [qid for qid in REGISTRY if qid not in green] + [
+        qid for qid in REGISTRY if qid in green
+    ]
+    return {qid: REGISTRY[qid].fn for qid in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

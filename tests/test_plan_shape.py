@@ -74,6 +74,23 @@ def test_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in physical_plan(df)
 
 
+def test_ann_assignment_is_map_side(spark):
+    """Centroid assignment must be a per-row HOF argmax over one packed
+    broadcast row — never a crossJoin-expand + row_number window (that
+    shuffles k× the corpus). Allowed exchanges: ensure_parallelism on
+    the two scan branches + the single-partition centroid pack."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    for qid in ("sim_ann_ivf", "ml_kmeans_2iter"):
+        df = REGISTRY[qid].fn(spark, SF_DIR)
+        plan = physical_plan(df)
+        assert "array_min" in plan, qid
+    df = REGISTRY["sim_ann_ivf"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Window" not in plan, "argmax regressed to a window shuffle"
+    assert count_exchanges(df) <= 3
+
+
 def test_scan_prunes_to_projected_columns(spark):
     """documents has 5 columns; a doc_id+text query must read 2."""
     from duckdb_data_eng_proj_spark.queries.registry import t
