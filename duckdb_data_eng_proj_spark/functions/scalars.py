@@ -23,6 +23,21 @@ def try_int_duckdb(c: Column) -> Column:
     return F.round(c.try_cast("double"), 0).try_cast("int")
 
 
+def exact_units(c: Column, scale: int = 100) -> Column:
+    """Exact integer units (cents for scale=100) of a fixed-point
+    double, as BIGINT: ``cast(c*scale + signum*0.5 as long)``.
+
+    Semantically ROUND-half-away-from-zero — but as pure arithmetic
+    codegen. Spark's ``F.round(double, 0)`` routes every row through a
+    Java BigDecimal round-trip, which measured 2× slower across a
+    4-metric aggregate (tpch_q1); c*scale is within ±ulp of an integer
+    for fixed-point inputs, so add ±0.5 and truncate-toward-zero gives
+    the identical long. Oracles keep spelling it
+    ``CAST(round(c*scale, 0) AS BIGINT)`` — same value, and the
+    equality is pinned by tests/test_semantic_laws.py."""
+    return (c * scale + F.signum(c) * 0.5).cast("long")
+
+
 def month_boundary_diff(a: Column, b: Column) -> Column:
     """DuckDB ``date_diff('month', a, b)``: counts month-boundary
     crossings (01-31→02-01 = 1), NOT fractional months_between."""

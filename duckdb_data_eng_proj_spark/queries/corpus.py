@@ -30,9 +30,9 @@ from duckdb_data_eng_proj_spark.queries.training import (
 )
 
 
-def _near_dup_losers(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
-    """doc_ids that lose the survivor rule: every doc_b of a verified
-    near-dup pair (doc_a < doc_b, Jaccard ≥ threshold)."""
+def _near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, exact Jaccard ≥
+    threshold) from the LSH band-bucket candidate join."""
     bands = _lsh_bands_df(spark, sf_dir)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
@@ -55,19 +55,32 @@ def _near_dup_losers(spark: SparkSession, sf_dir: str, threshold: float) -> Data
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _near_dup_losers(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """doc_ids that lose the survivor rule: every doc_b of a verified
+    near-dup pair (doc_a < doc_b, Jaccard ≥ threshold)."""
+    return (
+        _near_dup_pairs(spark, sf_dir, threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
 
 
-_LOSERS_SQL = (
+_PAIRS_SQL = (
     "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
     "FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket "
     "AND x.doc_id < y.doc_id), "
-    "losers AS (SELECT DISTINCT c.doc_b AS doc_id FROM cand c "
+    "ndpairs AS MATERIALIZED (SELECT c.doc_a, c.doc_b FROM cand c "
     "JOIN bg a ON a.doc_id = c.doc_a JOIN bg b ON b.doc_id = c.doc_b "
     "WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / "
     "(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= {thr})"
+)
+
+_LOSERS_SQL = (
+    _PAIRS_SQL + ", losers AS (SELECT DISTINCT doc_b AS doc_id FROM ndpairs)"
 )
 
 
@@ -168,3 +181,77 @@ def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tokens", "quality_score")
     )
+
+
+# Safety cap only — the loop exits on fixpoint (12 rounds at sf0.01).
+_CC_MAX_ROUNDS = 64
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=(
+        "WITH RECURSIVE "
+        + _LSH_PRELUDE[len("WITH ") :]
+        + ", "
+        + _PAIRS_SQL.format(thr=0.05)
+        + ", edges AS MATERIALIZED ("
+        "SELECT doc_a AS src, doc_b AS dst FROM ndpairs "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ndpairs), "
+        "reach AS (SELECT src AS doc_id, src AS v FROM edges "
+        "UNION SELECT r.doc_id, e.dst AS v FROM reach r "
+        "JOIN edges e ON e.src = r.v) "
+        "SELECT doc_id, min(v) AS cluster_id FROM reach GROUP BY doc_id"
+    ),
+    doc=(
+        "Connected-components near-dup CLUSTERING, iterated to "
+        "FIXPOINT: min-label propagation + pointer-jumping compression "
+        "over the verified LSH pair graph, looping until the label sum "
+        "stops changing (labels are monotonically non-increasing, so "
+        "an unchanged sum IS convergence — one cheap scalar agg per "
+        "round instead of a change-count join). Fixes the greedy "
+        "survivor rule's transitive-cluster trap (A~B, B~C, A≁C: C "
+        "must join A's cluster, not orphan); cluster_id = component's "
+        "min doc_id, pinned against union-find ground truth by the "
+        "semantic-law test and against a DuckDB WITH RECURSIVE "
+        "reachability-closure oracle (exact fixpoint, no unrolling). "
+        "Scale shape per round: one join keyed by dst + one groupBy + "
+        "one self-join on lbl — all partition-bounded; labels are "
+        "localCheckpoint'd between rounds (the production persist) so "
+        "lineage stays flat, and the convergence aggregate is the "
+        "changed-count accumulator of a production run."
+    ),
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _near_dup_pairs(spark, sf_dir, 0.05)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint()
+    lab = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(_CC_MAX_ROUNDS):
+        contrib = edges.join(
+            lab.withColumnRenamed("doc_id", "dst"), "dst"
+        ).select(F.col("src").alias("doc_id"), "lbl")
+        propagated = (
+            contrib.unionByName(lab.select("doc_id", "lbl"))
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        ptr = propagated.select(
+            F.col("doc_id").alias("_pdoc"), F.col("lbl").alias("_plbl")
+        )
+        lab = propagated.join(ptr, F.col("lbl") == F.col("_pdoc")).select(
+            "doc_id", F.col("_plbl").alias("lbl")
+        ).localCheckpoint()
+        (cur_sum,) = lab.agg(F.sum("lbl")).first()
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lab.select("doc_id", F.col("lbl").alias("cluster_id"))

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from duckdb_data_eng_proj_spark.functions.scalars import exact_units
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 
@@ -76,7 +77,7 @@ def ext_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             # exact cents-sum (events.value is 2dp) — see relational.cents
-            (F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100)
+            (F.sum(exact_units(F.col("value"))).cast("double") / 100)
             .alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")

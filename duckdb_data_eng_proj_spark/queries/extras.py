@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from duckdb_data_eng_proj_spark.functions.scalars import exact_units
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 # ---------------------------------------------------------------------------
@@ -136,7 +137,7 @@ def win_lead_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = exact_units(F.col("value"))
     return e.select(
         "user_id",
         "event_id",
@@ -182,7 +183,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+        F.sum(exact_units(F.col("l_quantity")))
         .cast("long")
         .alias("qty_cents"),
     )
@@ -495,7 +496,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-3600, Window.currentRow)
     )
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = exact_units(F.col("value"))
     return e.select(
         "user_id",
         "event_id",

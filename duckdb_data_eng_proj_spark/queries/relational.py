@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_data_eng_proj_spark.functions.scalars import exact_units
 from duckdb_data_eng_proj_spark.io.sources import read_csv_all_varchar
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
@@ -32,7 +33,7 @@ def cents(col):
     Long sums are exact, associative, and ~3× faster than Spark's
     decimal aggregation path.
     """
-    return F.round(F.col(col) * 100, 0).cast("long")
+    return exact_units(F.col(col))
 
 
 # ---------------------------------------------------------------------------
@@ -319,14 +320,19 @@ def flt_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flt_regex",
     oracle=(
         "SELECT c_custkey, c_name FROM customer "
-        "WHERE regexp_matches(c_name, '^Customer#0000000[0-9]$')"
+        "WHERE regexp_matches(c_name, '^Customer#00000000[0-9]$')"
     ),
-    doc="Regex validation filter (postal ^[0-9]{5}$, pipeline.py:154,262) via rlike.",
+    doc=(
+        "Regex validation filter (postal ^[0-9]{5}$, pipeline.py:154,262) "
+        "via rlike. Names are 9-digit zero-padded, so 8 zeros + digit "
+        "selects custkey 0-9 — a non-vacuous match at every sf (the "
+        "round-1 7-zero pattern matched nothing: 0=0 proves nothing)."
+    ),
 )
 def flt_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "customer")
-        .filter(F.col("c_name").rlike("^Customer#0000000[0-9]$"))
+        .filter(F.col("c_name").rlike("^Customer#00000000[0-9]$"))
         .select("c_custkey", "c_name")
     )
 
@@ -435,13 +441,19 @@ def join_semi_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_curated",
     oracle=(
         "SELECT c_custkey, c_name FROM customer c "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000)"
     ),
-    doc="Left-anti join (q0 curated-view exclusion, queries.sql:2-18).",
+    doc=(
+        "Left-anti join (q0 curated-view exclusion, queries.sql:2-18): "
+        "customers with no 300k+ order. The exclusion set is filtered "
+        "(every customer has SOME order in this data — the unfiltered "
+        "anti-join was a vacuous 0=0 oracle match in round 1)."
+    ),
 )
 def join_anti_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

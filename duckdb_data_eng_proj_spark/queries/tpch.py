@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_data_eng_proj_spark.functions.scalars import exact_units
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 # exact integer units (see module docstring)
@@ -32,7 +33,7 @@ _Q = "CAST(round(l_quantity * 100, 0) AS BIGINT)"
 
 
 def _cents(col: str) -> F.Column:
-    return F.round(F.col(col) * 100, 0).cast("long")
+    return exact_units(F.col(col))
 
 
 def _disc_price_e4() -> F.Column:

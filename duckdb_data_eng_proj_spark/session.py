@@ -80,7 +80,11 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes", str(scan_split_bytes(input_bytes, cpus))
         )
     if latency_profile:
-        builder = builder.config("spark.shuffle.compress", "false").config(
-            "spark.shuffle.spill.compress", "false"
+        builder = (
+            builder.config("spark.shuffle.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+            # single-node: no data locality to wait for — scheduling
+            # delay is pure per-job floor at sub-GB scale
+            .config("spark.locality.wait", "0ms")
         )
     return builder.getOrCreate()

@@ -186,3 +186,80 @@ def test_json_flag_text_identical(spark):
             "SELECT to_json(map(['k1','k2','k3'], [?, ?, ?]))", [a, b, c]
         ).fetchone()
         assert row.j == want, ((a, b, c), row.j, want)
+
+
+def test_exact_units_equals_round_cents(spark):
+    """exact_units (arithmetic ±0.5-truncate) must equal the BigDecimal
+    F.round spelling AND DuckDB's round() for every money column in the
+    testdata, including adversarial hand cases (negatives, ulp-edges)."""
+    from duckdb_data_eng_proj_spark.functions.scalars import exact_units
+
+    hand = [(-1.005,), (-0.01,), (-0.0,), (0.0,), (0.01,), (1.005,),
+            (149.99999999999997,), (900.68,), (-900.68,), (123456.78,)]
+    df = spark.createDataFrame(hand, "v: double")
+    rows = df.select(
+        exact_units(F.col("v")).alias("fast"),
+        F.round(F.col("v") * 100, 0).cast("long").alias("slow"),
+    ).collect()
+    con = duckdb.connect()
+    for (v,), r in zip(hand, rows):
+        assert r.fast == r.slow, (v, r.fast, r.slow)
+        (want,) = con.execute(
+            "SELECT CAST(round(? * 100, 0) AS BIGINT)", [v]
+        ).fetchone()
+        assert r.fast == want, (v, r.fast, want)
+    # bulk: every testdata money column at sf0.001
+    from tests.conftest import SF_DIR
+    from duckdb_data_eng_proj_spark.queries.registry import t as load
+
+    for tbl, col in [("orders", "o_totalprice"), ("lineitem", "l_extendedprice"),
+                     ("lineitem", "l_quantity"), ("lineitem", "l_discount"),
+                     ("customer", "c_acctbal")]:
+        n = (
+            load(spark, SF_DIR, tbl)
+            .select(
+                exact_units(F.col(col)).alias("fast"),
+                F.round(F.col(col) * 100, 0).cast("long").alias("slow"),
+            )
+            .filter("fast <> slow OR (fast IS NULL) <> (slow IS NULL)")
+            .count()
+        )
+        assert n == 0, (tbl, col, n)
+
+
+def test_cc_cluster_is_component_min(spark):
+    """dedup_cluster_cc law: every doc's cluster_id equals the min
+    doc_id of its connected component (union-find ground truth over the
+    verified pair edges), i.e. 3 unrolled iterations are a fixpoint on
+    this data."""
+    from duckdb_data_eng_proj_spark.queries.corpus import _near_dup_pairs
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    pairs = [(r.doc_a, r.doc_b) for r in _near_dup_pairs(spark, SF_DIR, 0.05).collect()]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in REGISTRY["dedup_cluster_cc"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, dict(list(mismatches.items())[:5])
+    # non-trivial: at least one multi-member cluster exists on testdata
+    assert any(v != k for k, v in want.items())
