@@ -146,6 +146,52 @@ def src_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "src_table_persist",
+    oracle=(
+        "SELECT c_mktsegment, COUNT(*) AS n_cust, "
+        "CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100 "
+        "AS total_bal "
+        "FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment"
+    ),
+    doc=(
+        "PERSISTENT warehouse round-trip — the Spark equivalent of the "
+        "reference's takehome.duckdb (pipeline.py:12,35): a staged "
+        "table is written with saveAsTable into a catalog database "
+        "with an explicit LOCATION, then re-read BY NAME via "
+        "spark.table and aggregated. Entry point 2 (queries.sql run in "
+        "a later session) resolves the same name against the same "
+        "warehouse path — physical parquet under the database "
+        "location, metadata in the catalog. At 100 TB this is the "
+        "lakehouse pattern: managed parquet tables, partition-pruned "
+        "scans, any number of sessions."
+    ),
+)
+def src_table_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    wh = os.path.join(_TMP, "warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '{wh}'")
+    # idempotent across sessions: a FRESH session's in-memory catalog
+    # doesn't know the table, but its on-disk location may survive from
+    # an earlier session — drop both sides before the managed write
+    spark.sql("DROP TABLE IF EXISTS graft_wh.customer_stage")
+    shutil.rmtree(os.path.join(wh, "customer_stage"), ignore_errors=True)
+    staged = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    staged.write.mode("overwrite").format("parquet").saveAsTable(
+        "graft_wh.customer_stage"
+    )
+    # re-read by catalog name — a later session against the same
+    # warehouse dir resolves identically
+    back = spark.table("graft_wh.customer_stage")
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        (F.sum(cents("c_acctbal")).cast("double") / 100).alias("total_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters / predicates
 # ---------------------------------------------------------------------------

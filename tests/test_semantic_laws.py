@@ -263,3 +263,33 @@ def test_cc_cluster_is_component_min(spark):
     assert not mismatches, dict(list(mismatches.items())[:5])
     # non-trivial: at least one multi-member cluster exists on testdata
     assert any(v != k for k, v in want.items())
+
+
+def test_kmeans_converged_is_fixpoint(spark):
+    """ml_kmeans_converged law: the loop runs ≥3 assignment-changing
+    iterations on the fixture, and the returned state is a Lloyd
+    fixpoint — one more assign step against the final centroids
+    reproduces the final assignment exactly."""
+    from duckdb_data_eng_proj_spark.queries.ml_iter import (
+        _assign,
+        kmeans_converged_state,
+    )
+    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+    from duckdb_data_eng_proj_spark.operators.vectors import dot
+    from duckdb_data_eng_proj_spark.queries.registry import t as load
+    from tests.conftest import SF_DIR
+
+    assign, cent, iters = kmeans_converged_state(spark, SF_DIR)
+    assert iters >= 3, f"trivial trajectory: {iters} iterations"
+
+    en = ensure_parallelism(load(spark, SF_DIR, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    again = _assign(en, cent).withColumnRenamed("cid", "cid2")
+    moved = again.join(assign, "vec_id").filter(F.col("cid2") != F.col("cid")).count()
+    assert moved == 0, f"{moved} vectors still move: not a fixpoint"
+    # every vector is assigned, exactly once
+    assert assign.count() == en.count()
+    assert assign.select("vec_id").distinct().count() == en.count()
