@@ -227,3 +227,403 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "tpch_q4",
+    oracle=(
+        "SELECT o.o_orderpriority, COUNT(*) AS order_count FROM orders o "
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY o.o_orderpriority"
+    ),
+    doc=(
+        "TPC-H Q4 shape: order-priority checking — correlated EXISTS "
+        "with an inequality on top of the key equality (lineitem "
+        "shipped after the order date; the testdata has no commitdate/"
+        "receiptdate). Plans as a left-semi hash join on the key with "
+        "the inequality as a residual condition, then one tiny groupBy."
+    ),
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q7",
+    oracle=(
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "CAST(year(l.l_shipdate) AS INT) AS l_year, "
+        f"CAST(SUM({_C} * (100 - {_D})) AS DOUBLE) / 10000 AS revenue "
+        "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+        "WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') "
+        "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')) "
+        "GROUP BY 1, 2, 3"
+    ),
+    doc=(
+        "TPC-H Q7 shape: volume shipping between two nations — the "
+        "same dimension table (nation) joined twice under different "
+        "roles, a disjunctive cross-role predicate, and a year rollup. "
+        "Both nation sides broadcast; lineitem⋈orders is the single "
+        "big shuffle."
+    ),
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(_dbl(F.sum(_disc_price_e4()), 10000).alias("revenue"))
+
+
+@register(
+    "tpch_q10",
+    oracle=(
+        "SELECT c.c_custkey, c.c_name, "
+        f"CAST(SUM({_C} * (100 - {_D})) AS DOUBLE) / 10000 AS revenue, "
+        "c.c_acctbal, n.n_name "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o.o_orderdate < TIMESTAMP '1996-07-01' "
+        "AND l.l_returnflag = 'R' "
+        "GROUP BY 1, 2, 4, 5 ORDER BY revenue DESC, c.c_custkey LIMIT 20"
+    ),
+    doc=(
+        "TPC-H Q10 shape: returned-item reporting — top-20 customers "
+        "by lost revenue. Dimension broadcasts feed one aggregation "
+        "shuffle keyed by customer; the top-k sorts only aggregated "
+        "rows (TakeOrderedAndProject). Deterministic tie-break on "
+        "c_custkey."
+    ),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dbl(F.sum(_disc_price_e4()), 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle=(
+        "SELECT l.l_returnflag, "
+        "CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY l.l_returnflag"
+    ),
+    doc=(
+        "TPC-H Q12 shape: shipping-mode priority split (returnflag "
+        "stands in for shipmode — not in the testdata): join + "
+        "conditional CASE-sums. One broadcast, one tiny shuffle, "
+        "flag-sums pinned BIGINT on both sides."
+    ),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle=(
+        "SELECT c_count, COUNT(*) AS custdist FROM ("
+        "SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "AND o.o_orderpriority <> '1-URGENT' "
+        "GROUP BY c.c_custkey) GROUP BY c_count"
+    ),
+    doc=(
+        "TPC-H Q13 shape: customer order-count distribution — LEFT "
+        "join with an ON-clause filter (kept customers score 0, not "
+        "dropped), COUNT(col) null-skipping semantics, then a second "
+        "aggregation over the first. Two shuffles, both key-bounded."
+    ),
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q14",
+    oracle=(
+        "SELECT CAST(round(100.0 * "
+        f"CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_C} * (100 - {_D}) "
+        "ELSE 0 END) AS DOUBLE) / "
+        f"CAST(SUM({_C} * (100 - {_D})) AS DOUBLE), 4) AS DOUBLE) "
+        "AS promo_revenue "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' "
+        "AND l.l_shipdate < TIMESTAMP '1996-10-01'"
+    ),
+    doc=(
+        "TPC-H Q14 shape: promotion-revenue share — broadcast part "
+        "into a one-month lineitem slice, conditional/total exact-unit "
+        "sums, single division rounded once. No shuffle beyond the "
+        "1-row final combine."
+    ),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price_e4()).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_disc_price_e4()).cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle=(
+        "WITH pq AS (SELECT l_partkey, COUNT(*) AS cnt, "
+        f"CAST(SUM({_Q}) AS BIGINT) AS qsum FROM lineitem GROUP BY l_partkey) "
+        f"SELECT CAST(CAST(SUM({_C}) AS DOUBLE) / 100 / 7.0 AS DOUBLE) "
+        "AS avg_yearly "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "JOIN pq ON pq.l_partkey = l.l_partkey "
+        "WHERE p.p_brand = 'Brand#23' "
+        f"AND 5 * {_Q} * pq.cnt < pq.qsum"
+    ),
+    doc=(
+        "TPC-H Q17 shape: small-quantity-order revenue — the "
+        "correlated per-part average decorrelates into one aggregate "
+        "(count, exact qty-sum) joined back; the 'qty < 0.2×avg' "
+        "threshold compares as 5·qty·cnt < sum in exact integers (no "
+        "float average crosses an engine boundary). Brand filter "
+        "broadcasts; the per-part aggregate is the one extra shuffle."
+    ),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_key")).agg(
+        F.count("*").alias("cnt"), F.sum(_cents("l_quantity")).alias("qsum")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pq, F.col("l_partkey") == F.col("pq_key"))
+        .filter(
+            F.lit(5) * _cents("l_quantity") * F.col("cnt") < F.col("qsum")
+        )
+    )
+    return j.agg(
+        (F.sum(_cents("l_extendedprice")).cast("double") / 100 / 7.0)
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle=(
+        "WITH big AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+        f"HAVING CAST(SUM({_Q}) AS BIGINT) > 30000) "
+        "SELECT c.c_name, c.c_custkey, o.o_orderkey, "
+        "CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate, o.o_totalprice, "
+        f"CAST(SUM({_Q}) AS DOUBLE) / 100 AS sum_qty "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "JOIN big ON big.l_orderkey = o.o_orderkey "
+        "GROUP BY 1, 2, 3, 4, 5"
+    ),
+    doc=(
+        "TPC-H Q18 shape: large-volume customers — HAVING-filtered "
+        "semi-join set (orders whose total quantity exceeds the "
+        "threshold) rejoined for the detail rows. The 'big' aggregate "
+        "and the final aggregate share the l_orderkey shuffle key, so "
+        "the exchange is reusable; threshold compares in exact "
+        "integer centi-units."
+    ),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qs"))
+        .filter(F.col("qs") > 30000)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(big), li.l_orderkey == F.col("big_key"))
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return j.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(_dbl(F.sum(_cents("l_quantity")), 100).alias("sum_qty"))
+
+
+@register(
+    "tpch_q19",
+    oracle=(
+        f"SELECT CAST(SUM({_C} * (100 - {_D})) AS DOUBLE) / 10000 AS revenue "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5 "
+        "AND l.l_quantity >= 1 AND l.l_quantity <= 11) "
+        "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 "
+        "AND l.l_quantity >= 10 AND l.l_quantity <= 20) "
+        "OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 "
+        "AND l.l_quantity >= 20 AND l.l_quantity <= 30)"
+    ),
+    doc=(
+        "TPC-H Q19 shape: discounted revenue under an OR-of-ANDs "
+        "predicate spanning both join sides — the disjunction can't "
+        "push below the join, but the per-side prefixes (brand/size "
+        "on part) still prune the broadcast build side."
+    ),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_dbl(F.sum(_disc_price_e4()), 10000).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle=(
+        "WITH thr AS (SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) "
+        "AS DOUBLE) / (100.0 * COUNT(*)) AS avg_bal "
+        "FROM customer WHERE c_acctbal > 0) "
+        "SELECT right(c.c_name, 2) AS cntrycode, COUNT(*) AS numcust, "
+        "CAST(SUM(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100 "
+        "AS totacctbal "
+        "FROM customer c, thr "
+        "WHERE c.c_acctbal > thr.avg_bal "
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 300000) "
+        "GROUP BY 1"
+    ),
+    doc=(
+        "TPC-H Q22 shape: global-sales-opportunity — scalar-subquery "
+        "threshold (average positive balance, computed in exact cents "
+        "so the comparison double is engine-identical), anti-join "
+        "against big-order customers, grouped by a derived code "
+        "(name-suffix stands in for the phone country code). The "
+        "1-row threshold crossJoin-broadcasts; the anti-join "
+        "broadcasts its filtered build side."
+    ),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_cents("c_acctbal")).cast("double")
+                / (F.lit(100.0) * F.count("*"))
+            ).alias("avg_bal")
+        )
+    )
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    kept = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(big, F.col("c_custkey") == big.o_custkey, "left_anti")
+    )
+    return kept.groupBy(F.expr("right(c_name, 2)").alias("cntrycode")).agg(
+        F.count("*").alias("numcust"),
+        (F.sum(_cents("c_acctbal")).cast("double") / 100).alias("totacctbal"),
+    )
