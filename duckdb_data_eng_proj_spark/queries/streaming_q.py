@@ -73,6 +73,31 @@ def ext_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_stream_stateful",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 "
+        "AS total_value "
+        "FROM events GROUP BY user_id"
+    ),
+    doc=(
+        "CUSTOM stateful streaming operator (applyInPandasWithState): "
+        "per-user running counters in GroupState across two real "
+        "micro-batches (events split by event_id parity, one file per "
+        "trigger). Arrow-batched state function, update mode, "
+        "availableNow. Oracle = the plain batch groupBy totals — the "
+        "stateful streaming/batch unification law."
+    ),
+)
+def ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import (
+        stream_user_totals_stateful,
+    )
+
+    return stream_user_totals_stateful(spark, sf_dir)
+
+
+@register(
     "ext_stream_session",
     oracle=(
         "WITH flagged AS ("

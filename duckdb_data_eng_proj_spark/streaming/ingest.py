@@ -126,6 +126,90 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.8 / the north star's 'custom stateful operators' row):
+    per-user running (event count, exact cents sum) carried in
+    GroupState across micro-batches.
+
+    The events table is re-written as two parquet chunks (split by
+    event_id parity) so ``maxFilesPerTrigger=1`` genuinely exercises
+    cross-batch state: a user seen in both chunks must resume from its
+    stored counters. Each invocation emits the cumulative row for the
+    key; the final answer keeps each user's row from the last batch
+    (counters are monotone, so max() selects it). Batch-replay law:
+    output ≡ the plain groupBy totals — the registry oracle.
+
+    At 100 TB this is the template for any custom accumulator Spark
+    lacks: Arrow-batched state function, state store sharded by key,
+    bounded memory per key.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="events_state_src_")
+    half = F.pmod(F.col("event_id"), F.lit(2))
+    for part in (0, 1):
+        raw.filter(half == part).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    out_schema = "user_id bigint, n_events bigint, cents bigint"
+    state_schema = "n bigint, cents bigint"
+
+    def totals(key, pdf_iter, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # value is 2dp and non-negative: *100 is within ulp of an
+            # integer, so the rounding mode can never matter
+            cents += int(
+                (pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+        )
+
+    agg = stream.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    acc: dict[str, DataFrame | None] = {"df": None}
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)
+        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
+
+    ckpt = tempfile.mkdtemp(prefix="state_stream_ckpt_")
+    q = (
+        agg.writeStream.foreachBatch(absorb)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = acc["df"]
+    assert out is not None
+    # counters are monotone: the max row per user is the final state
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        (F.max("cents").cast("double") / 100).alias("total_value"),
+    )
+
+
 SENTINEL_USER = -999_999_999
 
 
