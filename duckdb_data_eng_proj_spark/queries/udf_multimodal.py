@@ -9,6 +9,8 @@ sequence of double ops that the SQL mirrors token-for-token
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401 — resolves postponed UDF type hints
 from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_data_eng_proj_spark.operators.multimodal import (
@@ -64,6 +66,82 @@ def ext_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", ws_token_count("text").alias("n_tokens"))
+
+
+@register(
+    "ext_udtf_lateral",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "x -> x <> '') AS tk FROM documents WHERE doc_id < 50) "
+        # parallel unnests zip in DuckDB: positions with their tokens
+        "SELECT doc_id, CAST(unnest(range(len(tk))) AS INT) AS pos, "
+        "unnest(tk) AS token FROM toks"
+    ),
+    doc=(
+        "Python UDTF via LATERAL join (SURVEY §2.8 UDTF row): a "
+        "table-valued tokenizer yielding (pos, token) rows per "
+        "document, mirroring operators/textops.tokens exactly "
+        "(lower→trim→\\s+ split→drop empties) so the DuckDB "
+        "range-lateral oracle hash-matches. UDTFs are the row-"
+        "generating Python boundary; like scalar UDFs they stay off "
+        "the hot path (fn_unnest is the built-in equivalent) — this "
+        "entry proves the API surface."
+    ),
+)
+def ext_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitWords:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            for pos, tok in enumerate(
+                x for x in re.split(r"\s+", text.lower().strip()) if x != ""
+            ):
+                yield pos, tok
+
+    spark.udtf.register("graft_split_words", SplitWords)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, w.pos, w.token FROM documents d, "
+        "LATERAL graft_split_words(d.text) w WHERE d.doc_id < 50"
+    )
+
+
+@register(
+    "ext_udaf_pandas",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS price_cents "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    doc=(
+        "Pandas UDAF (Series→scalar pandas_udf used in groupBy().agg): "
+        "exact integer-cents sum per return flag — proves the custom-"
+        "aggregate API. Honest scale caveat in-plan: a pandas UDAF "
+        "shuffles RAW rows to the aggregating task (no map-side "
+        "partial aggregation), which is exactly why the built-in "
+        "F.sum path (tpch_q1 et al.) is the hot path; use this "
+        "boundary only for aggregates Spark genuinely lacks."
+    ),
+)
+def ext_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_sum(v: pd.Series) -> np.int64:
+        # 2dp non-negative money: *100 is within ulp of an integer
+        return np.int64((v.to_numpy() * 100 + 0.5).astype("int64").sum())
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        cents_sum("l_extendedprice").alias("price_cents")
+    )
 
 
 _MD5 = "md5(text)"
