@@ -98,3 +98,16 @@ def test_scan_prunes_to_projected_columns(spark):
     df = t(spark, SF_DIR, "documents").select("doc_id", F.length("text").alias("n"))
     (cols,) = read_schema_columns(df)
     assert cols == {"doc_id", "text"}, cols
+
+
+def test_tpch_shapes_are_shuffle_minimal(spark):
+    """The round-2 TPC-H additions must stay broadcast-dimension plans:
+    at most two shuffle exchanges (the aggregate + at most one
+    decorrelated/distribution aggregate), never a cartesian product."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    for qid in ("tpch_q4", "tpch_q7", "tpch_q10", "tpch_q12", "tpch_q13",
+                "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22"):
+        df = REGISTRY[qid].fn(spark, SF_DIR)
+        assert count_exchanges(df) <= 2, qid
+        assert "CartesianProduct" not in physical_plan(df), qid
