@@ -46,10 +46,14 @@ AMPLIFY = {
 QUERIES = [
     "tpch_q1",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     "win_partition_sum",
     "ext_sessionize",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_cc",
+    "sim_ann_ivf",
     "ext_text_tokens",
     "txt_quality_score",
 ]
