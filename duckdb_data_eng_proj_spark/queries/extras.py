@@ -502,3 +502,140 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(cents).over(w).cast("long").alias("cents_last_hour"),
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=(
+        "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) "
+        "/ 100 AS total_price "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    ),
+    doc=(
+        "BUCKETED co-located join — the core 100 TB join strategy: "
+        "both tables are written with bucketBy(8, custkey)+sortBy into "
+        "the warehouse, so a merge join on the bucket key needs NO "
+        "exchange and NO sort on either side (bucket files are "
+        "pre-hashed and pre-sorted). The only shuffle in the whole "
+        "plan is the final mktsegment aggregate — pinned by the "
+        "plan-shape test. The merge hint keeps Spark from broadcasting "
+        "(which would hide the bucketing; at 100 TB neither side "
+        "broadcasts anyway). Writes are idempotent across fresh "
+        "sessions (drop catalog entry + orphaned location first)."
+    ),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    wh = "/root/repo/.tmp/warehouse"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '{wh}'")
+    for name, df, key in (
+        ("orders_bkt", t(spark, sf_dir, "orders"), "o_custkey"),
+        ("customer_bkt", t(spark, sf_dir, "customer"), "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS graft_wh.{name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"graft_wh.{name}")
+        )
+    ob = spark.table("graft_wh.orders_bkt")
+    cb = spark.table("graft_wh.customer_bkt")
+    joined = ob.hint("merge").join(cb, ob.o_custkey == cb.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(exact_units(F.col("o_totalprice"))).cast("double") / 100).alias(
+            "total_price"
+        ),
+    )
+
+
+@register(
+    "win_rank_suite",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority, "
+        "ntile(4) OVER w AS quartile, "
+        "CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank, "
+        "CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cdist, "
+        "first_value(o_orderkey) OVER w AS cheapest_key, "
+        "last_value(o_orderkey) OVER (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+        "AS priciest_key "
+        "FROM orders WHERE o_orderkey < 3000 "
+        "WINDOW w AS (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey)"
+    ),
+    doc=(
+        "Ranking-window suite (ntile / percent_rank / cume_dist / "
+        "first_value / last_value): total order pinned by the "
+        "(price, key) tie-break so every function is deterministic; "
+        "last_value gets an explicit unbounded frame (the default "
+        "frame stops at CURRENT ROW — a classic silent-wrong-answer "
+        "trap, identical in both engines). One shuffle keyed by "
+        "priority, one sorted pass."
+    ),
+)
+def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+    )
+
+
+@register(
+    "fn_array_suite",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "x -> x <> '') AS tk FROM documents WHERE doc_id < 200) "
+        "SELECT doc_id, "
+        "CAST(len(tk) AS INT) AS n_tokens, "
+        "list_contains(tk, 'the') AS has_the, "
+        "CAST(coalesce(list_position(tk, 'the'), 0) AS INT) AS the_pos, "
+        "list_sort(list_distinct(tk)) AS vocab, "
+        "tk[1:3] AS first3, "
+        "list_sort(list_intersect(tk, ['the', 'a', 'and', 'of'])) "
+        "AS stop_hits "
+        "FROM toks"
+    ),
+    doc=(
+        "Array-function suite over the token column: size / contains / "
+        "position (DuckDB returns NULL for a miss, Spark returns 0 — "
+        "shimmed to 0 on both sides) / distinct / slice / intersect. "
+        "Set-producing results are sorted on both sides: DuckDB "
+        "list_distinct does NOT preserve first-occurrence order, so "
+        "unsorted set outputs are a cross-engine hash trap. Pure "
+        "narrow map stage."
+    ),
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.operators.textops import tokens
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tk = tokens(F.col("text"))
+    d = d.select("doc_id", tk.alias("tk"))
+    stop = F.array(F.lit("the"), F.lit("a"), F.lit("and"), F.lit("of"))
+    return d.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.array_contains("tk", "the").alias("has_the"),
+        F.array_position("tk", "the").cast("int").alias("the_pos"),
+        F.array_sort(F.array_distinct("tk")).alias("vocab"),
+        F.slice("tk", 1, 3).alias("first3"),
+        F.array_sort(F.array_intersect("tk", stop)).alias("stop_hits"),
+    )

@@ -111,3 +111,18 @@ def test_tpch_shapes_are_shuffle_minimal(spark):
         df = REGISTRY[qid].fn(spark, SF_DIR)
         assert count_exchanges(df) <= 2, qid
         assert "CartesianProduct" not in physical_plan(df), qid
+
+
+def test_bucketed_join_needs_no_join_exchange(spark):
+    """join_bucketed_colocated: both sides pre-hashed into 8 buckets on
+    the join key, so the merge join runs without any exchange — the
+    lone shuffle is the final mktsegment aggregate. This is the
+    co-located-join contract that makes repeated big-big joins viable
+    at 100 TB."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["join_bucketed_colocated"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    assert count_exchanges(df) == 1, "join must not shuffle bucketed sides"
