@@ -639,3 +639,76 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("tk", 1, 3).alias("first3"),
         F.array_sort(F.array_intersect("tk", stop)).alias("stop_hits"),
     )
+
+
+@register(
+    "fn_map_suite",
+    oracle=(
+        "SELECT o_orderkey, "
+        "map(['prio', 'status'], [o_orderpriority, o_orderstatus])['prio'][1] "
+        "AS prio_val, "
+        "map(['prio', 'status'], [o_orderpriority, o_orderstatus])['missing'][1] "
+        "AS missing_val, "
+        "list_sort(map_keys(map(['prio', 'status'], "
+        "[o_orderpriority, o_orderstatus]))) AS keys_sorted, "
+        "CAST(cardinality(map(['prio', 'status'], "
+        "[o_orderpriority, o_orderstatus])) AS INT) AS n_entries "
+        "FROM orders WHERE o_orderkey < 2000"
+    ),
+    doc=(
+        "Map-function suite: construction, key lookup (DuckDB map "
+        "extraction yields a LIST — [1] unwraps it; a missing key is "
+        "[] → NULL, matching Spark's element_at NULL), sorted key set "
+        "(map key order is construction order on both engines — sort "
+        "before comparing), cardinality (DuckDB UBIGINT → pinned INT). "
+        "Narrow map stage."
+    ),
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    m = F.create_map(
+        F.lit("prio"), F.col("o_orderpriority"),
+        F.lit("status"), F.col("o_orderstatus"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "prio").alias("prio_val"),
+        F.element_at(m, "missing").alias("missing_val"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "fn_struct_access",
+    oracle=(
+        "WITH s AS (SELECT o_orderkey, "
+        "{'prio': o_orderpriority, "
+        "'money': {'cents': CAST(round(o_totalprice * 100, 0) AS BIGINT)}} "
+        "AS info FROM orders WHERE o_orderkey < 2000) "
+        "SELECT o_orderkey, info.prio AS prio, "
+        "info.money.cents AS cents, "
+        "CAST(info.money.cents AS DOUBLE) / 100 AS price "
+        "FROM s"
+    ),
+    doc=(
+        "Nested-struct construction and dotted field access (two "
+        "levels): struct_pack ≡ F.struct with aliased fields; outputs "
+        "are extracted scalars (struct-typed result columns would hit "
+        "the driver hasher's struct serialization, an untested "
+        "surface — extract, don't emit containers)."
+    ),
+)
+def fn_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    info = F.struct(
+        F.col("o_orderpriority").alias("prio"),
+        F.struct(exact_units(F.col("o_totalprice")).alias("cents")).alias("money"),
+    )
+    s = o.select("o_orderkey", info.alias("info"))
+    return s.select(
+        "o_orderkey",
+        F.col("info.prio").alias("prio"),
+        F.col("info.money.cents").alias("cents"),
+        (F.col("info.money.cents").cast("double") / 100).alias("price"),
+    )
