@@ -712,3 +712,81 @@ def fn_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.money.cents").alias("cents"),
         (F.col("info.money.cents").cast("double") / 100).alias("price"),
     )
+
+
+@register(
+    "ext_split_train",
+    oracle=(
+        "WITH b AS (SELECT doc_id, "
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 "
+        "AS bucket FROM documents) "
+        "SELECT doc_id, bucket, "
+        "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' "
+        "ELSE 'test' END AS split FROM b"
+    ),
+    doc=(
+        "Deterministic train/valid/test assignment (90/5/5) by hashing "
+        "the stable document id — the standard leakage-safe split for "
+        "training corpora: reproducible across engines, runs, and "
+        "repartitions (md5 is the shared cross-engine hash; Spark's "
+        "built-in hash() and DuckDB's hash() are engine-specific and "
+        "must never gate a split). Pure narrow map; at 100 TB the "
+        "split column doubles as a partition key for the output "
+        "layout."
+    ),
+)
+def ext_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return d.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "fn_datetime_suite",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0, "
+        "CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s, "
+        "CAST(weekofyear(o_orderdate) AS INT) AS iso_week, "
+        "CAST(quarter(o_orderdate) AS INT) AS qtr, "
+        "last_day(o_orderdate) AS month_end, "
+        "CAST(o_orderdate + INTERVAL 7 DAY AS TIMESTAMP) AS plus_week, "
+        "CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-01-01') AS INT) "
+        "AS days_to_2001 "
+        "FROM orders WHERE o_orderkey < 2000"
+    ),
+    doc=(
+        "Datetime suite with every cross-engine trap shimmed at point "
+        "of use: day-of-week numbering (Spark 1-7 Sunday=1, DuckDB 0-6 "
+        "Sunday=0 → emit Sunday=0), epoch seconds (DuckDB DOUBLE → "
+        "BIGINT), ISO week + quarter (already agree), last_day (DATE "
+        "both), date arithmetic via +7d (Spark date_add returns DATE → "
+        "cast TIMESTAMP), day diff (datediff ≡ date_diff('day'))."
+    ),
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (F.dayofweek(d) - 1).cast("int").alias("dow_sun0"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.last_day(d).alias("month_end"),
+        F.date_add(d.cast("date"), 7).cast("timestamp").alias("plus_week"),
+        F.datediff(F.lit("2001-01-01").cast("date"), d.cast("date"))
+        .cast("int")
+        .alias("days_to_2001"),
+    )
