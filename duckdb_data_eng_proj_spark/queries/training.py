@@ -795,6 +795,115 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_ivf_partitioned",
+    oracle=(
+        f"WITH {_ASSIGN_CTES}, "
+        "probes AS (SELECT query_id, centroid_id FROM ("
+        "SELECT q.vec_id AS query_id, c.centroid_id, row_number() OVER ("
+        "PARTITION BY q.vec_id ORDER BY "
+        f"{_dot_sql('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm) DESC, c.centroid_id) AS prn "
+        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE prn <= 4), "
+        "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p "
+        "JOIN assign a ON a.centroid_id = p.centroid_id "
+        "WHERE a.vec_id <> p.query_id), "
+        "scored AS (SELECT c.query_id, c.neighbor_id, "
+        f"{_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cos_raw "
+        "FROM cand c JOIN e q ON q.vec_id = c.query_id "
+        "JOIN e n ON n.vec_id = c.neighbor_id) "
+        "SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM ("
+        "SELECT query_id, neighbor_id, cos_raw, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank "
+        "FROM scored) WHERE rank <= 5"
+    ),
+    doc=(
+        "PHYSICAL IVF index + partition-pruned probe search — the "
+        "100 TB layout the other sim_ann_* docstrings promise, made "
+        "real: the corpus is WRITTEN to parquet partitioned by "
+        "centroid_id, the probe set (tiny, nprobe×queries ≤ 40 rows) "
+        "is collected to the driver exactly like an index lookup, and "
+        "the candidate scan carries a literal centroid_id IN-filter — "
+        "the plan's PartitionFilters prove only nprobe/16 of the "
+        "corpus files are read (pinned by the plan-shape test). "
+        "Results are identical to sim_ann_ivf_search (same oracle). "
+        "The bounded probe-collect is index METADATA, not data — the "
+        "corpus itself never reaches the driver."
+    ),
+)
+def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+
+    en, cent, assign = _ivf_parts(spark, sf_dir)
+    sf_tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    idx_dir = f"/root/repo/.tmp/ivf_index_{sf_tag}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    (
+        assign.select("vec_id", "centroid_id")
+        .join(en, "vec_id")
+        .select("vec_id", "embedding", "nrm", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(idx_dir)
+    )
+    idx = spark.read.parquet(idx_dir)
+
+    q = en.filter(F.col("vec_id") < 10)
+    packed = pack_centroids(cent, cid="centroid_id", emb="c_emb", nrm="c_nrm")
+    probes = (
+        q.crossJoin(F.broadcast(packed))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        scored_centroids(
+                            F.col("_cents"), F.col("embedding"), F.col("nrm")
+                        )
+                    ),
+                    1,
+                    4,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", F.col("_p")["cid"].alias("centroid_id"))
+    )
+    probe_rows = probes.collect()  # bounded: nprobe × |queries| ≤ 40
+    probe_cents = sorted({r.centroid_id for r in probe_rows})
+    probe_df = spark.createDataFrame(
+        [(r.query_id, r.centroid_id) for r in probe_rows],
+        "query_id: long, centroid_id: long",
+    )
+
+    cand = (
+        idx.filter(F.col("centroid_id").isin(probe_cents))  # partition pruning
+        .join(F.broadcast(probe_df), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qv = en.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    nv = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    cos = dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
+    scored = cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id").select(
+        "query_id", "neighbor_id", cos.alias("cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim"), "rank")
+    )
+
+
 def _simhash_chunk(col: str, c: int):
     """16-bit chunk c (0-3) of a 16-hex-char simhash, as int."""
     return F.conv(F.substring(F.col(col), 4 * c + 1, 4), 16, 10).cast("int")

@@ -126,3 +126,20 @@ def test_bucketed_join_needs_no_join_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
     assert count_exchanges(df) == 1, "join must not shuffle bucketed sides"
+
+
+def test_ivf_partitioned_search_prunes_partitions(spark):
+    """sim_ann_ivf_partitioned: the candidate scan must carry a literal
+    centroid_id partition filter — the physical proof that a probe
+    touches nprobe inverted lists, not the whole corpus."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["sim_ann_ivf_partitioned"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*centroid_id[^\]]*)\]", plan)
+    assert m and ("IN" in m.group(1) or "in(" in m.group(1).lower()), (
+        m.group(1) if m else "no centroid_id partition filter"
+    )
