@@ -790,3 +790,72 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_to_2001"),
     )
+
+
+@register(
+    "agg_argminmax",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "arg_max(o_orderkey, printf('%012d%012d', "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT), o_orderkey)) "
+        "AS priciest_key, "
+        "arg_min(o_orderkey, printf('%012d%012d', "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT), o_orderkey)) "
+        "AS cheapest_key, "
+        "CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 "
+        "AS max_price "
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    doc=(
+        "arg_max/arg_min (max_by/min_by) with a DETERMINISTIC composite "
+        "ordering key: tie-break encoded as a zero-padded sortable "
+        "string (cents ++ orderkey) because neither engine defines "
+        "arg_max tie behavior and DuckDB's arg_max takes no composite "
+        "key — lexicographic padded strings give both engines the same "
+        "total order. Single shuffle, map-side combinable."
+    ),
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    key = F.format_string(
+        "%012d%012d", exact_units(F.col("o_totalprice")), F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("priciest_key"),
+        F.min_by("o_orderkey", key).alias("cheapest_key"),
+        (F.max(exact_units(F.col("o_totalprice"))).cast("double") / 100).alias(
+            "max_price"
+        ),
+    )
+
+
+@register(
+    "snk_json_lines",
+    oracle=(
+        "SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents WHERE doc_id < 300"
+    ),
+    doc=(
+        "JSONL sink round-trip — the training-corpus interchange "
+        "format: a documents slice is written as newline-delimited "
+        "JSON (one object per line, text newlines escaped by the "
+        "writer), read back with an explicit schema (schema-on-read — "
+        "never infer in production), and projected. Values must "
+        "survive the round-trip exactly; doubles are deliberately "
+        "excluded from the payload (JSON float text is not a stable "
+        "cross-engine contract — parquet is the typed format, JSONL "
+        "is for interchange)."
+    ),
+)
+def snk_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = "/root/repo/.tmp/docs_jsonl"
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "text")
+    )
+    d.coalesce(1).write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id bigint, lang string, text string").json(path)
+    return back.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
