@@ -254,13 +254,14 @@ def test_cc_cluster_is_component_min(spark):
     for a, b in pairs:
         union(a, b)
     want = {x: find(x) for x in parent}
-    got = {
-        r.doc_id: r.cluster_id
-        for r in REGISTRY["dedup_cluster_cc"].fn(spark, SF_DIR).collect()
-    }
-    assert set(got) == set(want)
-    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
-    assert not mismatches, dict(list(mismatches.items())[:5])
+    for variant in ("dedup_cluster_cc", "dedup_cluster_cc_star"):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in REGISTRY[variant].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(want), variant
+        mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+        assert not mismatches, (variant, dict(list(mismatches.items())[:5]))
     # non-trivial: at least one multi-member cluster exists on testdata
     assert any(v != k for k, v in want.items())
 
