@@ -108,6 +108,57 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_md5", StringType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("out_samples_8k", LongType(), True),
+    ]
+)
+
+_PCM_RATE = 16_000  # fake payloads are treated as 16-bit mono @ 16 kHz
+
+
+def decode_audio(payload: bytes) -> object:
+    """Real audio decode — requires an audio library not present in
+    this container. Swap this implementation to go live; the
+    mapInPandas plumbing around it is fully functional."""
+    raise NotImplementedError(
+        "audio codec not available in this environment; "
+        "use extract_audio_features' deterministic fake path"
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio-path mapInPandas: payload treated as 16-bit mono PCM at
+    16 kHz (deterministic fake in place of a real codec): sample
+    count, duration, and the 2:1 downsample (16 k → 8 k) output size —
+    the resample PLAN is real arithmetic; only the waveform math is
+    stubbed. Narrow stage, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            n_samples = n_bytes // 2
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "content_md5": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
+                    "n_samples": n_samples,
+                    "duration_ms": n_samples * 1000 // _PCM_RATE,
+                    "out_samples_8k": (n_samples + 1) // 2,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def sample_frames(features: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plan for video payloads: pretend each item has
     n_bytes/100 frames, emit every ``every_n``-th index. Pure builtin

@@ -169,6 +169,37 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_features",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        f"{_MD5} AS content_md5, "
+        "CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples, "
+        "CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) "
+        "AS duration_ms, "
+        "CAST((octet_length(encode(text)) // 2 + 1) // 2 AS BIGINT) "
+        "AS out_samples_8k "
+        "FROM documents"
+    ),
+    doc=(
+        "Audio-modality plumbing (north star names image/audio/video): "
+        "binary payload → mapInPandas feature extraction treating the "
+        "payload as 16-bit mono PCM @ 16 kHz — sample count, duration, "
+        "and the 2:1 resample output size (the resample PLAN is real "
+        "arithmetic; the waveform codec is the honestly-stubbed step, "
+        "operators/multimodal.py:decode_audio). Narrow stage; the "
+        "oracle reproduces the deterministic arithmetic in SQL."
+    ),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    return extract_audio_features(attach_payload(t(spark, sf_dir, "documents")))
+
+
+@register(
     "mm_frame_sample",
     oracle=(
         "SELECT doc_id, unnest(range(0, "
