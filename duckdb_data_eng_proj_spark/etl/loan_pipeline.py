@@ -551,3 +551,80 @@ def run_pipeline(
         loan_portfolio=portfolio,
         data_quality_report=report,
     )
+
+
+# ---------------------------------------------------------------------------
+# Opt-in STRICT spec checks (SURVEY.md §2.10 items 1-4)
+# ---------------------------------------------------------------------------
+
+STRICT_FLAG_NAMES = [
+    "application_not_approved",
+    "balance_exceeds_original",
+    "disbursement_before_application",
+]
+
+
+def strict_spec_checks(
+    lms_cleaned: DataFrame,
+    cleaned_apps: DataFrame,
+    as_of_date: dt.date | None = None,
+) -> DataFrame:
+    """The validations the SPEC requires but the reference never
+    implemented (take_home_exercise.md:57-59,91 — adjudicated in
+    SURVEY §2.10 as 'may add behind flags'). Strictly ADDITIVE: the
+    golden-parity surfaces never call this, so byte parity with the
+    reference output is untouched; opting in appends columns.
+
+    - flag_application_not_approved: the LMS row's application_id has
+      no cleaned application with status 'approved' (spec :57 — the
+      reference builds approved_applications then never uses it).
+    - flag_balance_exceeds_original: current_balance_eur > the
+      application's loan_amount_eur (spec :58).
+    - flag_disbursement_before_application: disbursement_date <
+      application_date (spec :59).
+    - estimated_remaining_balance (spec :91, absent from the
+      reference's portfolio): straight-line amortization
+      loan_amount × (1 − months_elapsed/term), clamped to [0, amount];
+      NULL when amount/term/disbursement is missing or term ≤ 0.
+
+    Scale shape: one broadcast join against the application dimension;
+    everything else is narrow column math.
+    """
+    # one row per application_id (duplicate applications exist and are
+    # kept-but-flagged upstream): approved if ANY duplicate is
+    # approved; reference attributes via the minimum — deterministic
+    # and documented, since the spec is silent on duplicates
+    apps = cleaned_apps.groupBy("application_id").agg(
+        F.max(F.col("status") == "approved").alias("_app_approved"),
+        F.min("loan_amount_eur").alias("_orig_amount"),
+        F.min("loan_term_months").alias("_term_months"),
+        F.min("application_date").alias("_app_date"),
+    )
+    j = lms_cleaned.join(F.broadcast(apps), "application_id", "left")
+
+    bal, orig = F.col("current_balance_eur"), F.col("_orig_amount")
+    term, disb = F.col("_term_months"), F.col("disbursement_date")
+    asof = F.lit(as_of_date) if as_of_date is not None else F.current_date()
+    elapsed = month_boundary_diff(disb, asof)
+    est = F.when(
+        orig.isNotNull() & term.isNotNull() & (term > 0) & disb.isNotNull(),
+        F.greatest(
+            F.lit(0.0),
+            F.least(orig, orig * (1 - elapsed.cast("double") / term)),
+        ),
+    )
+    return j.select(
+        "*",
+        (~F.coalesce(F.col("_app_approved"), F.lit(False))).alias(
+            "flag_application_not_approved"
+        ),
+        (bal.isNotNull() & orig.isNotNull() & (bal > orig)).alias(
+            "flag_balance_exceeds_original"
+        ),
+        (
+            disb.isNotNull()
+            & F.col("_app_date").isNotNull()
+            & (disb < F.col("_app_date"))
+        ).alias("flag_disbursement_before_application"),
+        est.alias("estimated_remaining_balance"),
+    ).drop("_orig_amount", "_term_months", "_app_date", "_app_approved")

@@ -98,3 +98,43 @@ for _qid, _rows in [("q0", 52), ("q1", 24), ("q2", 14), ("q3", 10), ("q4", 5), (
         f"form; verified row count {_rows} on reference data.",
         _q_picker(_qid),
     )
+
+
+_reg(
+    "etl_strict_spec",
+    "Opt-in STRICT spec validations the reference never implemented "
+    "(take_home_exercise.md:57-59,91 / SURVEY §2.10): application-"
+    "must-be-approved, balance ≤ original amount, disbursement after "
+    "application date, straight-line estimated_remaining_balance. "
+    "Additive — golden-parity surfaces never call it. Differential "
+    "check vs DuckDB SQL over the same CSVs in "
+    "tests/test_etl_golden.py::test_strict_spec_counts.",
+    lambda p: _strict_summary(p),
+)
+
+
+def _strict_summary(p) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from duckdb_data_eng_proj_spark.etl.loan_pipeline import strict_spec_checks
+
+    strict = strict_spec_checks(p.lms_cleaned, p.cleaned_applications, _AS_OF)
+    return strict.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("flag_application_not_approved").cast("int"))
+        .cast("long")
+        .alias("n_not_approved"),
+        F.sum(F.col("flag_balance_exceeds_original").cast("int"))
+        .cast("long")
+        .alias("n_balance_exceeds"),
+        F.sum(F.col("flag_disbursement_before_application").cast("int"))
+        .cast("long")
+        .alias("n_disb_before_app"),
+        F.count("estimated_remaining_balance").alias("n_est_present"),
+        (
+            F.sum(
+                F.round(F.col("estimated_remaining_balance") * 100, 0).cast("long")
+            ).cast("double")
+            / 100
+        ).alias("est_total"),
+    )

@@ -114,3 +114,117 @@ def test_analytics_row_counts(result, qid):
     else:
         df = fn(result.loan_portfolio)
     assert df.count() == _EXPECTED_QUERY_ROWS[qid]
+
+
+def test_strict_spec_counts(spark):
+    """etl_strict_spec differential check: the strict-mode flag counts
+    and straight-line remaining-balance total must match an
+    independent DuckDB computation over the same reference CSVs."""
+    import duckdb
+
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+
+    got = REGISTRY["etl_strict_spec"].fn(spark, "unused").collect()[0].asDict()
+
+    ref = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+    con = duckdb.connect()
+    (want,) = con.execute(
+        f"""
+        WITH good AS (
+          -- the one over-wide row (13 fields) errors out of an
+          -- 11-column read and is skipped = exactly the row Spark
+          -- quarantines (good = 199 both sides, asserted below)
+          SELECT * FROM read_csv('{ref}/data/applications_expanded.csv',
+            header=true, null_padding=true, ignore_errors=true,
+            auto_detect=false, sep=',', quote='"', escape='"',
+            columns={{'application_id': 'VARCHAR',
+                      'customer_email': 'VARCHAR',
+                      'installer_partner_id': 'VARCHAR',
+                      'installation_type': 'VARCHAR',
+                      'system_size_kwp': 'VARCHAR',
+                      'loan_amount_eur': 'VARCHAR',
+                      'loan_term_months': 'VARCHAR',
+                      'application_date': 'VARCHAR',
+                      'credit_score': 'VARCHAR',
+                      'annual_income_eur': 'VARCHAR',
+                      'postal_code': 'VARCHAR',
+                      'status': 'VARCHAR'}})
+        ),
+        apps AS (
+          SELECT application_id,
+                 max(lower(status) = 'approved') AS approved,
+                 min(TRY_CAST(loan_amount_eur AS DOUBLE)) AS orig,
+                 min(round(TRY_CAST(loan_term_months AS DOUBLE), 0)::INT)
+                   AS term,
+                 min(TRY_CAST(application_date AS DATE)) AS app_date
+          FROM good GROUP BY application_id
+        ),
+        lms AS (
+          SELECT application_id,
+                 TRY_CAST(disbursement_date AS DATE) AS disb,
+                 TRY_CAST(current_balance_eur AS DOUBLE) AS bal
+          FROM read_csv('{ref}/data/lms_updates_expanded.csv',
+            header=true, null_padding=true, ignore_errors=true,
+            auto_detect=false, sep=',', quote='"', escape='"',
+            columns={{'loan_id': 'VARCHAR',
+                      'application_id': 'VARCHAR',
+                      'disbursement_date': 'VARCHAR',
+                      'current_balance_eur': 'VARCHAR',
+                      'days_past_due': 'VARCHAR',
+                      'payment_status': 'VARCHAR',
+                      'last_payment_date': 'VARCHAR',
+                      'next_payment_due': 'VARCHAR'}})
+        ),
+        j AS (SELECT l.*, a.approved, a.orig, a.term, a.app_date
+              FROM lms l LEFT JOIN apps a USING (application_id)),
+        s AS (
+          SELECT *,
+            NOT coalesce(approved, false) AS f_na,
+            (bal IS NOT NULL AND orig IS NOT NULL AND bal > orig) AS f_be,
+            (disb IS NOT NULL AND app_date IS NOT NULL
+             AND disb < app_date) AS f_da,
+            CASE WHEN orig IS NOT NULL AND term IS NOT NULL AND term > 0
+                      AND disb IS NOT NULL
+                 THEN greatest(0.0, least(orig, orig * (1 -
+                      (datediff('month', disb, DATE '2026-01-23'))
+                      / CAST(term AS DOUBLE))))
+            END AS est
+          FROM j
+        )
+        SELECT count(*),
+               CAST(sum(CAST(f_na AS INT)) AS BIGINT),
+               CAST(sum(CAST(f_be AS INT)) AS BIGINT),
+               CAST(sum(CAST(f_da AS INT)) AS BIGINT),
+               count(est),
+               CAST(sum(CAST(round(est * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+        FROM s
+        """
+    ).fetchall()
+    # sanity: the DuckDB good-row read matches the quarantine split
+    (n_good,) = con.execute(
+        f"""SELECT count(*) FROM read_csv(
+            '{ref}/data/applications_expanded.csv', header=true,
+            null_padding=true, ignore_errors=true, auto_detect=false,
+            sep=',', quote='"', escape='"',
+            columns={{'application_id': 'VARCHAR',
+                      'customer_email': 'VARCHAR',
+                      'installer_partner_id': 'VARCHAR',
+                      'installation_type': 'VARCHAR',
+                      'system_size_kwp': 'VARCHAR',
+                      'loan_amount_eur': 'VARCHAR',
+                      'loan_term_months': 'VARCHAR',
+                      'application_date': 'VARCHAR',
+                      'credit_score': 'VARCHAR',
+                      'annual_income_eur': 'VARCHAR',
+                      'postal_code': 'VARCHAR',
+                      'status': 'VARCHAR'}})"""
+    ).fetchone()
+    assert n_good == 199, n_good
+
+    keys = ["n_rows", "n_not_approved", "n_balance_exceeds",
+            "n_disb_before_app", "n_est_present", "est_total"]
+    for k, w in zip(keys, want):
+        assert got[k] == w, (k, got[k], w)
+    # non-vacuous: the strict checks actually fire on the fixture
+    assert got["n_not_approved"] > 0
+    assert got["n_est_present"] > 0
