@@ -50,7 +50,16 @@ def _verified_green() -> set[str]:
         except (OSError, ValueError):
             continue
         for qid, row in data.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if err == "no_oracle" and row.get("spark_rows") is not None:
+                # Oracle-less entries get their rows-only check every run;
+                # count them as verified-for-ordering so they stop crowding
+                # out genuinely never-verified oracled ids (VERDICT r2 #2).
+                green.add(qid)
+                continue
+            if err:
                 continue
             if row.get("rows_match") and row.get("schema_match", True) and (
                 row.get("hash_match") or qid not in REGISTRY or REGISTRY[qid].oracle is None

@@ -41,7 +41,15 @@ BENCH_QUERIES = [
     "tpch_q3",             # selective broadcast join + top-k
     "tpch_q6",             # scan-bandwidth + pushed predicates
     "dedup_minhash_lsh",   # shingle→minhash→band (text map stage)
+    "dedup_cluster_cc",    # iterative connected-components dedup
+    "sim_ann_ivf_search",  # IVF centroid-pruned ANN probe
 ]
+
+# Iterative / index-building ops run Spark ACTIONS inside fn() (one
+# fused localCheckpoint per round, centroid-pack collect) — timing only
+# the returned plan would miss the real work, so for these the whole
+# fn()+force pair is timed.
+TIMED_BUILD = {"dedup_cluster_cc", "sim_ann_ivf_search"}
 
 
 def _force(df) -> None:
@@ -75,12 +83,18 @@ def main() -> None:
         # against TBs. Catalyst analysis, optimization, codegen and
         # execution all happen inside the timed _force (the DuckDB
         # oracle timing likewise includes its ~1 ms SQL parse).
-        df = REGISTRY[qid].fn(spark, sf_dir)
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _force(df)
-            best = min(best, time.perf_counter() - t0)
+        if qid in TIMED_BUILD:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(REGISTRY[qid].fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+        else:
+            df = REGISTRY[qid].fn(spark, sf_dir)
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(df)
+                best = min(best, time.perf_counter() - t0)
         timings[qid] = round(best, 4)
 
     total = round(sum(timings.values()), 4)

@@ -91,12 +91,31 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+
+    def parse_bytes(raw: str) -> int:
+        raw = raw.strip().lower().removesuffix("b")
+        mult = 1
+        for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+            if raw.endswith(suffix):
+                raw, mult = raw[:-1], m
+                break
+        return int(raw) * mult
+
     try:
         files = df.inputFiles()
-        mpb_raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-        mpb = int(mpb_raw.lower().rstrip("b")) or 1
-    except Exception:  # noqa: BLE001 — non-file source: be conservative
-        return df.repartition(target)
+        mpb = parse_bytes(str(spark.conf.get("spark.sql.files.maxPartitionBytes"))) or 1
+    except Exception:  # noqa: BLE001 — non-file source (in-memory, stream)
+        # No scan metadata to estimate from: consult the actual
+        # partition count (the .rdd peek is fine OFF the hot path) and
+        # keep the "never reduces parallelism" guarantee — an
+        # unconditional repartition here could narrow an already-wide
+        # DataFrame (ADVICE r2).
+        try:
+            if df.rdd.getNumPartitions() < target:
+                return df.repartition(target)
+        except Exception:  # noqa: BLE001 — e.g. streaming DF: leave as-is
+            pass
+        return df
     splits = 0
     for f in files:
         path = urlparse(f).path

@@ -75,12 +75,33 @@ _reg(
     "244 rows, full-column parity.",
     lambda p: p.loan_portfolio,
 )
+def _quality_report_hashable(p) -> DataFrame:
+    """Driver-facing quality report with the id list serialized.
+
+    The driver canonicalizes results via pandas ``sort_values``, which
+    crashes on an ArrayType column (``unhashable type: 'list'`` —
+    CORRECTNESS_r02). Serialize ``problematic_application_ids`` to its
+    JSON text (order already pinned by array_sort upstream; to_json
+    keeps NULL elements, matching DuckDB array_agg semantics). The
+    typed-array form stays on ``p.data_quality_report`` for golden
+    parity (tests/test_etl_golden.py).
+    """
+    from pyspark.sql import functions as F
+
+    df = p.data_quality_report
+    return df.withColumn(
+        "problematic_application_ids",
+        F.to_json(F.col("problematic_application_ids")),
+    )
+
+
 _reg(
     "etl_quality_report",
     "Single-row report: 22 counters + sorted problematic-id list "
     "(pipeline.py:386-492); golden: data_quality_report.csv parity "
-    "incl. the NULL list element.",
-    lambda p: p.data_quality_report,
+    "incl. the NULL list element. Driver surface serializes the id "
+    "list (see _quality_report_hashable).",
+    _quality_report_hashable,
 )
 
 

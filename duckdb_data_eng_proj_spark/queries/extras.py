@@ -796,11 +796,11 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argminmax",
     oracle=(
         "SELECT o_orderpriority, "
-        "arg_max(o_orderkey, printf('%012d%012d', "
-        "CAST(round(o_totalprice * 100, 0) AS BIGINT), o_orderkey)) "
+        "arg_max(o_orderkey, printf('%013d%012d', "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) + 1000000000000, o_orderkey)) "
         "AS priciest_key, "
-        "arg_min(o_orderkey, printf('%012d%012d', "
-        "CAST(round(o_totalprice * 100, 0) AS BIGINT), o_orderkey)) "
+        "arg_min(o_orderkey, printf('%013d%012d', "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) + 1000000000000, o_orderkey)) "
         "AS cheapest_key, "
         "CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 "
         "AS max_price "
@@ -812,13 +812,19 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "string (cents ++ orderkey) because neither engine defines "
         "arg_max tie behavior and DuckDB's arg_max takes no composite "
         "key — lexicographic padded strings give both engines the same "
-        "total order. Single shuffle, map-side combinable."
+        "total order. The cents field is biased by +10¹² into a fixed "
+        "13-digit non-negative band so the encoding stays monotone for "
+        "negative prices too (a bare '-'-prefixed field would break "
+        "lexicographic order — ADVICE r2); provably correct for "
+        "|cents| < 10¹². Single shuffle, map-side combinable."
     ),
 )
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     key = F.format_string(
-        "%012d%012d", exact_units(F.col("o_totalprice")), F.col("o_orderkey")
+        "%013d%012d",
+        exact_units(F.col("o_totalprice")) + F.lit(1000000000000),
+        F.col("o_orderkey"),
     )
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", key).alias("priciest_key"),

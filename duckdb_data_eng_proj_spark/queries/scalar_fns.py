@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_data_eng_proj_spark.functions.scalars import exact_units
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 
@@ -188,21 +189,26 @@ def fn_now_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "ROUND / 1.0* promotion / division (queries.sql:50-75). net_price "
         "rounds an exact DECIMAL product — ROUND on raw doubles differs "
-        "between engines on exact-half boundaries."
+        "between engines on exact-half boundaries. Spark side computes "
+        "the identical value in exact integer units (cents × (10000 − "
+        "discount·10⁴) → e6 units, +5000 then truncate = round-half-up "
+        "in cents, exact for the non-negative fixed-point domain) — "
+        "pure codegen arithmetic instead of a per-row BigDecimal "
+        "round-trip, which benched 2× slower (VERDICT r2 #3). The "
+        "e6→cents truncation is safe in double: the quotient is ≥1e-4 "
+        "away from an integer while the rounding error is ~1e-9."
     ),
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    cents = exact_units(F.col("l_extendedprice"))
+    d4 = exact_units(F.col("l_discount"), 10000)
+    net_e6 = cents * (F.lit(10000) - d4)
+    net_cents = ((net_e6 + 5000) / 10000).cast("long")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(9,4)")),
-            2,
-        )
-        .cast("double")
-        .alias("net_price"),
+        (net_cents.cast("double") / 100).alias("net_price"),
         (F.lit(1.0) * F.col("l_quantity") / 50).cast("double").alias("qty_frac"),
     )
 

@@ -135,8 +135,10 @@ def ext_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def cents_sum(v: pd.Series) -> np.int64:
-        # 2dp non-negative money: *100 is within ulp of an integer
-        return np.int64((v.to_numpy() * 100 + 0.5).astype("int64").sum())
+        # round-half-away like exact_units: copysign keeps the law for
+        # negative amounts too (int64 cast truncates toward zero)
+        a = v.to_numpy() * 100
+        return np.int64((a + np.copysign(0.5, a)).astype("int64").sum())
 
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

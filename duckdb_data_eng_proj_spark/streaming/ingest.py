@@ -144,6 +144,7 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks: Arrow-batched state function, state store sharded by key,
     bounded memory per key.
     """
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -168,11 +169,10 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            # value is 2dp and non-negative: *100 is within ulp of an
-            # integer, so the rounding mode can never matter
-            cents += int(
-                (pdf["value"].to_numpy() * 100 + 0.5).astype("int64").sum()
-            )
+            # round-half-away like exact_units: copysign keeps the law
+            # for negative amounts too (truncation is toward zero)
+            v = pdf["value"].to_numpy() * 100
+            cents += int((v + np.copysign(0.5, v)).astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
