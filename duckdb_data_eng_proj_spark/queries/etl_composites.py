@@ -2,11 +2,12 @@
 
 These run the full loan-portfolio pipeline on the reference's own CSV
 inputs (/root/reference/data) with the golden run's injected clock, so
-results are deterministic. No DuckDB oracle is registered — the
-correctness gate for these is golden-output parity
-(tests/test_etl_golden.py compares every column against
-/root/reference/output/), which is stronger than the testdata oracle.
-The driver records a rows-only check for them (SURVEY.md §2.9).
+results are deterministic. Two independent correctness gates:
+golden-output parity (tests/test_etl_golden.py compares every column
+against /root/reference/output/) AND, since round 3, a DuckDB oracle
+per entry (etl/oracle_sql.py replays the pipeline as one CTE chain
+over the same CSVs) so the driver records hash-matched rows instead of
+rows-only (VERDICT r2 "Next round" #5).
 """
 
 from __future__ import annotations
@@ -18,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from duckdb_data_eng_proj_spark.etl import run_pipeline
 from duckdb_data_eng_proj_spark.etl.analytics import ANALYTICS
+from duckdb_data_eng_proj_spark.etl.oracle_sql import ETL_ORACLES
 from duckdb_data_eng_proj_spark.queries.registry import register
 
 _REF = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
@@ -41,7 +43,7 @@ def _pipeline(spark: SparkSession):
 
 
 def _reg(qid: str, doc: str, picker):
-    @register(qid, oracle=None, doc=doc)
+    @register(qid, oracle=ETL_ORACLES.get(qid), doc=doc)
     def q(spark: SparkSession, sf_dir: str, _p=picker) -> DataFrame:  # noqa: ARG001
         return _p(_pipeline(spark))
 
