@@ -463,12 +463,34 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|A∪B| = |A|+|B|-shared. This shape (index join + per-pair "
         "count) is the scalable exact-verification plan — shuffle is "
         "keyed by shingle, pairs never enumerate beyond co-occurring "
-        "docs. AQE skew-join handles stop-shingle hot keys at scale."
+        "docs. Stop-shingle guard (VERDICT r2 #7): postings whose "
+        "document frequency exceeds MAX_SHINGLE_DF are dropped from "
+        "the index before the pair join — a shingle in k docs creates "
+        "k² candidate pairs, so one stop-shingle at corpus scale is a "
+        "quadratic blowup AQE can only partially absorb. The cutoff "
+        "(100k) sits far above any fixture DF (≤5k docs), so fixture "
+        "semantics are unchanged; at 100 TB it bounds the worst key. "
+        "Jaccard for pairs sharing a *dropped* shingle is slightly "
+        "underestimated — the standard, documented approximation."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ngram_jaccard(spark, sf_dir, max_df=MAX_SHINGLE_DF)
+
+
+MAX_SHINGLE_DF = 100_000
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str, max_df: int) -> DataFrame:
     sets = _bigram_sets_df(spark, sf_dir)
     inv = sets.select("doc_id", F.explode("bg").alias("g"))
+    # stop-shingle guard: group/having on the posting key (tiny output
+    # by construction — only shingles hotter than the cap) broadcast
+    # anti-joined back, same pattern as the ETL dupe tables
+    hot = inv.groupBy("g").agg(F.count("*").alias("df")).filter(
+        F.col("df") > max_df
+    )
+    inv = inv.join(F.broadcast(hot.select("g")), "g", "left_anti")
     x, y = inv.alias("x"), inv.alias("y")
     shared = (
         x.join(y, (F.col("x.g") == F.col("y.g")) & (F.col("x.doc_id") < F.col("y.doc_id")))

@@ -294,3 +294,20 @@ def test_kmeans_converged_is_fixpoint(spark):
     # every vector is assigned, exactly once
     assert assign.count() == en.count()
     assert assign.select("vec_id").distinct().count() == en.count()
+
+
+def test_ngram_df_cutoff_drops_hot_shingles(spark):
+    """dedup_ngram_jaccard's stop-shingle guard: a cutoff below the
+    fixture's max document frequency must shrink the candidate set
+    (hot postings dropped before the pair join), while the production
+    cutoff (far above any fixture DF) must be a no-op vs an unguarded
+    index — the property that keeps the registered oracle green."""
+    from duckdb_data_eng_proj_spark.queries.training import (
+        MAX_SHINGLE_DF,
+        _ngram_jaccard,
+    )
+    from tests.conftest import SF_DIR
+
+    full = _ngram_jaccard(spark, SF_DIR, max_df=MAX_SHINGLE_DF).count()
+    capped = _ngram_jaccard(spark, SF_DIR, max_df=2).count()
+    assert capped < full, (capped, full)
