@@ -125,6 +125,23 @@ def test_tpch_shapes_are_shuffle_minimal(spark):
         assert "CartesianProduct" not in physical_plan(df), qid
 
 
+def test_tpch_full_shapes_are_shuffle_minimal(spark):
+    """The 8 completion shapes (tpch_full.py): no cartesian product,
+    bounded exchanges. Budgets reflect genuinely multi-stage plans:
+    q2 re-aggregates the derived catalog (ps → region-min → join-back),
+    q21 runs semi+anti over the same derived relation, q20's nested
+    semi-joins collapse through a DISTINCT — each extra exchange is a
+    distinct key, not a redundant reshuffle of the same one."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    budget = {"tpch_q2": 5, "tpch_q8": 3, "tpch_q9": 3, "tpch_q11": 3,
+              "tpch_q15": 3, "tpch_q16": 3, "tpch_q20": 4, "tpch_q21": 4}
+    for qid, cap in budget.items():
+        df = REGISTRY[qid].fn(spark, SF_DIR)
+        assert count_exchanges(df) <= cap, qid
+        assert "CartesianProduct" not in physical_plan(df), qid
+
+
 def test_tpch_no_forced_fact_broadcast():
     """Source-level guard: no broadcast hint may target an SF-scaled
     table variable in tpch.py (orders ``o``, lineitem ``li``, part
@@ -134,11 +151,14 @@ def test_tpch_no_forced_fact_broadcast():
     impossible to reintroduce silently."""
     import inspect
 
-    from duckdb_data_eng_proj_spark.queries import tpch
+    from duckdb_data_eng_proj_spark.queries import tpch, tpch_full
 
-    src = inspect.getsource(tpch)
-    for banned in ("F.broadcast(o)", "F.broadcast(li)", "F.broadcast(p)"):
-        assert banned not in src, f"forced fact-table broadcast: {banned}"
+    for mod in (tpch, tpch_full):
+        src = inspect.getsource(mod)
+        for banned in ("F.broadcast(o)", "F.broadcast(li)", "F.broadcast(p)"):
+            assert banned not in src, (
+                f"forced fact-table broadcast in {mod.__name__}: {banned}"
+            )
 
 
 def test_bucketed_join_needs_no_join_exchange(spark):
