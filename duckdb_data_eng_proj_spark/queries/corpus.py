@@ -32,8 +32,15 @@ from duckdb_data_eng_proj_spark.queries.training import (
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """Verified near-dup pairs (doc_a < doc_b, exact Jaccard ≥
-    threshold) from the LSH band-bucket candidate join."""
-    bands = _lsh_bands_df(spark, sf_dir)
+    threshold) from the LSH band-bucket candidate join.
+
+    The band table feeds BOTH sides of the candidate self-join and
+    the shingle-set table BOTH sides of the verify join — each is
+    localCheckpoint'd so the minhash/shingle map stage runs ONCE, not
+    twice (at 100 TB: persist the signature table, the standard LSH
+    practice; recomputing minhashes per join side doubles the most
+    expensive map stage in the pipeline)."""
+    bands = _lsh_bands_df(spark, sf_dir).localCheckpoint()
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -45,7 +52,7 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataF
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = _bigram_sets_df(spark, sf_dir)
+    sets = _bigram_sets_df(spark, sf_dir).localCheckpoint()
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
     inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))

@@ -23,18 +23,23 @@ from duckdb_data_eng_proj_spark.queries.registry import register, t
     ),
     doc=(
         "Exact dedup with deterministic keep-first (generalizes app_dupes, "
-        "pipeline.py:116-124): row_number over (key) ordered by (ts, "
-        "unique id) — unlike dropDuplicates, survives partition reordering. "
-        "At 100 TB: one shuffle on the dedup key; skew handled by AQE."
+        "pipeline.py:116-124): min(struct(ts, unique id)) per key — a "
+        "hash aggregate, so keep-first is computed with a MAP-SIDE "
+        "partial combine and only one survivor row per key is shuffled. "
+        "The equivalent row_number window would shuffle+sort EVERY row; "
+        "at 100 TB the agg form moves |distinct keys| rows instead of "
+        "|input| rows. Deterministic under partition reordering (struct "
+        "comparison is lexicographic on (ts, event_id), a total order)."
     ),
 )
 def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "event_type")
+        e.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("_first"))
+        .select(
+            F.col("_first.event_id").alias("event_id"), "user_id", "event_type"
+        )
     )
 
 

@@ -764,20 +764,30 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "take candidates from the 4 nearest inverted lists only, then "
         "exact-rescore and top-k. Versus brute force this touches "
         "nprobe/16 of the corpus — the standard recall/throughput dial. "
-        "Candidate generation is a join on centroid_id (bucket-local at "
-        "scale); rescoring joins candidates back to vectors by id."
+        "Plan: ONE corpus scan. Each corpus vector computes its own "
+        "centroid map-side (packed-centroid argmax), then broadcast-"
+        "joins the 40-row (query × nprobe) probe table — carrying the "
+        "query embedding in-row — so rescoring needs no join back to "
+        "the corpus. Only the ≤(nprobe/16)·|corpus|·|queries| scored "
+        "candidates reach the final top-k window. At 100 TB the "
+        "centroid join key makes candidate generation bucket-local; "
+        "sim_ann_ivf_partitioned is the same search against a "
+        "physically partitioned index."
     ),
 )
 def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    en, cent, assign = _ivf_parts(spark, sf_dir)
+    en, cent, _ = _ivf_parts(spark, sf_dir)
     q = en.filter(F.col("vec_id") < 10)
     # top-nprobe centroids per query, map-side: sort the in-row scored
-    # array and slice — no shuffle, no window stage
+    # array and slice — no shuffle, no window stage. The query
+    # embedding rides along so rescoring never rejoins the corpus.
     packed = pack_centroids(cent, cid="centroid_id", emb="c_emb", nrm="c_nrm")
     probes = (
         q.crossJoin(F.broadcast(packed))
         .select(
             F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
             F.explode(
                 F.slice(
                     F.array_sort(
@@ -790,24 +800,25 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("_p"),
         )
-        .select("query_id", F.col("_p")["cid"].alias("centroid_id"))
+        .select("query_id", "q_emb", "q_nrm", F.col("_p")["cid"].alias("centroid_id"))
     )
-    cand = probes.join(assign, "centroid_id").filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
-    qv = en.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    # One corpus pass: in-row centroid assignment, then a broadcast
+    # hash join against the tiny probe table (explicit hint — the
+    # latency profile runs AQE-off, where an unhinted tiny side would
+    # plan as a full sort-merge shuffle).
+    corpus = en.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.array_min(
+            scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
+        )["cid"].alias("centroid_id"),
     )
-    nv = en.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("nrm").alias("n_nrm"),
-    )
-    cos = dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
-    scored = cand.join(qv, "query_id").join(nv, "neighbor_id").select(
-        "query_id", "neighbor_id", cos.alias("cos_raw")
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_raw"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
     return (
