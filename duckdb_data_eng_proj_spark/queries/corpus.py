@@ -17,6 +17,8 @@ already-pruned survivor set. Stage order is the optimization.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +30,29 @@ from duckdb_data_eng_proj_spark.queries.training import (
     _lang_hits_sql,
     _lsh_bands_df,
 )
+
+
+@contextmanager
+def _state_sized_shuffle(spark: SparkSession, state_rows: int, rows_per_part: int = 100_000):
+    """Size ``spark.sql.shuffle.partitions`` to the iteration state for
+    the duration of an iterative loop, then restore.
+
+    AQE coalesces tiny shuffles automatically, but iterative loops
+    checkpoint every round, and the latency profile (bench) runs AQE
+    off — so the loop hand-sizes its shuffle width the same way AQE
+    would: ~``rows_per_part`` label/edge rows per task, clamped to
+    [1, defaultParallelism]. A 30k-edge graph iterates on 1 partition
+    (every stage one task, no fan-out floor); a 10B-edge graph at the
+    100 TB design point gets full cluster width from the same dial.
+    """
+    parts = max(1, min(spark.sparkContext.defaultParallelism, -(-state_rows // rows_per_part)))
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set(key, old)
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
@@ -277,32 +302,35 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).localCheckpoint()
-    lab = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    prev_sum = None
-    for _ in range(_CC_MAX_ROUNDS):
-        contrib = edges.join(
-            lab.withColumnRenamed("doc_id", "dst"), "dst"
-        ).select(F.col("src").alias("doc_id"), "lbl")
-        propagated = (
-            contrib.unionByName(lab.select("doc_id", "lbl"))
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
+    with _state_sized_shuffle(spark, edges.count()):
+        lab = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("lbl", F.col("doc_id"))
+            .localCheckpoint()
         )
-        ptr = propagated.select(
-            F.col("doc_id").alias("_pdoc"), F.col("lbl").alias("_plbl")
-        )
-        lab = propagated.join(ptr, F.col("lbl") == F.col("_pdoc")).select(
-            "doc_id", F.col("_plbl").alias("lbl")
-        ).localCheckpoint()
-        (cur_sum,) = lab.agg(F.sum("lbl")).first()
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = None
+        for _ in range(_CC_MAX_ROUNDS):
+            contrib = edges.join(
+                lab.withColumnRenamed("doc_id", "dst"), "dst"
+            ).select(F.col("src").alias("doc_id"), "lbl")
+            propagated = (
+                contrib.unionByName(lab.select("doc_id", "lbl"))
+                .groupBy("doc_id")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            ptr = propagated.select(
+                F.col("doc_id").alias("_pdoc"), F.col("lbl").alias("_plbl")
+            )
+            # Lazy checkpoint: the convergence agg below is the action
+            # that materializes it — one job per round, not two.
+            lab = propagated.join(ptr, F.col("lbl") == F.col("_pdoc")).select(
+                "doc_id", F.col("_plbl").alias("lbl")
+            ).localCheckpoint(eager=False)
+            (cur_sum,) = lab.agg(F.sum("lbl")).first()
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return lab.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 
@@ -336,12 +364,15 @@ def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).distinct().localCheckpoint()
     prev_sig = None
-    for _ in range(_CC_MAX_ROUNDS):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).first())
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    with _state_sized_shuffle(spark, edges.count()):
+        for _ in range(_CC_MAX_ROUNDS):
+            # Lazy checkpoint: the signature agg is the materializing
+            # action — one job per star round.
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).first())
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     # fixpoint edges form stars (root=u → member=v); roots label
     # themselves, as do vertices whose edges all collapsed away
     members = edges.select(F.col("v").alias("doc_id"), F.col("u").alias("_root"))
