@@ -607,9 +607,10 @@ def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(len(tk) AS INT) AS n_tokens, "
         "list_contains(tk, 'the') AS has_the, "
         "CAST(coalesce(list_position(tk, 'the'), 0) AS INT) AS the_pos, "
-        "list_sort(list_distinct(tk)) AS vocab, "
-        "tk[1:3] AS first3, "
-        "list_sort(list_intersect(tk, ['the', 'a', 'and', 'of'])) "
+        "coalesce(array_to_string(list_sort(list_distinct(tk)), '|'), '') AS vocab, "
+        "coalesce(array_to_string(tk[1:3], '|'), '') AS first3, "
+        "coalesce(array_to_string(list_sort("
+        "list_intersect(tk, ['the', 'a', 'and', 'of'])), '|'), '') "
         "AS stop_hits "
         "FROM toks"
     ),
@@ -619,8 +620,14 @@ def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shimmed to 0 on both sides) / distinct / slice / intersect. "
         "Set-producing results are sorted on both sides: DuckDB "
         "list_distinct does NOT preserve first-occurrence order, so "
-        "unsorted set outputs are a cross-engine hash trap. Pure "
-        "narrow map stage."
+        "unsorted set outputs are a cross-engine hash trap. List "
+        "outputs are '|'-joined to strings (array_join ≡ "
+        "array_to_string): the driver's pandas canonicalizer cannot "
+        "sort container cells (unhashable 'list' — the exact trap "
+        "fn_struct_access's docstring warns about, and the same fix "
+        "etl_quality_report needed). Second trap: DuckDB "
+        "array_to_string([]) is NULL while Spark array_join([]) is '' "
+        "— both sides coalesce to ''. Pure narrow map stage."
     ),
 )
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,9 +642,11 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tk").alias("n_tokens"),
         F.array_contains("tk", "the").alias("has_the"),
         F.array_position("tk", "the").cast("int").alias("the_pos"),
-        F.array_sort(F.array_distinct("tk")).alias("vocab"),
-        F.slice("tk", 1, 3).alias("first3"),
-        F.array_sort(F.array_intersect("tk", stop)).alias("stop_hits"),
+        F.coalesce(F.array_join(F.array_sort(F.array_distinct("tk")), "|"), F.lit(""))
+        .alias("vocab"),
+        F.coalesce(F.array_join(F.slice("tk", 1, 3), "|"), F.lit("")).alias("first3"),
+        F.coalesce(F.array_join(F.array_sort(F.array_intersect("tk", stop)), "|"), F.lit(""))
+        .alias("stop_hits"),
     )
 
 
@@ -649,8 +658,8 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS prio_val, "
         "map(['prio', 'status'], [o_orderpriority, o_orderstatus])['missing'][1] "
         "AS missing_val, "
-        "list_sort(map_keys(map(['prio', 'status'], "
-        "[o_orderpriority, o_orderstatus]))) AS keys_sorted, "
+        "array_to_string(list_sort(map_keys(map(['prio', 'status'], "
+        "[o_orderpriority, o_orderstatus]))), '|') AS keys_sorted, "
         "CAST(cardinality(map(['prio', 'status'], "
         "[o_orderpriority, o_orderstatus])) AS INT) AS n_entries "
         "FROM orders WHERE o_orderkey < 2000"
@@ -660,8 +669,9 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "extraction yields a LIST — [1] unwraps it; a missing key is "
         "[] → NULL, matching Spark's element_at NULL), sorted key set "
         "(map key order is construction order on both engines — sort "
-        "before comparing), cardinality (DuckDB UBIGINT → pinned INT). "
-        "Narrow map stage."
+        "before comparing, then '|'-join: the driver canonicalizer "
+        "cannot sort container cells), cardinality (DuckDB UBIGINT → "
+        "pinned INT). Narrow map stage."
     ),
 )
 def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,7 +684,7 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.element_at(m, "prio").alias("prio_val"),
         F.element_at(m, "missing").alias("missing_val"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("keys_sorted"),
         F.size(m).alias("n_entries"),
     )
 
