@@ -1,0 +1,56 @@
+"""Regenerate duckdb_data_eng_proj_spark/queries/verified_snapshot.json.
+
+The snapshot maps query id -> impl hash (function source + oracle text)
+as of the code the driver verified green. ``__spark_entry__.queries()``
+treats a green CORRECTNESS row as STALE when the id's current hash
+differs from (or is missing in) the snapshot, so the id re-enqueues
+ahead of already-verified work on the next driver run.
+
+Run this at ROUND START, before editing any operator, so the recorded
+hashes describe exactly the code the previous driver run executed:
+
+    python scripts/update_verified_snapshot.py [--drop QID ...]
+
+``--drop`` excludes ids whose green rows are known-stale despite the
+current tree (e.g. an operator rewritten after its last green row but
+before this script ever ran — VERDICT r3 flagged ext_dedup_exact and
+sim_ann_ivf_search exactly so).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from duckdb_data_eng_proj_spark.queries import REGISTRY  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--drop", nargs="*", default=[], metavar="QID",
+                    help="ids whose green rows predate the current code")
+    args = ap.parse_args()
+
+    green = entrymod._green_rows() - set(args.drop)
+    snapshot = {
+        qid: entrymod._impl_hash(REGISTRY[qid])
+        for qid in sorted(green)
+        if qid in REGISTRY
+    }
+    with open(entrymod._SNAPSHOT_PATH, "w") as fh:
+        json.dump(snapshot, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {len(snapshot)} entries -> {entrymod._SNAPSHOT_PATH}")
+    dropped = sorted(set(args.drop))
+    if dropped:
+        print(f"dropped (forced re-verify): {', '.join(dropped)}")
+
+
+if __name__ == "__main__":
+    main()
