@@ -9,11 +9,15 @@ All oracle-checked.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.functions.scalars import exact_units
 from duckdb_data_eng_proj_spark.queries.registry import register, t
+
+_TMP_X = "/root/repo/.tmp"
 
 # ---------------------------------------------------------------------------
 # aggregates
@@ -277,24 +281,38 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snk_parquet_partitioned",
-    oracle=None,
+    oracle=(
+        "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR) "
+        "AS order_month FROM orders) "
+        "SELECT order_month, COUNT(*) AS n_orders FROM m "
+        "WHERE order_month >= '1995-06-01' GROUP BY order_month"
+    ),
     doc=(
         "Partitioned parquet layout: write orders partitioned by order "
         "month, read back with a month filter — the read plan scans "
         "only the matching partition directories (partition pruning; "
-        "the 100 TB table layout). Rows-only check: round-trip count "
-        "under the filter."
+        "the 100 TB table layout). The oracle states the round-trip's "
+        "expected value (snk_csv_quoted pattern — the Spark result "
+        "comes from the files actually written and read back, so a "
+        "corrupted write fails the hash). Partition-column type "
+        "inference would read '1995-06-01' back as DATE — pinned to "
+        "string so layout choices never leak into the result schema."
     ),
 )
 def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    out = os.path.join(_TMP_X, "orders_part_sink")
     o = t(spark, sf_dir, "orders").withColumn(
         "order_month", F.trunc("o_orderdate", "month").cast("string")
     )
-    out = tempfile.mkdtemp(prefix="orders_part_")
-    o.write.mode("overwrite").partitionBy("order_month").parquet(out)
-    back = spark.read.parquet(out)
+    # One shuffle keyed by the partition column → one file per month
+    # instead of (tasks × months) small files; at 100 TB the same move
+    # (plus a salt for hot months) is what keeps the layout scannable.
+    o.repartition("order_month").write.mode("overwrite").partitionBy(
+        "order_month"
+    ).parquet(out)
+    back = spark.read.parquet(out).withColumn(
+        "order_month", F.col("order_month").cast("string")
+    )
     return back.filter(F.col("order_month") >= "1995-06-01").groupBy(
         "order_month"
     ).agg(F.count("*").alias("n_orders"))
