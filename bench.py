@@ -75,6 +75,23 @@ def main() -> None:
     # Warm the session (JVM JIT, parquet footer cache) on a tiny query.
     _force(REGISTRY["prj_star"].fn(spark, sf_dir))
 
+    # Full untimed warm-up lap: the C2 JIT needs several executions of
+    # each generated WholeStageCodegen class to reach steady state —
+    # without this lap the FIRST suite entries pay compilation inside
+    # their best-of-3 (r3's win_partition_sum 'regression' was exactly
+    # this: iter timings there run 0.48→0.26 s over six forces of an
+    # unchanged plan). The DuckDB side (scripts/duck_bench.py) runs the
+    # same warm-up-lap-then-best-of-3 protocol.
+    plans = {}
+    for qid in BENCH_QUERIES:
+        if qid not in REGISTRY:
+            continue
+        if qid in TIMED_BUILD:
+            _force(REGISTRY[qid].fn(spark, sf_dir))
+        else:
+            plans[qid] = REGISTRY[qid].fn(spark, sf_dir)
+            _force(plans[qid])
+
     timings: dict[str, float] = {}
     for qid in BENCH_QUERIES:
         if qid not in REGISTRY:
@@ -92,7 +109,7 @@ def main() -> None:
                 _force(REGISTRY[qid].fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
         else:
-            df = REGISTRY[qid].fn(spark, sf_dir)
+            df = plans[qid]
             for _ in range(3):
                 t0 = time.perf_counter()
                 _force(df)

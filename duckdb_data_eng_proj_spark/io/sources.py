@@ -38,10 +38,14 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS) which the Spark
-    parquet reader rejects outright — read it as raw nanos
-    (``nanosAsLong``) and rebuild a microsecond TIMESTAMP column, which
-    is exact here (the generator writes whole microseconds).
+    ``events.ts`` needs physical-type normalization, handling both
+    generator vintages: INT64 TIMESTAMP(NANOS) (rounds 1-3), which the
+    Spark parquet reader rejects outright — read as raw nanos
+    (``nanosAsLong``) and rebuild a microsecond TIMESTAMP — and plain
+    ``timestamp[us]`` (round-4 regen), which Spark infers as
+    TIMESTAMP_NTZ and downstream epoch arithmetic (``cast(ts as
+    bigint)`` in sessionization) cannot consume — cast to the LTZ
+    TIMESTAMP the nanos path always produced.
 
     DataFrames are memoized per (session, dir, table): they are
     immutable lazy plans, and re-creating one re-reads the parquet
@@ -62,10 +66,13 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

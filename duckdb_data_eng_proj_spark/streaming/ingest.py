@@ -90,21 +90,36 @@ def stream_clean_lms(
     return clean_lms(raw, loan_dupes, app_dupes, run_ts)
 
 
+def _event_ts(raw: DataFrame) -> "F.Column":
+    """Normalized event-time column for the raw on-disk events schema.
+
+    Handles both generator vintages (see io/sources.py): INT64
+    TIMESTAMP(NANOS) read as bigint under nanosAsLong, and timestamp[us]
+    read as TIMESTAMP_NTZ — watermarks and epoch arithmetic require the
+    LTZ TIMESTAMP type.
+    """
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if ts_type == "timestamp_ntz":
+        return F.col("ts").cast("timestamp")
+    return F.col("ts")
+
+
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour counts per event_type with a 1-day watermark,
     executed as a streaming query over the static events parquet."""
     # Streaming file source needs a *directory*; expose the single
     # parquet file through a temp dir symlink. The schema must be the
-    # raw on-disk one (ts = nanos bigint — see io/sources.py), so read
-    # it pre-conversion under the nanosAsLong conf.
+    # raw on-disk one (ts physical type varies by generator vintage —
+    # see _event_ts), so read it pre-conversion under the nanosAsLong
+    # conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     src_dir = tempfile.mkdtemp(prefix="events_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
     stream = spark.readStream.schema(raw.schema).parquet(src_dir)
-    ts = F.col("ts")
-    if dict(raw.dtypes).get("ts") == "bigint":
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = _event_ts(raw)
     agg = (
         stream.withColumn("__ts", ts)
         .withWatermark("__ts", "1 day")
@@ -235,10 +250,8 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
     ckpt = tempfile.mkdtemp(prefix="session_stream_ckpt_")
 
-    ts = F.col("ts")
-    nanos = dict(raw.dtypes).get("ts") == "bigint"
-    if nanos:
-        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = _event_ts(raw)
+    ts_type = dict(raw.dtypes).get("ts")
 
     acc: dict[str, DataFrame | None] = {"df": None}
 
@@ -278,10 +291,12 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lit("2100-01-01 00:00:00").cast("timestamp"),
     )
-    if nanos:
+    if ts_type == "bigint":
         far_future = far_future.withColumn(
             "ts", (F.col("ts").cast("long") * 1_000_000_000)
         )
+    elif ts_type == "timestamp_ntz":
+        far_future = far_future.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     far_future.select(*raw.columns).coalesce(1).write.mode("append").parquet(src_dir)
     run_pass()  # watermark jumps to 2100 → every real session emits
 

@@ -1,7 +1,16 @@
-"""Time the 14 BENCH oracle queries on DuckDB at sf0.1 (warm, best-of-3)."""
-import sys, time
+"""Time the BENCH oracle queries on DuckDB (warm-up lap, then best-of-3).
+
+Same protocol as bench.py: one untimed warm-up execution of every
+query, then best-of-3 timed — so neither engine pays first-execution
+compilation/caching inside its timed window.
+"""
+import json
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
 import duckdb
+
 from bench import BENCH_QUERIES
 from duckdb_data_eng_proj_spark.queries import REGISTRY
 
@@ -12,6 +21,9 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 con.execute("SELECT count(*) FROM lineitem").fetchall()  # warm
 
+for qid in BENCH_QUERIES:  # warm-up lap (see bench.py)
+    con.execute(REGISTRY[qid].oracle).fetchall()
+
 out = {}
 for qid in BENCH_QUERIES:
     sql = REGISTRY[qid].oracle
@@ -21,4 +33,4 @@ for qid in BENCH_QUERIES:
         con.execute(sql).fetchall()
         best = min(best, time.perf_counter() - t0)
     out[qid] = round(best, 4)
-print({"total": round(sum(out.values()), 4), "queries": out})
+print(json.dumps({"total": round(sum(out.values()), 4), "queries": out}))
