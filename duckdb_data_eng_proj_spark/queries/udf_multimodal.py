@@ -163,7 +163,13 @@ _MD5 = "md5(text)"
         "Multimodal decode plumbing: binary payload column → mapInPandas "
         "feature extraction (md5 + pseudo-dimensions; real codec stubbed "
         "— operators/multimodal.py). Narrow stage, no shuffle; the "
-        "oracle reproduces the deterministic fake features in SQL."
+        "oracle reproduces the deterministic fake features in SQL. "
+        "Kept REGISTERED alongside the real codec (mm_decode_bmp) "
+        "deliberately: this is the template for formats whose "
+        "libraries are absent from the runtime (JPEG/PNG/video — the "
+        "north star's 'stub the decode, make the plumbing real'), and "
+        "its oracle checks exactly the plumbing (batch shape, schema, "
+        "partitioning) that carries over when a real codec drops in."
     ),
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,7 +196,11 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and the 2:1 resample output size (the resample PLAN is real "
         "arithmetic over a headerless fake payload; for the end-to-end "
         "REAL codec path see mm_audio_wav). Narrow stage; the "
-        "oracle reproduces the deterministic arithmetic in SQL."
+        "oracle reproduces the deterministic arithmetic in SQL. Kept "
+        "registered alongside mm_audio_wav for the same reason "
+        "mm_decode_stub stays next to mm_decode_bmp: the synthetic "
+        "variant is the drop-in template for codecs the runtime lacks, "
+        "with the Spark-side plumbing oracle-checked."
     ),
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
