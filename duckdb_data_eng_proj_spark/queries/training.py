@@ -1015,3 +1015,123 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming_dist") <= 3)
         .select("doc_a", "doc_b", "hamming_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + PII scrubbing (training-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_decontaminate",
+    oracle=(
+        f"WITH {_TOKS_CTE}, "
+        "grams AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g "
+        "FROM toks, unnest(generate_series(1, greatest(len(tk)-4, 0))) AS t(i)), "
+        "eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0), "
+        "hits AS (SELECT DISTINCT grams.doc_id FROM grams "
+        "JOIN eval_grams USING (g) WHERE grams.doc_id % 50 <> 0) "
+        "SELECT d.doc_id, d.n_chars FROM documents d "
+        "WHERE d.doc_id % 50 <> 0 "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM hits)"
+    ),
+    doc=(
+        "Benchmark decontamination — the step every LLM training "
+        "pipeline runs before a corpus ships: drop any training "
+        "document sharing a 5-token n-gram with the held-out eval set "
+        "(here: doc_id % 50 = 0 stands in for the benchmark suite). "
+        "Plan shape at 100 TB: eval n-grams are bounded (benchmarks "
+        "are small) -> broadcast; training n-grams stream through a "
+        "map-side broadcast hash join with NO shuffle of the corpus; "
+        "only the contaminated-id set (small) shuffles for the "
+        "distinct + anti-join. The n-gram explode is a narrow "
+        "whole-stage-codegen'd stage (operators/textops.word_ngrams)."
+    ),
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    grams = d.select(
+        "doc_id", F.explode(word_ngrams(tk, 5)).alias("g")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .join(hits, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+    )
+
+
+# Cross-engine-safe redaction patterns: character classes + bounded
+# quantifiers only (identical semantics in Java regex and DuckDB's RE2).
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "txt_pii_scrub",
+    oracle=(
+        "WITH aug AS (SELECT doc_id, text "
+        "|| CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || doc_id "
+        "|| '@example.org' ELSE '' END "
+        "|| CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS body "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(body, '\\+1-555-[0-9]{{4}}')) AS INT) "
+        "AS n_phones, "
+        f"regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'\\+1-555-[0-9]{{4}}', '<PHONE>', 'g') AS scrubbed "
+        "FROM aug"
+    ),
+    doc=(
+        "PII redaction over the corpus: scrub emails and phone numbers "
+        "(synthetic PII is injected deterministically per doc_id so the "
+        "redaction provably fires — the raw word-salad text contains "
+        "none). Patterns restricted to the Java-regex/RE2 common "
+        "subset; Spark regexp_replace replaces ALL matches by default "
+        "where DuckDB needs the 'g' flag (SURVEY G4). Pure narrow map "
+        "stage — at 100 TB this fuses into the same scan as the "
+        "quality/language filters (pipe_corpus_clean pattern)."
+    ),
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    aug = d.select("doc_id", body.alias("body"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("body", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("body", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("body", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
