@@ -1135,3 +1135,127 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus assembly: sequence packing, domain mixing, epoch shuffle
+# ---------------------------------------------------------------------------
+
+_SEQ_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "ext_seq_pack",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, source, len({_TOK}) AS n_tok "
+        "FROM documents), "
+        "c AS (SELECT doc_id, source, n_tok, "
+        "SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum "
+        "FROM toks) "
+        f"SELECT source, CAST((cum - n_tok) // {_SEQ_BUDGET} AS BIGINT) "
+        "AS seq_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) "
+        "AS seq_tokens FROM c GROUP BY source, seq_id"
+    ),
+    doc=(
+        "Sequence packing — concat-then-chunk assignment of documents "
+        "into fixed-token-budget training sequences (the step between "
+        "a clean corpus and a dataloader): per packing stream (source), "
+        "documents in deterministic doc_id order get a running token "
+        "cumsum; a document belongs to the sequence its first token "
+        "lands in (floor((cum - n_tok) / budget)). One shuffle keyed "
+        "by the stream + a linear window pass; at 100 TB the stream "
+        "key is salted into bounded shards so no single window "
+        "partition exceeds executor memory. Integer division on both "
+        "engines (values non-negative, so div ≡ floor-div)."
+    ),
+)
+def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    return (
+        c.withColumn("seq_id", F.expr(f"(cum - n_tok) div {_SEQ_BUDGET}"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("seq_tokens"),
+        )
+    )
+
+
+@register(
+    "ext_domain_mix",
+    oracle=(
+        "WITH b AS (SELECT doc_id, source, "
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 "
+        "AS bucket, "
+        "CASE CAST(substr(source, 4) AS INT) % 3 "
+        "WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 25 END AS rate "
+        "FROM documents) "
+        "SELECT source, COUNT(*) AS n_kept FROM b WHERE bucket < rate "
+        "GROUP BY source"
+    ),
+    doc=(
+        "Domain mixing — per-source sampling rates (100%/50%/25% by "
+        "source index mod 3, standing in for a mixture-weights config) "
+        "applied via the same leakage-safe md5 document bucket as "
+        "ext_split_train: reproducible across engines, runs, and "
+        "repartitions, and a document's keep/drop decision never "
+        "depends on partitioning. Filter + one-shuffle groupBy; at "
+        "100 TB the filter fuses into the corpus scan (no "
+        "materialization of the dropped majority)."
+    ),
+)
+def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    rate = (
+        F.when(F.expr("CAST(substring(source, 4) AS INT) % 3") == 0, 100)
+        .when(F.expr("CAST(substring(source, 4) AS INT) % 3") == 1, 50)
+        .otherwise(25)
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@register(
+    "ext_corpus_shuffle",
+    oracle=(
+        "SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key "
+        "FROM documents ORDER BY shuffle_key LIMIT 100"
+    ),
+    doc=(
+        "Epoch shuffle — deterministic global training order via a "
+        "salted md5 sort key (salt = epoch id, so every epoch is a "
+        "fresh but reproducible permutation). The head-100 slice keeps "
+        "the oracle exact while forcing a REAL distributed sort: Spark "
+        "plans TakeOrderedAndProject (per-partition top-k + merge — no "
+        "single-node sort); the full-corpus variant at 100 TB is the "
+        "same ORDER BY written out, which Spark executes with a "
+        "range-partitioned sort, and the key is computed in the scan "
+        "stage (narrow map)."
+    ),
+)
+def ext_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0")))
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+    )

@@ -191,3 +191,40 @@ def test_ivf_partitioned_search_prunes_partitions(spark):
     assert m and ("IN" in m.group(1) or "in(" in m.group(1).lower()), (
         m.group(1) if m else "no centroid_id partition filter"
     )
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Benchmark decontamination must broadcast the (bounded) eval
+    n-gram set — the corpus streams through a map-side hash join and
+    only the small distinct/anti-join sides shuffle. A corpus-wide
+    shuffle here is the 100 TB killer."""
+    df = REGISTRY["ext_decontaminate"].fn(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    # the two exchanges are the small sides (eval-gram distinct and
+    # contaminated-id distinct), never the corpus n-gram stream
+    assert count_exchanges(df) <= 2
+
+
+def test_seq_pack_single_exchange(spark):
+    """Packing = one shuffle keyed by the packing stream: the
+    (source, seq_id) aggregation must REUSE the window's source
+    partitioning (clustering by a superset of the partition keys),
+    not add a second exchange."""
+    df = REGISTRY["ext_seq_pack"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+
+
+def test_corpus_shuffle_is_distributed_topk(spark):
+    """The epoch-shuffle head slice must plan as per-partition top-k +
+    merge (TakeOrderedAndProject) — zero exchanges, no global sort."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["ext_corpus_shuffle"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 0
+    assert "TakeOrdered" in physical_plan(df)
+
+
+def test_pii_scrub_is_pure_map(spark):
+    """Redaction fuses into the scan: zero exchanges, zero joins."""
+    df = REGISTRY["txt_pii_scrub"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 0
