@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",   # shingle→minhash→band (text map stage)
     "dedup_cluster_cc",    # iterative connected-components dedup
     "sim_ann_ivf_search",  # IVF centroid-pruned ANN probe
+    "ext_decontaminate",   # eval-overlap n-gram decontamination (r4)
+    "ext_seq_pack",        # token-budget sequence packing (r4)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

@@ -98,6 +98,23 @@ def ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc=(
+        "Streaming exact dedup (dropDuplicates keyed by user_id + "
+        "event_type) with state across two real micro-batches — a key's "
+        "second arrival must not re-emit. Oracle = batch DISTINCT: the "
+        "dedup streaming/batch unification law (streaming/ingest.py "
+        "documents the watermark-bounded 100 TB variant)."
+    ),
+)
+def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import stream_distinct_keys
+
+    return stream_distinct_keys(spark, sf_dir)
+
+
+@register(
     "ext_stream_session",
     oracle=(
         "WITH flagged AS ("

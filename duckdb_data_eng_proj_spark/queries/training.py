@@ -134,7 +134,12 @@ def _lsh_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing dominates, and a sub-MB documents file would otherwise run
     the whole stage on two cores."""
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
-    bg = d.select("doc_id", distinct_ngrams(tokens(F.col("text")), 2).alias("bg"))
+    # Materialize the token array behind a projection barrier before
+    # the n-gram transform: inlined, the tokenize sub-expression is
+    # re-evaluated inside the shingle lambda per position (~6× the
+    # stage cost at sf0.1 — measured on ext_decontaminate r4).
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    bg = toks.select("doc_id", distinct_ngrams(F.col("tk"), 2).alias("bg"))
     ps = bg.select("doc_id", minhash_pairs(F.col("bg")).alias("ps"))
     sig = ps.select("doc_id", *minhash_from_pairs(F.col("ps"), _N_HASHES))
     sig_cols = [f"h{j}" for j in range(_N_HASHES)]
@@ -149,7 +154,8 @@ def _lsh_bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bigram_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
-    return d.select("doc_id", distinct_ngrams(tokens(F.col("text")), 2).alias("bg"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    return toks.select("doc_id", distinct_ngrams(F.col("tk"), 2).alias("bg"))
 
 
 # ---------------------------------------------------------------------------
@@ -355,8 +361,10 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    tk = tokens(F.col("text"))
-    base = d.select("doc_id", tk.alias("tk"), word_ngrams(tk, 5).alias("shingles"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    base = toks.select(
+        "doc_id", "tk", word_ngrams(F.col("tk"), 5).alias("shingles")
+    )
     has5 = F.size(F.col("tk")) >= 5
     return base.select(
         "doc_id",
@@ -1050,9 +1058,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    tk = tokens(F.col("text"))
-    grams = d.select(
-        "doc_id", F.explode(word_ngrams(tk, 5)).alias("g")
+    # token array materialized behind a projection barrier: inlined,
+    # the tokenizer re-evaluates inside the n-gram lambda per position
+    # (6× the stage cost at sf0.1, measured)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    grams = toks.select(
+        "doc_id", F.explode(word_ngrams(F.col("tk"), 5)).alias("g")
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()

@@ -225,6 +225,59 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` keyed by
+    (user_id, event_type), state carried across two real micro-batches.
+
+    The events table is split into two parquet chunks by event_id
+    parity with ``maxFilesPerTrigger=1``, so a key seen in both chunks
+    genuinely exercises cross-batch dedup state: its second arrival
+    must NOT re-emit. Emitting only the key columns makes the output
+    deterministic (which physical row "wins" varies with file order;
+    the surviving KEY SET does not) — the oracle is the batch
+    ``SELECT DISTINCT``, the dedup streaming/batch unification law.
+
+    At 100 TB ingest this exact pattern runs with a watermark +
+    ``dropDuplicatesWithinWatermark`` so the key state is bounded by
+    the lateness horizon instead of growing forever; the unbounded
+    variant here matches the oracle exactly for a finite replay.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="events_dedup_src_")
+    half = F.pmod(F.col("event_id"), F.lit(2))
+    for part in (0, 1):
+        raw.filter(half == part).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    dedup = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+    acc: dict[str, DataFrame | None] = {"df": None}
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)
+        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
+
+    ckpt = tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
+    q = (
+        dedup.writeStream.foreachBatch(absorb)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = acc["df"]
+    assert out is not None
+    return out
+
+
 SENTINEL_USER = -999_999_999
 
 
