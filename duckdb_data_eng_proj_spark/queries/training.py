@@ -1270,3 +1270,65 @@ def ext_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key")
         .limit(100)
     )
+
+
+_KMV_K = 64
+_KMV_SCALE = float(1 << 60)  # h is a uniform 60-bit hash → h/2^60 ~ U(0,1)
+
+
+@register(
+    "ext_sketch_kmv",
+    oracle=(
+        "WITH pairs AS (SELECT DISTINCT event_type, "
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) "
+        "AS h FROM events), "
+        "topk AS (SELECT event_type, h FROM ("
+        "SELECT event_type, h, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY h) AS rn FROM pairs) "
+        f"WHERE rn <= {_KMV_K}), "
+        "agg AS (SELECT event_type, MAX(h) AS h_k, COUNT(*) AS k_eff "
+        "FROM topk GROUP BY event_type) "
+        "SELECT event_type, CAST(k_eff AS INT) AS k_eff, "
+        f"round(CASE WHEN k_eff < {_KMV_K} THEN CAST(k_eff AS DOUBLE) "
+        f"ELSE {_KMV_K - 1}.0 * {_KMV_SCALE!r} / h_k END, 2) AS est_distinct "
+        "FROM agg"
+    ),
+    doc=(
+        "KMV (k-minimum-values) cardinality sketch: distinct users per "
+        "event_type estimated from the k=64 smallest md5 hash values — "
+        "estimate = (k-1)/u_k where u_k is the kth-smallest hash "
+        "normalized to (0,1); groups smaller than k fall back to their "
+        "exact count. Unlike HLL the whole computation is deterministic "
+        "and engine-independent (same md5, same arithmetic), so the "
+        "DuckDB oracle hash-matches EXACTLY — a sketch with a hard "
+        "correctness gate. Scale shape: the rank<=k filter plans as "
+        "WindowGroupLimit, so each partition forwards only its local "
+        "top-k BEFORE the shuffle — exactly the KMV merge operation; "
+        "the shuffle carries O(k x n_groups) rows regardless of corpus "
+        "size. Estimator error ~ 1/sqrt(k-2) ~ 13%, pinned by a law "
+        "test (tests/test_property_laws.py)."
+    ),
+)
+def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    h60 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    pairs = e.select("event_type", h60.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    agg = topk.groupBy("event_type").agg(
+        F.max("h").alias("h_k"), F.count("*").alias("k_eff")
+    )
+    est = F.when(
+        F.col("k_eff") < _KMV_K, F.col("k_eff").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SCALE) / F.col("h_k")
+    )
+    return agg.select(
+        "event_type",
+        F.col("k_eff").cast("int").alias("k_eff"),
+        F.round(est, 2).alias("est_distinct"),
+    )

@@ -228,3 +228,14 @@ def test_pii_scrub_is_pure_map(spark):
     """Redaction fuses into the scan: zero exchanges, zero joins."""
     df = REGISTRY["txt_pii_scrub"].fn(spark, SF_DIR)
     assert count_exchanges(df) == 0
+
+
+def test_kmv_sketch_uses_window_group_limit(spark):
+    """The KMV rank<=k filter must plan as WindowGroupLimit: each
+    partition forwards only its local top-k before the shuffle (the
+    sketch merge), so shuffle volume is O(k x groups) at any corpus
+    size."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["ext_sketch_kmv"].fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in physical_plan(df)

@@ -311,3 +311,33 @@ def test_ngram_df_cutoff_drops_hot_shingles(spark):
     full = _ngram_jaccard(spark, SF_DIR, max_df=MAX_SHINGLE_DF).count()
     capped = _ngram_jaccard(spark, SF_DIR, max_df=2).count()
     assert capped < full, (capped, full)
+
+
+def test_kmv_sketch_error_bound(spark):
+    """KMV estimator law: for groups saturating k=64, the estimate is
+    within the ~3-sigma relative-error band (3/sqrt(k-2) ~ 38%) of the
+    exact distinct count; sub-k groups are exact by construction."""
+    import pyspark.sql.functions as F
+
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+    from duckdb_data_eng_proj_spark.queries.registry import t
+    from tests.conftest import SF_DIR
+
+    est = {
+        r["event_type"]: (r["k_eff"], r["est_distinct"])
+        for r in REGISTRY["ext_sketch_kmv"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for etype, (k_eff, e) in est.items():
+        x = exact[etype]
+        if k_eff < 64:
+            assert e == x, (etype, e, x)
+        else:
+            assert abs(e - x) / x < 0.38, (etype, e, x)
