@@ -56,6 +56,9 @@ QUERIES = [
     "sim_ann_ivf",
     "ext_text_tokens",
     "txt_quality_score",
+    "ext_decontaminate",
+    "ext_seq_pack",
+    "ext_sketch_kmv",
 ]
 
 
