@@ -98,6 +98,27 @@ def ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_stream_join",
+    oracle=(
+        "SELECT c_mktsegment, COUNT(*) AS n_events "
+        "FROM events JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    doc=(
+        "Stream-static enrichment join (enrich-on-ingest): the events "
+        "stream broadcast-joins the static customer dimension per "
+        "micro-batch, then a streaming aggregate counts per market "
+        "segment. Oracle = the batch join+groupBy — the stream-static "
+        "join unification law (streaming/ingest.py)."
+    ),
+)
+def ext_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import stream_enrich_counts
+
+    return stream_enrich_counts(spark, sf_dir)
+
+
+@register(
     "ext_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     doc=(

@@ -225,6 +225,46 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins the
+    static customer dimension in-flight (user_id = c_custkey), then a
+    streaming aggregate counts events per market segment.
+
+    This is the enrich-on-ingest pattern: the dimension is a plain
+    batch DataFrame broadcast to every micro-batch — no state, no
+    watermark, re-resolved per trigger (so a dimension refresh is
+    picked up at the next micro-batch). At 100 TB ingest rates the
+    same plan holds as long as the dimension stays broadcast-size;
+    bigger dims move to a pre-bucketed co-located join.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="events_enrich_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+
+    from duckdb_data_eng_proj_spark.io.sources import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
+
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="enrich_stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` keyed by
     (user_id, event_type), state carried across two real micro-batches.
