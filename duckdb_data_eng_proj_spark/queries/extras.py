@@ -893,3 +893,51 @@ def snk_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
     )
+
+
+_SYNTH_VOCAB_SQL = (
+    "['loan','rate','credit','risk','score','branch','region','term',"
+    "'amount','balance','payment','default','officer','audit','ledger']"
+)
+
+
+@register(
+    "src_python_datasource",
+    oracle=(
+        "WITH ids AS (SELECT unnest(generate_series(0, 999)) AS doc_id), "
+        "w AS (SELECT doc_id, 5 + CAST('0x' || substr(md5(CAST(doc_id AS "
+        "VARCHAR) || ':len'), 1, 4) AS INT) % 20 AS n_words FROM ids), "
+        "words AS (SELECT doc_id, n_words, j, "
+        f"list_extract({_SYNTH_VOCAB_SQL}, "
+        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || j), 1, 4) "
+        "AS INT) % 15 + 1) AS wd "
+        "FROM w, unnest(generate_series(0, n_words - 1)) AS t(j)) "
+        "SELECT doc_id, string_agg(wd, ' ' ORDER BY j) AS text, "
+        "CAST(any_value(n_words) AS INT) AS n_words "
+        "FROM words GROUP BY doc_id"
+    ),
+    doc=(
+        "Custom Python DataSource (Spark 4 pyspark.sql.datasource API — "
+        "io/pydatasource.py): a partitioned synthetic-corpus source "
+        "registered as format 'synthdocs'. Every value is a pure "
+        "function of doc_id (seeded md5 stream), so the DuckDB oracle "
+        "regenerates the identical table in SQL and the custom source "
+        "is hash-verified end-to-end. The reader exposes real "
+        "partitions (one task each) — rows enter the Catalyst pipeline "
+        "distributed, never via a driver-side collect; the same shape "
+        "wraps any system lacking a native connector."
+    ),
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    from duckdb_data_eng_proj_spark.io.pydatasource import SynthDocsSource
+
+    try:
+        spark.dataSource.register(SynthDocsSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    return (
+        spark.read.format("synthdocs")
+        .option("n_docs", 1000)
+        .option("n_parts", 8)
+        .load()
+    )
