@@ -941,3 +941,113 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:  # noq
         .option("n_parts", 8)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# warehouse maintenance: SCD-2 history + MERGE-style upsert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "etl_scd2",
+    oracle=(
+        "WITH ordered AS (SELECT user_id, ts, event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev_type, event_id "
+        "FROM events), "
+        "changes AS (SELECT user_id, ts, event_type, event_id FROM ordered "
+        "WHERE prev_type IS NULL OR event_type <> prev_type), "
+        "versioned AS (SELECT user_id, event_type, "
+        "CAST(ts AS TIMESTAMP) AS valid_from, "
+        "CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS TIMESTAMP) AS valid_to FROM changes) "
+        "SELECT user_id, event_type, valid_from, valid_to, "
+        "valid_to IS NULL AS is_current FROM versioned"
+    ),
+    doc=(
+        "Slowly-changing-dimension type 2 from a change stream: "
+        "per-entity event sequence → drop no-op repeats (value equal to "
+        "its predecessor) → [valid_from, valid_to) version intervals "
+        "via lead(), open interval = current row. Two window passes "
+        "over ONE shuffle: both windows key on user_id, so the second "
+        "reuses the first's partitioning (exchange reuse verified in "
+        "test_plan_shape). This is the batch-refresh half of warehouse "
+        "dimension maintenance; the streaming half is ext_stream_dedup-"
+        "style state keyed the same way."
+    ),
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_type",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "etl_upsert",
+    oracle=(
+        "WITH updates AS ("
+        "SELECT c_custkey, 'UPDATED' AS c_mktsegment FROM customer "
+        "WHERE c_custkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT c_custkey + 1000000, 'INSERTED' FROM customer "
+        "WHERE c_custkey % 100 = 0) "
+        "SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey, "
+        "coalesce(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment, "
+        "u.c_custkey IS NOT NULL AS was_upserted "
+        "FROM customer b FULL OUTER JOIN updates u "
+        "ON b.c_custkey = u.c_custkey"
+    ),
+    doc=(
+        "MERGE-style upsert as a full-outer join: matched keys take the "
+        "update's values, unmatched-left keep the base row, "
+        "unmatched-right are inserts — the exact WHEN MATCHED / NOT "
+        "MATCHED split of SQL MERGE, expressed engine-neutrally. At "
+        "100 TB the same plan runs as a shuffle join on the key (or "
+        "co-located on a bucketed base table — join_bucketed_colocated); "
+        "format-native MERGE (Delta/Iceberg) adds file-level pruning on "
+        "top but the row semantics are these."
+    ),
+)
+def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c = t(spark, sf_dir, "customer")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("INSERTED").alias("c_mktsegment"),
+            )
+        )
+    )
+    j = base.alias("b").join(
+        updates.alias("u"),
+        F.col("b.c_custkey") == F.col("u.c_custkey"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_mktsegment"), F.col("b.c_mktsegment")).alias(
+            "c_mktsegment"
+        ),
+        F.col("u.c_custkey").isNotNull().alias("was_upserted"),
+    )

@@ -239,3 +239,18 @@ def test_kmv_sketch_uses_window_group_limit(spark):
 
     df = REGISTRY["ext_sketch_kmv"].fn(spark, SF_DIR)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD-2 window passes key on user_id — the lead() after the
+    change-filter must reuse the lag() pass's partitioning, so the
+    whole history rebuild is ONE shuffle of the change stream."""
+    df = REGISTRY["etl_scd2"].fn(spark, SF_DIR)
+    assert count_exchanges(df) == 1
+
+
+def test_upsert_is_single_join_exchange_pair(spark):
+    """The MERGE-style upsert is one full-outer shuffle join: at most
+    an exchange per side, nothing downstream."""
+    df = REGISTRY["etl_upsert"].fn(spark, SF_DIR)
+    assert count_exchanges(df) <= 2
