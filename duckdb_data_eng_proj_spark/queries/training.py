@@ -1332,3 +1332,63 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_eff").cast("int").alias("k_eff"),
         F.round(est, 2).alias("est_distinct"),
     )
+
+
+@register(
+    "txt_rep_signals",
+    oracle=(
+        f"WITH {_TOKS_CTE}, "
+        "base AS (SELECT doc_id, len(tk) AS n, "
+        "len(list_distinct(tk)) AS nu, tk FROM toks), "
+        "grams AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g "
+        "FROM base, unnest(generate_series(1, greatest(n - 1, 0))) AS t(i)), "
+        "gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g), "
+        "top AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) "
+        "AS total FROM gc GROUP BY doc_id) "
+        "SELECT b.doc_id, "
+        "round(1.0 - CAST(b.nu AS DOUBLE) / nullif(b.n, 0), 4) "
+        "AS dup_token_frac, "
+        "round(CAST(t.top_c AS DOUBLE) / nullif(t.total, 0), 4) "
+        "AS top_bigram_frac "
+        "FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id"
+    ),
+    doc=(
+        "Repetition signals (the Gopher/RefinedWeb quality rules for "
+        "catching degenerate generated text): duplicate-token fraction "
+        "(1 - distinct/total) and most-frequent-bigram fraction. The "
+        "token signal is a pure map; the bigram mode needs one "
+        "(doc_id, gram) count shuffle + one per-doc max — both keyed "
+        "by doc_id so they stay partition-local after the first "
+        "exchange. Filters on these fractions slot straight into "
+        "pipe_corpus_clean's cheapest-first chain."
+    ),
+)
+def txt_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("tk")).select(
+        "doc_id",
+        "tk",
+        F.size("tk").alias("n"),
+        F.size(F.array_distinct("tk")).alias("nu"),
+    )
+    grams = base.select(
+        "doc_id", F.explode(word_ngrams(F.col("tk"), 2)).alias("g")
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    top = gc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total")
+    )
+    dup_frac = 1.0 - F.col("nu").cast("double") / F.nullif(
+        F.col("n"), F.lit(0)
+    )
+    top_frac = F.col("top_c").cast("double") / F.nullif(
+        F.col("total"), F.lit(0)
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(dup_frac, 4).alias("dup_token_frac"),
+            F.round(top_frac, 4).alias("top_bigram_frac"),
+        )
+    )
