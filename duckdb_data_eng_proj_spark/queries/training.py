@@ -1392,3 +1392,103 @@ def txt_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(top_frac, 4).alias("top_bigram_frac"),
         )
     )
+
+
+# Random-hyperplane LSH for embeddings (the vector twin of text
+# SimHash, Charikar 2002): plane components are deterministic ±1 from
+# md5(plane:dim) parity, so both engines build the identical planes.
+_N_PLANES = 8
+_EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2
+            else -1.0
+            for d in range(_EMB_DIM)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+def _hp_sig_sql() -> str:
+    planes = _hyperplanes()
+    bits = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ",".join(f"{v:.1f}" for v in plane) + "]"
+        bits.append(
+            f"(CASE WHEN {_dot_sql('embedding', lit)} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+@register(
+    "sim_lsh_hyperplane",
+    oracle=(
+        f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
+        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings) "
+        "SELECT a.sig, a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        "AS cos_sim "
+        "FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id "
+        f"WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.2"
+    ),
+    doc=(
+        "Random-hyperplane LSH over embeddings (Charikar SimHash for "
+        "vectors): 8 deterministic ±1 hyperplanes give an 8-bit sketch "
+        "whose collision probability rises with cosine similarity; "
+        "candidate pairs come from a bucket EQUI-join on the sketch "
+        "(never all-pairs), then exact-rescore. Both engines build "
+        "bit-identical sketches: plane components are md5-parity ±1 "
+        "and the dot folds are order-pinned, so the >=0 sign decision "
+        "is exact cross-engine. This is the no-natural-bucket "
+        "complement to dedup_embed_cosine's label bucketing; at 100 TB "
+        "add bands (multiple independent sketches) for recall."
+    ),
+)
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    planes = _hyperplanes()
+    sig = sum(
+        [
+            F.when(
+                dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in plane]),
+                )
+                >= 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p, plane in enumerate(planes)
+        ],
+        start=F.lit(0),
+    )
+    en = e.select(
+        "vec_id",
+        "embedding",
+        sig.alias("sig"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a, b = en.alias("a"), en.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.2)
+        .select(
+            F.col("a.sig").alias("sig"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
