@@ -385,3 +385,87 @@ def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (canonical-document scoring)
+# ---------------------------------------------------------------------------
+
+_PR_UNITS = 1_000_000  # fixed-point rank units: exact BIGINT arithmetic
+
+
+def _pagerank_oracle() -> str:
+    base = 15 * _PR_UNITS // 100
+    it = (
+        "c{i} AS (SELECT e.dst AS doc_id, SUM(p.pr // p.deg) AS s "
+        "FROM edges e JOIN p{j} p ON p.doc_id = e.src GROUP BY e.dst), "
+        "p{i} AS (SELECT n.doc_id, n.deg, "
+        f"{base} + (85 * coalesce(c.s, 0)) // 100 AS pr "
+        "FROM nodes n LEFT JOIN c{i} c ON c.doc_id = n.doc_id)"
+    )
+    from duckdb_data_eng_proj_spark.queries.training import _LSH_PRELUDE
+
+    return (
+        _LSH_PRELUDE
+        + ", "
+        + _PAIRS_SQL.format(thr=0.05)
+        + ", edges AS MATERIALIZED ("
+        "SELECT doc_a AS src, doc_b AS dst FROM ndpairs "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ndpairs), "
+        "nodes AS (SELECT src AS doc_id, COUNT(*) AS deg "
+        "FROM edges GROUP BY src), "
+        f"p0 AS (SELECT doc_id, deg, CAST({_PR_UNITS} AS BIGINT) AS pr "
+        "FROM nodes), "
+        + it.format(i=1, j=0)
+        + ", "
+        + it.format(i=2, j=1)
+        + " SELECT doc_id, pr AS pagerank_units FROM p2"
+    )
+
+
+@register(
+    "ml_pagerank_2iter",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "PageRank (2 unrolled iterations, damping 0.85) over the "
+        "verified near-dup pair graph — ranks the canonical document "
+        "inside each duplicate cluster by link mass. All arithmetic is "
+        "fixed-point BIGINT (rank units of 1e-6, integer div for "
+        "share-splitting and damping), so the result is EXACT and "
+        "engine-independent — the same trick that makes ml_kmeans_2iter "
+        "and the money math hash-verifiable; float PageRank would "
+        "diverge across engines on summation order alone. Per "
+        "iteration: one join keyed by src + one groupBy dst — the "
+        "identical shuffle shape as a cluster-scale Pregel superstep; "
+        "the fixpoint variant loops exactly like dedup_cluster_cc "
+        "(localCheckpoint per round, scalar convergence agg)."
+    ),
+)
+def ml_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _near_dup_pairs(spark, sf_dir, 0.05)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    base = 15 * _PR_UNITS // 100
+    pr = nodes.withColumn("pr", F.lit(_PR_UNITS).cast("long"))
+    for _ in range(2):
+        contrib = (
+            edges.join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .select("dst", F.expr("pr div deg").alias("share"))
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("share").alias("s"))
+        )
+        pr = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            "deg",
+            (
+                F.lit(base)
+                + F.expr("85 * coalesce(s, 0) div 100")
+            ).alias("pr"),
+        )
+    return pr.select("doc_id", F.col("pr").alias("pagerank_units"))
