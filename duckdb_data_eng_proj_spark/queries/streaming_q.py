@@ -98,6 +98,28 @@ def ext_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_stream_topk",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n_events FROM events "
+        "GROUP BY event_type ORDER BY n_events DESC, event_type LIMIT 5"
+    ),
+    doc=(
+        "Streaming top-k (complete-mode ranking): the per-type counts "
+        "re-rank on every micro-batch and the sink always holds the "
+        "current top 5 — the live-dashboard pattern. Sort+limit is only "
+        "legal in complete mode (append cannot retract a displaced "
+        "row); at scale the complete-mode state is the AGGREGATE table "
+        "(tiny), never the stream. Oracle = batch top-k with a pinned "
+        "tie-break."
+    ),
+)
+def ext_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import stream_topk_counts
+
+    return stream_topk_counts(spark, sf_dir)
+
+
+@register(
     "ext_stream_join",
     oracle=(
         "SELECT c_mktsegment, COUNT(*) AS n_events "

@@ -225,6 +225,34 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_topk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode streaming top-k: per-type counts, re-ranked each
+    micro-batch; the memory sink holds the current top 5."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="events_topk_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    ranked = (
+        stream.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+        .limit(5)
+    )
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="topk_stream_ckpt_")
+    q = (
+        ranked.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: the events stream joins the
     static customer dimension in-flight (user_id = c_custkey), then a
