@@ -396,11 +396,15 @@ _PR_UNITS = 1_000_000  # fixed-point rank units: exact BIGINT arithmetic
 
 def _pagerank_oracle() -> str:
     base = 15 * _PR_UNITS // 100
+    # CAST back to BIGINT at every step: DuckDB SUM(BIGINT) widens to
+    # HUGEINT (int128), which the driver hasher must never see (the
+    # round-1 hash-fail class — scripts/type_sweep.py flags it).
     it = (
-        "c{i} AS (SELECT e.dst AS doc_id, SUM(p.pr // p.deg) AS s "
+        "c{i} AS (SELECT e.dst AS doc_id, "
+        "CAST(SUM(p.pr // p.deg) AS BIGINT) AS s "
         "FROM edges e JOIN p{j} p ON p.doc_id = e.src GROUP BY e.dst), "
         "p{i} AS (SELECT n.doc_id, n.deg, "
-        f"{base} + (85 * coalesce(c.s, 0)) // 100 AS pr "
+        f"CAST({base} + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS pr "
         "FROM nodes n LEFT JOIN c{i} c ON c.doc_id = n.doc_id)"
     )
     from duckdb_data_eng_proj_spark.queries.training import _LSH_PRELUDE
