@@ -473,3 +473,102 @@ def ml_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr.select("doc_id", F.col("pr").alias("pagerank_units"))
+
+
+_REP_CTES = (
+    "repb AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nu "
+    "FROM toks), "
+    "repg AS (SELECT b.doc_id, array_to_string(t2.tk[i:i+1], ' ') AS g "
+    "FROM repb b JOIN toks t2 USING (doc_id), "
+    "unnest(generate_series(1, greatest(b.n - 1, 0))) AS t(i)), "
+    "repc AS (SELECT doc_id, g, COUNT(*) AS c FROM repg GROUP BY doc_id, g), "
+    "rept AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS total "
+    "FROM repc GROUP BY doc_id), "
+    "rep AS (SELECT b.doc_id, "
+    "round(1.0 - CAST(b.nu AS DOUBLE) / nullif(b.n, 0), 4) AS dupf, "
+    "round(CAST(t.top_c AS DOUBLE) / nullif(t.total, 0), 4) AS topf "
+    "FROM repb b LEFT JOIN rept t ON b.doc_id = t.doc_id)"
+)
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 4) "
+    "AS INT) % 100 < 90 THEN 'train' "
+    "WHEN CAST('0x' || substr(md5(CAST(kept.doc_id AS VARCHAR)), 1, 4) "
+    "AS INT) % 100 < 95 THEN 'valid' ELSE 'test' END"
+)
+
+
+@register(
+    "pipe_corpus_clean_v2",
+    oracle=(
+        f"{_LSH_PRELUDE}, "
+        + _LOSERS_SQL.format(thr=0.05)
+        + f", {_QL_CTE}, {_REP_CTES}, "
+        "kept AS (SELECT q.* FROM ql q "
+        "JOIN rep r ON q.doc_id = r.doc_id "
+        "LEFT JOIN losers l ON q.doc_id = l.doc_id "
+        "WHERE q.quality_score >= 0.5 AND (" + _LANG_PRED_SQL + ") = 'en' "
+        "AND r.dupf <= 0.6 AND r.topf <= 0.06 "
+        "AND l.doc_id IS NULL "
+        "QUALIFY row_number() OVER (PARTITION BY q.fingerprint "
+        "ORDER BY q.doc_id) = 1) "
+        f"SELECT doc_id, n_tokens, quality_score, {_SPLIT_SQL} AS split "
+        "FROM kept"
+    ),
+    doc=(
+        "The FULL modern pretraining pipeline in one lazy plan: "
+        "quality score → language id → repetition filters (Gopher "
+        "duplicate-token + top-bigram fractions) → exact dedup "
+        "(fingerprint keep-first) → LSH near-dup removal → leakage-safe "
+        "train/valid/test split. Extends pipe_corpus_clean with the "
+        "repetition and split stages; cheapest filters still run "
+        "first, every stage reuses a verified standalone operator, and "
+        "the whole chain remains one Catalyst plan (no intermediate "
+        "materialization) — at 100 TB the filters fuse into the corpus "
+        "scan and only survivors reach the hash/shuffle stages."
+    ),
+)
+def pipe_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from duckdb_data_eng_proj_spark.queries.training import (
+        txt_fingerprint,
+        txt_lang_id,
+        txt_quality_score,
+        txt_rep_signals,
+    )
+
+    quality = txt_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    lang = txt_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    fp = txt_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
+    rep = txt_rep_signals(spark, sf_dir)
+    losers = _near_dup_losers(spark, sf_dir, 0.05)
+
+    kept = (
+        quality.join(lang, "doc_id")
+        .join(rep, "doc_id")
+        .join(fp, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("pred_lang") == "en")
+            & (F.col("dup_token_frac") <= 0.6)
+            & (F.col("top_bigram_frac") <= 0.06)
+        )
+        .join(losers, "doc_id", "left_anti")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "quality_score", split.alias("split"))
+    )
