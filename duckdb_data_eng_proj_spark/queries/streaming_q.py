@@ -40,15 +40,23 @@ def split_lms_csv(src: str, n_head: int = 90) -> str:
     return out_dir
 
 
+from duckdb_data_eng_proj_spark.etl.oracle_sql import ETL_ORACLES
+
+
 @register(
     "ext_stream_ingest",
-    oracle=None,
+    # The streaming replay must reproduce the BATCH clean exactly, so
+    # it shares etl_clean_lms's hash-grade oracle (r4 upgrade from
+    # rows-only: the r3 ETL oracles made this expressible — verified
+    # exceptAll-identical both ways before wiring).
+    oracle=ETL_ORACLES.get("etl_clean_lms"),
     doc=(
         "LMS daily-updates flow as Structured Streaming (SURVEY §2.8): "
         "CSV file source, one micro-batch per daily file, foreachBatch "
         "accumulation, batch cleaners applied over the accumulated "
-        "whole — output ≡ batch pipeline on the union (asserted in "
-        "tests/test_streaming.py)."
+        "whole — output ≡ batch pipeline on the union (also asserted "
+        "in tests/test_streaming.py); hash-gated against the same "
+        "DuckDB oracle as etl_clean_lms."
     ),
 )
 def ext_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
