@@ -1207,7 +1207,7 @@ def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH b AS (SELECT doc_id, source, "
         "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 "
         "AS bucket, "
-        "CASE CAST(substr(source, 4) AS INT) % 3 "
+        "CASE TRY_CAST(substr(source, 4) AS INT) % 3 "
         "WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 25 END AS rate "
         "FROM documents) "
         "SELECT source, COUNT(*) AS n_kept FROM b WHERE bucket < rate "
@@ -1232,8 +1232,8 @@ def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     rate = (
-        F.when(F.expr("CAST(substring(source, 4) AS INT) % 3") == 0, 100)
-        .when(F.expr("CAST(substring(source, 4) AS INT) % 3") == 1, 50)
+        F.when(F.expr("TRY_CAST(substring(source, 4) AS INT) % 3") == 0, 100)
+        .when(F.expr("TRY_CAST(substring(source, 4) AS INT) % 3") == 1, 50)
         .otherwise(25)
     )
     return (

@@ -254,3 +254,11 @@ def test_upsert_is_single_join_exchange_pair(spark):
     an exchange per side, nothing downstream."""
     df = REGISTRY["etl_upsert"].fn(spark, SF_DIR)
     assert count_exchanges(df) <= 2
+
+
+def test_python_datasource_is_partitioned(spark):
+    """The custom Python DataSource must expose real input partitions
+    (one task each) — a single-partition read would serialize the
+    whole source through one core."""
+    df = REGISTRY["src_python_datasource"].fn(spark, SF_DIR)
+    assert df.rdd.getNumPartitions() == 8
