@@ -68,10 +68,16 @@ def main() -> None:
     # Latency profile (see session.get_spark): sub-GB input, so trade
     # AQE's per-stage materialization + tiny-shuffle compression for
     # interactive latency, and size scan splits to the actual input.
+    # SPARK_GRAFT_PROFILE=default runs the 100 TB posture instead (AQE +
+    # compression on) so the scale profile has its own recorded numbers
+    # (BASELINE.md honesty note).
+    latency = os.environ.get("SPARK_GRAFT_PROFILE", "latency") != "default"
     input_bytes = sum(
         os.path.getsize(os.path.join(sf_dir, f)) for f in os.listdir(sf_dir)
     )
-    spark = get_spark(app_name="bench", input_bytes=input_bytes, latency_profile=True)
+    spark = get_spark(
+        app_name="bench", input_bytes=input_bytes, latency_profile=latency
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the session (JVM JIT, parquet footer cache) on a tiny query.
