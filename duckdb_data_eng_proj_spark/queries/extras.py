@@ -1051,3 +1051,118 @@ def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("u.c_custkey").isNotNull().alias("was_upserted"),
     )
+
+
+@register(
+    "snk_orc_roundtrip",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS cents FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderstatus"
+    ),
+    doc=(
+        "ORC sink round-trip (Spark's second built-in columnar format, "
+        "zero extra dependencies): write an orders slice as ORC, read "
+        "it back, aggregate. Oracle states the round-trip's expected "
+        "value (snk_csv_quoted pattern — DuckDB has no ORC reader, and "
+        "the Spark result comes from the files actually written, so a "
+        "corrupted write fails the hash). Same layout disciplines as "
+        "parquet apply at 100 TB: partition columns, predicate pushdown "
+        "via ORC row-group stats, one file per partition."
+    ),
+)
+def snk_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(_TMP_X, "orders_orc_sink")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(exact_units(F.col("o_totalprice"))).cast("long").alias("cents"),
+    )
+
+
+@register(
+    "fn_bitwise_suite",
+    oracle=(
+        "SELECT o_orderkey, "
+        "o_orderkey & 255 AS low_byte, "
+        "o_orderkey | 4096 AS set_bit, "
+        "xor(o_orderkey, 255) AS flipped, "
+        "o_orderkey << 2 AS shl, "
+        "o_orderkey >> 3 AS shr, "
+        "CAST(bit_count(o_orderkey) AS INT) AS popcount "
+        "FROM orders WHERE o_orderkey < 3000"
+    ),
+    doc=(
+        "Bitwise-function suite (AND/OR/XOR, shifts, popcount) — the "
+        "primitives behind the engine's own hash partitioning, bloom "
+        "filters, and the simhash/bitmask operators. DuckDB spells XOR "
+        "as xor(); shifts and popcount agree on BIGINT semantics. Pure "
+        "narrow map stage."
+    ),
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("set_bit"),
+        k.bitwiseXOR(F.lit(255)).alias("flipped"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )
+
+
+@register(
+    "agg_stats_exact",
+    oracle=(
+        "WITH m AS (SELECT o_orderpriority, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS s1, "
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT) * "
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) AS s2d "
+        "FROM orders GROUP BY o_orderpriority) "
+        "SELECT o_orderpriority, n, "
+        "round(CAST(s1 AS DOUBLE) / n / 100, 4) AS mean_eur, "
+        "round(sqrt((s2d - CAST(s1 AS DOUBLE) * s1 / n) / n) "
+        "/ 100, 4) AS stddev_pop_eur "
+        "FROM m"
+    ),
+    doc=(
+        "Population mean/stddev made cross-engine EXACT: the float "
+        "aggregates (avg, stddev_pop) are summation-order-dependent and "
+        "can hash-differ between engines, so the moments are "
+        "accumulated as exact integer cent sums (Σx, Σx²) — map-side "
+        "combinable, one shuffle — and the statistics derived from "
+        "those scalars in identical double arithmetic. Σx² is "
+        "accumulated 128-bit wide (Spark DECIMAL(38,0) ≡ DuckDB "
+        "HUGEINT: BIGINT cents² would wrap near 2⁶³ at sf0.1 group "
+        "sizes) and converted to double only at the final scalar step "
+        "— exact-integer→nearest-double is deterministic IEEE on both "
+        "engines, and no DECIMAL/HUGEINT reaches a result column. The "
+        "pattern generalizes to corr/covar: exact integer moment sums "
+        "first, float math on scalars last."
+    ),
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cents = exact_units(F.col("o_totalprice"))
+    m = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).cast("long").alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).cast("double").alias("s2d"),
+    )
+    s1d = F.col("s1").cast("double")
+    nd = F.col("n")
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(s1d / nd / 100, 4).alias("mean_eur"),
+        F.round(
+            F.sqrt((F.col("s2d") - s1d * F.col("s1") / nd) / nd) / 100, 4
+        ).alias("stddev_pop_eur"),
+    )
