@@ -1166,3 +1166,57 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((F.col("s2d") - s1d * F.col("s1") / nd) / nd) / 100, 4
         ).alias("stddev_pop_eur"),
     )
+
+
+@register(
+    "agg_corr_exact",
+    oracle=(
+        "WITH m AS (SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sx, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS sy, "
+        "CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT) * "
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sxy, "
+        "CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT) * "
+        "CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) AS sxx, "
+        "CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS syy "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, "
+        "round((sxy - CAST(sx AS DOUBLE) * sy / n) / "
+        "sqrt((sxx - CAST(sx AS DOUBLE) * sx / n) * "
+        "(syy - CAST(sy AS DOUBLE) * sy / n)), 6) AS corr_qty_price "
+        "FROM m"
+    ),
+    doc=(
+        "Pearson correlation (quantity vs extended price per return "
+        "flag) via the same exact-moment pattern as agg_stats_exact: "
+        "five integer cent moment sums (Σx, Σy, Σxy, Σx², Σy² — the "
+        "cross/squared sums 128-bit wide), correlation derived from "
+        "the scalars in identical double arithmetic. Spark's corr() "
+        "and DuckDB's corr() would hash-differ on summation order; "
+        "this is order-independent and map-side combinable — ONE "
+        "shuffle for a statistic engines usually can't cross-verify."
+    ),
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x = exact_units(F.col("l_quantity"))
+    y = exact_units(F.col("l_extendedprice"))
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    sxd, syd, nd = F.col("sx").cast("double"), F.col("sy").cast("double"), F.col("n")
+    cov = F.col("sxy") - sxd * F.col("sy") / nd
+    vx = F.col("sxx") - sxd * F.col("sx") / nd
+    vy = F.col("syy") - syd * F.col("sy") / nd
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+    )
