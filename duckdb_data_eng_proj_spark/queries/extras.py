@@ -1220,3 +1220,67 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
     )
+
+
+@register(
+    "src_jsonl_roundtrip",
+    oracle=(
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE doc_id < 300"
+    ),
+    doc=(
+        "JSON-Lines source contract: write a documents slice as JSONL, "
+        "read it back with an EXPLICIT schema (never inferred — schema "
+        "inference is a full extra pass over 100 TB and non-"
+        "deterministic under schema drift) plus PERMISSIVE mode, the "
+        "JSON twin of the all-VARCHAR CSV quarantine contract "
+        "(io/sources.py): malformed lines land in a corrupt-record "
+        "column instead of failing the scan. Oracle states the "
+        "round-trip identity (snk_csv_quoted pattern)."
+    ),
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(_TMP_X, "documents_jsonl")
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).json(out)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, source string, n_chars bigint, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return back.filter(F.col("_corrupt_record").isNull()).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle=(
+        "WITH b AS (SELECT o_orderpriority, "
+        "CAST(least(floor(o_totalprice / 50000), 9) AS INT) AS bucket "
+        "FROM orders) "
+        "SELECT o_orderpriority, bucket, COUNT(*) AS n "
+        "FROM b GROUP BY o_orderpriority, bucket"
+    ),
+    doc=(
+        "Equi-width histogram (50k-EUR buckets, top-coded at bucket 9) "
+        "per priority — the profiling staple behind optimizer stats "
+        "and data-quality dashboards. floor-division bucketing is "
+        "engine-identical; one shuffle with map-side combine, output "
+        "bounded by buckets × groups regardless of input size."
+    ),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        o.select("o_orderpriority", bucket.alias("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
