@@ -447,13 +447,20 @@ def _pagerank_oracle() -> str:
 )
 def ml_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _near_dup_pairs(spark, sf_dir, 0.05)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # Graph tables feed every iteration — localCheckpoint once (the
+    # same per-round persist discipline as dedup_cluster_cc) so the
+    # LSH pair derivation never replays inside the unrolled plan.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
     )
-    nodes = edges.groupBy(F.col("src").alias("doc_id")).agg(
-        F.count("*").alias("deg")
+    nodes = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
     base = 15 * _PR_UNITS // 100
     pr = nodes.withColumn("pr", F.lit(_PR_UNITS).cast("long"))

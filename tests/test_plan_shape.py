@@ -8,6 +8,7 @@ plan regression is slower than any constant-factor code change.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.plans import (
@@ -262,3 +263,26 @@ def test_python_datasource_is_partitioned(spark):
     whole source through one core."""
     df = REGISTRY["src_python_datasource"].fn(spark, SF_DIR)
     assert df.rdd.getNumPartitions() == 8
+
+
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        ("ext_domain_mix", 1),
+        ("agg_histogram", 1),
+        ("agg_stats_exact", 1),
+        ("agg_corr_exact", 1),
+        ("txt_rep_signals", 2),
+        ("sim_lsh_hyperplane", 2),
+        ("snk_orc_roundtrip", 1),
+        ("src_jsonl_roundtrip", 0),
+        ("ml_pagerank_2iter", 8),
+    ],
+)
+def test_new_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r4 operators: each plan's shuffle count
+    is part of its scale contract — a regression here is slower than
+    any constant-factor code change at 100 TB."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
