@@ -1284,3 +1284,49 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "join_dpp_pruned",
+    oracle=(
+        "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS VARCHAR) "
+        "AS order_month FROM orders) "
+        "SELECT order_month, COUNT(*) AS n_orders FROM m "
+        "WHERE order_month >= '1997-01-01' GROUP BY order_month"
+    ),
+    doc=(
+        "Dynamic partition pruning — THE 100 TB scan-reduction "
+        "mechanism: the fact table is stored partitioned by month "
+        "(one directory per partition value); the month dimension is "
+        "filtered at runtime and broadcast, and Spark injects a "
+        "dynamicpruningexpression into the fact scan's "
+        "PartitionFilters so only the matching partition directories "
+        "are ever read — the fact-side filter is derived from the "
+        "DIM's rows, not from a static predicate. Plan-shape test "
+        "pins the injection (test_plan_shape). Oracle states the "
+        "round-trip + join value."
+    ),
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(_TMP_X, "orders_dpp_sink")
+    o = t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.trunc("o_orderdate", "month").cast("string")
+    )
+    o.repartition("order_month").write.mode("overwrite").partitionBy(
+        "order_month"
+    ).parquet(out)
+    fact = spark.read.parquet(out).withColumn(
+        "order_month", F.col("order_month").cast("string")
+    )
+    # independent dim: months from the ORIGINAL table, runtime-filtered
+    dim = (
+        t(spark, sf_dir, "orders")
+        .select(F.trunc("o_orderdate", "month").cast("string").alias("order_month"))
+        .distinct()
+        .filter(F.col("order_month") >= "1997-01-01")
+    )
+    return (
+        fact.join(F.broadcast(dim), "order_month")
+        .groupBy("order_month")
+        .agg(F.count("*").alias("n_orders"))
+    )

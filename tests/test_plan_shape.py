@@ -286,3 +286,14 @@ def test_new_op_exchange_budget(spark, qid, budget):
     df = REGISTRY[qid].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """The month-dim join must inject a dynamicpruningexpression into
+    the partitioned fact scan's PartitionFilters — only matching
+    partition directories are read, derived from the dim's runtime
+    rows, not a static predicate."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["join_dpp_pruned"].fn(spark, SF_DIR)
+    assert "dynamicpruning" in physical_plan(df).lower()
