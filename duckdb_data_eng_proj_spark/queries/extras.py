@@ -1330,3 +1330,77 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_month")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "win_moving_avg",
+    oracle=(
+        "WITH c AS (SELECT user_id, ts, event_id, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events) "
+        "SELECT user_id, event_id, "
+        "round(CAST(SUM(cents) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
+        "AS DOUBLE) / (COUNT(*) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) "
+        "/ 100, 4) AS mov_avg_eur "
+        "FROM c"
+    ),
+    doc=(
+        "Trailing 5-event moving average per user — the smoothing "
+        "staple for event streams. Numerator is an exact integer cent "
+        "sum over the ROWS frame (avg() over raw doubles is a "
+        "partition-order trap), denominator the frame's row count, so "
+        "short heads average over what exists. One shuffle keyed by "
+        "user, one sorted pass for both frame aggregates."
+    ),
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    cents = exact_units(F.col("value"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(cents).over(w).cast("double") / F.count("*").over(w) / 100, 4
+        ).alias("mov_avg_eur"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle=(
+        "WITH c AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderpriority, o_orderstatus) "
+        "SELECT o_orderpriority, o_orderstatus AS mode_status, n AS mode_n "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY n DESC, o_orderstatus) AS rn FROM c) WHERE rn = 1"
+    ),
+    doc=(
+        "Per-group mode (most frequent order status per priority) via "
+        "count + rank with a pinned tie-break — DuckDB's mode() "
+        "tie-breaks are implementation-defined, so the rank "
+        "formulation is the cross-engine-deterministic spelling. "
+        "Count shuffle + a tiny windowed top-1 over the aggregates; "
+        "the WindowGroupLimit pushdown keeps the rank partial."
+    ),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("mode_n"),
+        )
+    )

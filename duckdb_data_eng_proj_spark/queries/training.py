@@ -1492,3 +1492,47 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 4).alias("cos_sim"),
         )
     )
+
+
+@register(
+    "ext_ngram_lm",
+    oracle=(
+        f"WITH {_TOKS_CTE}, "
+        "pairs AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM toks, "
+        "unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS t(i)), "
+        "bc AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2), "
+        "uc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS total FROM bc GROUP BY w1) "
+        "SELECT b.w1, b.w2, b.n, "
+        "round(CAST(b.n AS DOUBLE) / u.total, 6) AS p_cond "
+        "FROM bc b JOIN uc u ON b.w1 = u.w1"
+    ),
+    doc=(
+        "Bigram language-model counts: P(w2|w1) = count(w1,w2) / "
+        "count(w1·) — the n-gram LM primitive behind perplexity "
+        "filtering and KenLM-style corpus scoring. The continuation "
+        "total is the sum of the word's bigram counts (consistent "
+        "denominator, no separate unigram pass). Token pairs come from "
+        "arrays_zip of two slices behind the projection barrier; two "
+        "shuffles (bigram count keyed by pair with map-side combine, "
+        "then the w1 total) — both keys uniform at corpus scale."
+    ),
+)
+def ext_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("tk")).filter(F.size("tk") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    uc = bc.groupBy("w1").agg(F.sum("n").alias("total"))
+    return bc.join(uc, "w1").select(
+        "w1",
+        "w2",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p_cond"),
+    )
