@@ -277,6 +277,9 @@ def test_python_datasource_is_partitioned(spark):
         ("snk_orc_roundtrip", 1),
         ("src_jsonl_roundtrip", 0),
         ("ml_pagerank_2iter", 8),
+        ("win_moving_avg", 1),
+        ("agg_mode", 2),
+        ("ext_ngram_lm", 3),
     ],
 )
 def test_new_op_exchange_budget(spark, qid, budget):
