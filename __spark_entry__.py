@@ -12,6 +12,7 @@ row — see duckdb_data_eng_proj_spark/queries/).
 
 from __future__ import annotations
 
+import functools
 import glob
 import hashlib
 import inspect
@@ -37,20 +38,89 @@ _SNAPSHOT_PATH = os.path.join(
 )
 
 
+# Shared helper modules whose edits must invalidate EVERY id's green
+# evidence (VERDICT r4 #2: `tokens()` in operators/textops.py could
+# change under a "verified" id and getsource(fn) would never see it).
+# Paths are package-relative; absolute paths are honored (tests).
+_HELPER_MODULES: tuple[str, ...] = (
+    "operators/textops.py",
+    "operators/vectors.py",
+    "functions/scalars.py",
+    "io/sources.py",
+    "io/scratch.py",
+    "streaming/ingest.py",
+    "etl/loan_pipeline.py",
+)
+_PKG_DIR = os.path.join(_HERE, "duckdb_data_eng_proj_spark")
+
+
+@functools.lru_cache(maxsize=None)
+def _helpers_digest() -> str:
+    """Concatenated-source digest of the shared helper layer."""
+    chunks = []
+    for rel in _HELPER_MODULES:
+        path = rel if os.path.isabs(rel) else os.path.join(_PKG_DIR, rel)
+        try:
+            with open(path, encoding="utf-8") as fh:
+                chunks.append(fh.read())
+        except OSError:
+            chunks.append("")
+    return hashlib.sha256("\x00".join(chunks).encode()).hexdigest()
+
+
+@functools.lru_cache(maxsize=None)
+def _module_context(modname: str) -> str:
+    """Source of a query module MINUS every registered fn's own body.
+
+    This is the module-level shared context (constants like
+    `_LSH_PRELUDE`, private helpers, imports): editing it invalidates
+    every id defined in the module, while editing one registered fn
+    invalidates only that fn (its body is excluded here but included
+    in its own payload). Closes the r4 snapshot blind spot at fn
+    granularity instead of whole-module churn.
+    """
+    mod = sys.modules.get(modname)
+    if mod is None:
+        return modname
+    try:
+        src = inspect.getsource(mod)
+    except (OSError, TypeError):
+        return modname
+    for spec in REGISTRY.values():
+        if getattr(spec.fn, "__module__", None) != modname:
+            continue
+        try:
+            fn_src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            continue
+        src = src.replace(fn_src, "")
+    return src
+
+
 def _impl_hash(spec) -> str:
-    """Hash of a registry entry's implementation source + oracle text.
+    """Hash of a registry entry's implementation source + oracle text
+    + defining-module context + shared-helper digest.
 
     Used to detect 'code changed since the last green driver row'
     (VERDICT r3 #3: ext_dedup_exact / sim_ann_ivf_search shipped r3
-    rewrites while coasting on r1/r2 driver evidence). Helper-level
-    changes are invisible to getsource(fn) — the round-start snapshot
-    regen bounds that blind spot to a single round.
+    rewrites while coasting on r1/r2 driver evidence). Since r5 the
+    payload also covers module-level constants/helpers of the fn's
+    defining module and the shared operator-helper modules, so a
+    helper-only edit flips dependent ids to unverified immediately
+    (VERDICT r4 #2) instead of one round late.
     """
     try:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
         src = getattr(spec.fn, "__qualname__", repr(spec.fn))
-    payload = src + "\x00" + (spec.oracle or "")
+    payload = "\x00".join(
+        [
+            src,
+            spec.oracle or "",
+            _module_context(getattr(spec.fn, "__module__", "")),
+            _helpers_digest(),
+        ]
+    )
     return hashlib.sha256(payload.encode()).hexdigest()
 
 
@@ -120,16 +190,34 @@ def _verified_green() -> set[str]:
     }
 
 
+# Ids the driver must reach THIS round even if the verify run
+# truncates (the driver records exactly ~50 rows/round). VERDICT r4 #1:
+# ml_pagerank_2iter / pipe_corpus_clean_v2 have never been driver-run;
+# dedup_cluster_cc / _star coast on pre-rewrite r3 rows.
+_PRIORITY: tuple[str, ...] = (
+    "ml_pagerank_2iter",
+    "pipe_corpus_clean_v2",
+    "dedup_cluster_cc",
+    "dedup_cluster_cc_star",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Never-driver-verified ids enumerate first (registry order within
-    each group) so a truncated verify run still covers new ground.
+    Never-driver-verified ids enumerate first so a truncated verify
+    run still covers new ground. Within the unverified band:
+    explicit-priority ids, then ids with no green row in ANY round
+    (genuinely new work), then stale-evidence ids (code changed since
+    their last green row); registry order within each band.
     """
-    green = _verified_green()
-    ordered = [qid for qid in REGISTRY if qid not in green] + [
-        qid for qid in REGISTRY if qid in green
-    ]
+    verified = _verified_green()
+    ever_green = _green_rows()
+    unverified = [qid for qid in REGISTRY if qid not in verified]
+    band0 = [qid for qid in _PRIORITY if qid in unverified]
+    band1 = [q for q in unverified if q not in band0 and q not in ever_green]
+    band2 = [q for q in unverified if q not in band0 and q in ever_green]
+    ordered = band0 + band1 + band2 + [qid for qid in REGISTRY if qid in verified]
     return {qid: REGISTRY[qid].fn for qid in ordered}
 
 

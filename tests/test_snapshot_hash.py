@@ -1,0 +1,95 @@
+"""Staleness-detection contract for the verified-evidence snapshot.
+
+VERDICT r4 #2: the r4 `_impl_hash` saw only `getsource(fn)` + oracle,
+so an edit to a shared helper (e.g. ``tokens()`` in
+operators/textops.py) or to a module-level constant left dependent ids
+"verified" for a full round. The r5 payload adds (a) the defining
+module's shared context (module source minus every registered fn's own
+body) and (b) a digest over the shared helper modules. These tests pin
+that contract without touching real source files.
+"""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+
+import pytest
+
+entry = importlib.import_module("__spark_entry__")
+from duckdb_data_eng_proj_spark.queries import REGISTRY  # noqa: E402
+
+
+def test_module_context_excludes_registered_fn_bodies():
+    # Editing one registered fn must NOT churn its module siblings:
+    # the context is the module source with every registered fn body
+    # stripped out.
+    ctx = entry._module_context("duckdb_data_eng_proj_spark.queries.training")
+    fuzzy_src = inspect.getsource(REGISTRY["dedup_fuzzy_edit"].fn)
+    assert fuzzy_src not in ctx
+    # A registered fn's own body appears in its payload via getsource,
+    # not via context — sibling hash unchanged when only fuzzy edits.
+
+
+def test_module_context_includes_module_constants():
+    # Module-level shared context (the exact r4 blind-spot class:
+    # _LSH_PRELUDE feeds several oracles and candidate generators)
+    # must be part of every training id's payload.
+    ctx = entry._module_context("duckdb_data_eng_proj_spark.queries.training")
+    assert "_LSH_PRELUDE" in ctx
+
+
+def test_helper_module_edit_flips_hash(tmp_path, monkeypatch):
+    # A deliberate helper-only edit must change the impl hash of every
+    # id (the VERDICT r4 #2 done-criterion).
+    spec = REGISTRY["dedup_fuzzy_edit"]
+    helper = tmp_path / "fake_helper.py"
+    helper.write_text("def tokens(x):\n    return x.split()\n")
+    monkeypatch.setattr(
+        entry, "_HELPER_MODULES", (*entry._HELPER_MODULES, str(helper))
+    )
+    entry._helpers_digest.cache_clear()
+    h1 = entry._impl_hash(spec)
+    helper.write_text("def tokens(x):\n    return x.lower().split()\n")
+    entry._helpers_digest.cache_clear()
+    h2 = entry._impl_hash(spec)
+    entry._helpers_digest.cache_clear()  # restore clean cache state
+    assert h1 != h2
+
+
+def test_module_context_edit_flips_hash(monkeypatch):
+    # A change to the defining module's shared context (constant /
+    # unregistered helper) must flip the hash even when the fn body
+    # and oracle are untouched.
+    spec = REGISTRY["dedup_fuzzy_edit"]
+    h1 = entry._impl_hash(spec)
+    real_ctx = entry._module_context(spec.fn.__module__)
+    monkeypatch.setattr(
+        entry, "_module_context", lambda m: real_ctx + "\n_NEW_CONST = 1\n"
+    )
+    h2 = entry._impl_hash(spec)
+    assert h1 != h2
+
+
+def test_priority_ids_enumerate_first_while_unverified():
+    # The four r4 evidence-gap ids must head the enumeration until
+    # they earn fresh driver rows (driver truncates at ~50 slots).
+    ordered = list(entry.queries())
+    verified = entry._verified_green()
+    pending = [q for q in entry._PRIORITY if q not in verified]
+    assert ordered[: len(pending)] == pending
+
+
+def test_snapshot_blesses_only_green_ids():
+    import json
+
+    with open(entry._SNAPSHOT_PATH) as fh:
+        snapshot = json.load(fh)
+    green = entry._green_rows()
+    assert set(snapshot) <= green
+    # and never blesses an id that is not in the registry anymore
+    assert all(qid in REGISTRY for qid in snapshot)
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
