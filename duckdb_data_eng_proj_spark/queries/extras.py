@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from duckdb_data_eng_proj_spark.functions.scalars import exact_units
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
-_TMP_X = "/root/repo/.tmp"
+from duckdb_data_eng_proj_spark.io.scratch import scratch_dir as _scratch
 
 # ---------------------------------------------------------------------------
 # aggregates
@@ -300,7 +300,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(_TMP_X, "orders_part_sink")
+    out = _scratch("orders_part_sink")
     o = t(spark, sf_dir, "orders").withColumn(
         "order_month", F.trunc("o_orderdate", "month").cast("string")
     )
@@ -548,7 +548,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    wh = "/root/repo/.tmp/warehouse"
+    wh = _scratch("warehouse")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '{wh}'")
     for name, df, key in (
         ("orders_bkt", t(spark, sf_dir, "orders"), "o_custkey"),
@@ -882,7 +882,7 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def snk_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = "/root/repo/.tmp/docs_jsonl"
+    path = _scratch("docs_jsonl")
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
@@ -1072,7 +1072,7 @@ def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def snk_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(_TMP_X, "orders_orc_sink")
+    out = _scratch("orders_orc_sink")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
     o.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
@@ -1240,7 +1240,7 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(_TMP_X, "documents_jsonl")
+    out = _scratch("documents_jsonl")
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     d.select("doc_id", "lang", "source", "n_chars").write.mode(
         "overwrite"
@@ -1308,7 +1308,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(_TMP_X, "orders_dpp_sink")
+    out = _scratch("orders_dpp_sink")
     o = t(spark, sf_dir, "orders").withColumn(
         "order_month", F.trunc("o_orderdate", "month").cast("string")
     )

@@ -20,7 +20,7 @@ from duckdb_data_eng_proj_spark.functions.scalars import exact_units
 from duckdb_data_eng_proj_spark.io.sources import read_csv_all_varchar
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
-_TMP = "/root/repo/.tmp"
+from duckdb_data_eng_proj_spark.io.scratch import scratch_dir as _scratch
 
 DEC = "decimal(18,2)"
 
@@ -60,7 +60,7 @@ def src_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def src_csv_all_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_TMP, "region_csv")
+    path = _scratch("region_csv")
     region = t(spark, sf_dir, "region")
     (
         region.coalesce(1)
@@ -87,7 +87,7 @@ def src_csv_all_varchar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def snk_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(_TMP, "orders_csv_sink")
+    path = _scratch("orders_csv_sink")
     o = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 500)
@@ -170,7 +170,7 @@ def src_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_table_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    wh = os.path.join(_TMP, "warehouse")
+    wh = _scratch("warehouse")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '{wh}'")
     # idempotent across sessions: a FRESH session's in-memory catalog
     # doesn't know the table, but its on-disk location may survive from

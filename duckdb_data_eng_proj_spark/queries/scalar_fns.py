@@ -159,20 +159,39 @@ def fn_date_diff_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_now_tz",
-    oracle=None,  # wall-clock: nondeterministic → rows-only check (SURVEY G5)
+    # The clock is injectable (SURVEY G5), so the oracle pins the same
+    # instant the ETL golden run pins (etl/oracle_sql.py): the Spark
+    # side converts the pinned UTC instant through the real
+    # Europe/Berlin tz expression (11:30:57 UTC -> 12:30:57 CET) while
+    # the oracle states the expected Berlin wall-clock literal — the
+    # last feasible §2 row becomes hash-gated (VERDICT r4 #3).
+    oracle=(
+        "SELECT r_regionkey, TIMESTAMP '2026-01-23 12:30:57' "
+        "AS processed_at FROM region"
+    ),
     doc=(
         "processed_at audit column (pipeline.py:202,327,487): "
         "date_trunc('second', now() AT TIME ZONE 'Europe/Berlin'). "
-        "Nondeterministic — the ETL module takes an injectable run_ts; this "
-        "entry proves the live-clock expression."
+        "The wall-clock is nondeterministic, so the instant is "
+        "injectable exactly like the ETL module's run_ts: the "
+        "registered entry pins the golden run's clock (hash-gated); "
+        "_now_tz(..., now_utc=None) is the live-clock production path "
+        "using the identical tz-conversion expression."
     ),
 )
 def fn_now_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _now_tz(spark, sf_dir, now_utc="2026-01-23 11:30:57")
+
+
+def _now_tz(spark: SparkSession, sf_dir: str, now_utc: str | None = None) -> DataFrame:
     r = t(spark, sf_dir, "region")
+    instant = (
+        F.current_timestamp() if now_utc is None else F.to_timestamp(F.lit(now_utc))
+    )
     return r.select(
         "r_regionkey",
         F.date_trunc(
-            "second", F.from_utc_timestamp(F.current_timestamp(), "Europe/Berlin")
+            "second", F.from_utc_timestamp(instant, "Europe/Berlin")
         ).alias("processed_at"),
     )
 

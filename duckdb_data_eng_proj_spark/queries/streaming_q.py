@@ -49,7 +49,9 @@ from duckdb_data_eng_proj_spark.etl.oracle_sql import ETL_ORACLES
     # it shares etl_clean_lms's hash-grade oracle (r4 upgrade from
     # rows-only: the r3 ETL oracles made this expressible — verified
     # exceptAll-identical both ways before wiring).
-    oracle=ETL_ORACLES.get("etl_clean_lms"),
+    # Direct indexing, not .get: a renamed key must raise at import
+    # time, not silently downgrade the check to rows-only (ADVICE r4).
+    oracle=ETL_ORACLES["etl_clean_lms"],
     doc=(
         "LMS daily-updates flow as Structured Streaming (SURVEY §2.8): "
         "CSV file source, one micro-batch per daily file, foreachBatch "

@@ -878,7 +878,8 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     en, cent, assign = _ivf_parts(spark, sf_dir)
     sf_tag = re.sub(r"[^0-9a-zA-Z.]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    idx_dir = f"/root/repo/.tmp/ivf_index_{sf_tag}"
+    from duckdb_data_eng_proj_spark.io.scratch import scratch_dir
+    idx_dir = scratch_dir(f"ivf_index_{sf_tag}")
     shutil.rmtree(idx_dir, ignore_errors=True)
     (
         assign.select("vec_id", "centroid_id")
@@ -1549,8 +1550,8 @@ def ext_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist "
         "FROM cand c JOIN documents a ON a.doc_id = c.doc_a "
         "JOIN documents b ON b.doc_id = c.doc_b "
-        "WHERE levenshtein(a.text, b.text) <= "
-        "CAST(greatest(length(a.text), length(b.text)) * 0.2 AS INT)"
+        "WHERE levenshtein(a.text, b.text) * 5 <= "
+        "greatest(length(a.text), length(b.text))"
     ),
     doc=(
         "Edit-distance-verified fuzzy dedup — the third verification "
@@ -1561,7 +1562,13 @@ def ext_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "for OCR noise and boilerplate-variation duplicates that "
         "shingle sets over-merge. Levenshtein is O(len²) per pair, so "
         "it only ever runs on the LSH-bounded candidate set; JVM "
-        "built-in on both engines."
+        "built-in on both engines. The 20%% threshold is exact integer "
+        "arithmetic (dist*5 <= max_len) on BOTH engines: DuckDB "
+        "CAST(x AS INT) rounds to nearest while Spark cast truncates, "
+        "so the r4 fractional-cap spelling diverged by 1 whenever "
+        "0.2*max_len was fractional (ADVICE r4, medium) — dist*5 <= "
+        "max_len == dist <= floor(max_len/5), identical to the Spark "
+        "truncation semantics, zero boundary drift."
     ),
 )
 def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,10 +1588,10 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     dist = F.levenshtein(F.col("text_a"), F.col("text_b"))
-    cap = F.greatest(F.length("text_a"), F.length("text_b")) * 0.2
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .filter(dist <= cap.cast("int"))
+        .filter(dist * F.lit(5) <= max_len)
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
     )

@@ -80,15 +80,18 @@ def test_priority_ids_enumerate_first_while_unverified():
     assert ordered[: len(pending)] == pending
 
 
-def test_snapshot_blesses_only_green_ids():
+def test_snapshot_never_verifies_beyond_green_rows():
     import json
 
     with open(entry._SNAPSHOT_PATH) as fh:
         snapshot = json.load(fh)
-    green = entry._green_rows()
-    assert set(snapshot) <= green
-    # and never blesses an id that is not in the registry anymore
+    # snapshot entries must reference real registry ids
     assert all(qid in REGISTRY for qid in snapshot)
+    # the verified set is always the INTERSECTION of green driver rows
+    # and hash-current snapshot entries: an id that loses green status
+    # (e.g. gains an oracle, like fn_now_tz in r5) or whose code
+    # changed can never be treated as verified via the snapshot alone
+    assert entry._verified_green() <= entry._green_rows()
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ from __future__ import annotations
 import glob
 import os
 
+from duckdb_data_eng_proj_spark.io.scratch import scratch_dir
 from duckdb_data_eng_proj_spark.queries import REGISTRY
 from tests.conftest import SF_DIR
 
@@ -18,7 +19,7 @@ def test_persist_roundtrip_writes_parquet(spark):
     assert sum(rows.values()) > 0
 
     # physical files exist under the explicit database location
-    files = glob.glob("/root/repo/.tmp/warehouse/customer_stage/*.parquet")
+    files = glob.glob(os.path.join(scratch_dir("warehouse"), "customer_stage", "*.parquet"))
     assert files, "managed table left no parquet under the db LOCATION"
 
     # and they are self-describing: a raw parquet read (no catalog)
