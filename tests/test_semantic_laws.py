@@ -265,6 +265,19 @@ def test_cc_cluster_is_component_min(spark):
     # non-trivial: at least one multi-member cluster exists on testdata
     assert any(v != k for k, v in want.items())
 
+    # Crossover policy (VERDICT r4 #6): force label-prop to stop long
+    # before convergence (1 round) so the star-fixpoint fallback runs
+    # on the contracted label graph — the composed labels must equal
+    # the same union-find ground truth. This is the path a deep graph
+    # takes at 100 TB; test graphs never trigger it organically.
+    from duckdb_data_eng_proj_spark.queries.corpus import _cluster_cc_crossover
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in _cluster_cc_crossover(spark, SF_DIR, 1).collect()
+    }
+    assert got == want, "forced star crossover diverged from union-find"
+
 
 def test_kmeans_converged_is_fixpoint(spark):
     """ml_kmeans_converged law: the loop runs ≥3 assignment-changing
