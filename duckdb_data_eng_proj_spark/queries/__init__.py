@@ -11,6 +11,7 @@ from duckdb_data_eng_proj_spark.queries import relational  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import scalar_fns  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extensions  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import training  # noqa: E402,F401
+from duckdb_data_eng_proj_spark.queries import training_extra  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import etl_composites  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import udf_multimodal  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import streaming_q  # noqa: E402,F401

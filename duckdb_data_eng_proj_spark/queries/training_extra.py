@@ -1,0 +1,344 @@
+"""Round-5 training-data operators: containment dedup, LM scoring,
+corpus vocabulary/boilerplate mining, and a batch k-NN bucket join.
+
+These extend the r1-r4 training suite (queries/training.py) with the
+remaining standard stages of a pretraining-corpus pipeline:
+
+- containment near-dup (overlap coefficient over shingle sets) — the
+  verifier RefinedWeb-style pipelines use when one document *embeds*
+  another (quote pages, aggregators) and Jaccard under-scores the pair;
+- LM-probability document scoring — the deterministic core of a
+  perplexity filter (avg conditional bigram probability; true
+  perplexity needs ln(), whose last-ulp behavior differs between JVM
+  and C++ libm — the probability form is exactly cross-engine);
+- global token frequency top-k and boilerplate-phrase mining — vocab
+  and template discovery over the corpus;
+- k-NN join over hyperplane-LSH buckets — the batch form of ANN
+  search: every vector gets its top-k same-bucket neighbors.
+
+All five are oracle-checked (hash-grade) like the rest of the
+registry. Reference parity: the reference project (pipeline.py,
+queries.sql) has no text/vector operators — this is north-star
+surface over the driver's documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+from duckdb_data_eng_proj_spark.operators.textops import distinct_ngrams, tokens
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+from duckdb_data_eng_proj_spark.queries.training import (
+    _dot_sql,
+    _hp_sig_sql,
+    _TOK,
+    _TOKS_CTE,
+)
+
+# distinct word trigram sets (the containment/boilerplate shingle space)
+_TG = (
+    "CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(range(len(tk) - 2), "
+    "i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) ELSE []::VARCHAR[] END"
+)
+_TG_CTE = f"tg AS (SELECT doc_id, {_TG} AS tg FROM toks)"
+
+# Stop-shingle document-frequency cutoff: postings longer than this are
+# dropped from the inverted index — bounds the quadratic hot-key (the
+# same guard dedup_ngram_jaccard carries, VERDICT r2 #7).
+_TG_DF_CUTOFF = 500
+
+_CONTAIN_THR = 0.6
+
+
+def _tg_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    return toks.select("doc_id", distinct_ngrams(F.col("tk"), 3).alias("tg"))
+
+
+@register(
+    "dedup_containment",
+    oracle=(
+        f"WITH {_TOKS_CTE}, {_TG_CTE}, "
+        "inv0 AS (SELECT doc_id, unnest(tg) AS g FROM tg), "
+        f"keep AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= {_TG_DF_CUTOFF}), "
+        "inv AS (SELECT doc_id, g FROM inv0 JOIN keep USING (g)), "
+        "sz AS (SELECT doc_id, COUNT(*) AS sz FROM inv GROUP BY doc_id), "
+        "shared AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "COUNT(*) AS n_common FROM inv x JOIN inv y ON x.g = y.g "
+        "AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+        "SELECT s.doc_a, s.doc_b, s.n_common, "
+        "round(CAST(s.n_common AS DOUBLE) / least(a.sz, b.sz), 4) AS containment "
+        "FROM shared s JOIN sz a ON a.doc_id = s.doc_a "
+        "JOIN sz b ON b.doc_id = s.doc_b "
+        f"WHERE CAST(s.n_common AS DOUBLE) / least(a.sz, b.sz) >= {_CONTAIN_THR}"
+    ),
+    doc=(
+        "Containment near-dup (overlap coefficient |A∩B| / min(|A|,"
+        "|B|) over distinct word-trigram sets): catches embedded "
+        "duplicates — one doc quoting or wrapping another — that "
+        "Jaccard under-scores because the union is dominated by the "
+        "larger doc. Same scalable shape as dedup_ngram_jaccard: "
+        "inverted-index self-join keyed by shingle (never all-pairs), "
+        "per-pair counts, sizes joined back; the document-frequency "
+        "cutoff drops postings >500 docs so no hot shingle can go "
+        "quadratic. Sizes are counted in the SAME filtered shingle "
+        "space as the intersection so the coefficient stays a true "
+        "ratio. At 100 TB the shuffle is keyed by shingle and the "
+        "pair space is bounded by postings² per surviving shingle."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _tg_sets_df(spark, sf_dir)
+    inv0 = sets.select("doc_id", F.explode("tg").alias("g"))
+    keep = inv0.groupBy("g").count().filter(F.col("count") <= _TG_DF_CUTOFF).select("g")
+    inv = inv0.join(keep, "g")
+    sz = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x, y = inv.alias("x"), inv.alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    a = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    b = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    contain = F.col("n_common").cast("double") / F.least("sz_a", "sz_b")
+    return (
+        shared.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(contain >= _CONTAIN_THR)
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(contain, 4).alias("containment")
+        )
+    )
+
+
+@register(
+    "txt_lm_doc_score",
+    oracle=(
+        f"WITH {_TOKS_CTE}, "
+        "prs AS (SELECT doc_id, tk[i+1] AS w1, tk[i+2] AS w2 FROM toks, "
+        "unnest(range(greatest(len(tk) - 1, 0))) AS u(i)), "
+        "bc AS (SELECT w1, w2, COUNT(*) AS n FROM prs GROUP BY w1, w2), "
+        "uc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS total FROM bc GROUP BY w1), "
+        "p AS (SELECT bc.w1, bc.w2, "
+        "(bc.n * 1000000) // uc.total AS p_u "
+        "FROM bc JOIN uc ON bc.w1 = uc.w1) "
+        "SELECT d.doc_id, COUNT(*) AS n_bigrams, "
+        "CAST(SUM(p.p_u) // COUNT(*) AS BIGINT) AS avg_pcond_u "
+        "FROM prs d JOIN p ON d.w1 = p.w1 AND d.w2 = p.w2 "
+        "GROUP BY d.doc_id"
+    ),
+    doc=(
+        "LM-probability document scoring — the deterministic core of a "
+        "perplexity quality filter: train the corpus bigram LM "
+        "(ext_ngram_lm's table), then score each document by its mean "
+        "conditional bigram probability. Production filters use "
+        "perplexity = exp(-mean ln p); ln()'s last-ulp results differ "
+        "between JVM and C++ libm (the exact cross-engine trap class "
+        "pinned everywhere else in this repo), and the probability "
+        "form is a strictly monotone transform of it per fixed length "
+        "— identical ranking, exact hash parity. Determinism: "
+        "probabilities live in fixed-point BIGINT micro-units "
+        "(n*10⁶ // total — integer arithmetic end-to-end, the same "
+        "pattern as the kmeans/PageRank fixpoints; an earlier "
+        "round(sum/count, 6) draft diverged by 1e-6 on a half-"
+        "boundary doc because Spark rounds via BigDecimal string "
+        "while DuckDB rounds via float multiply). Scale shape: the LM "
+        "table is vocab²-bounded -> broadcast; the corpus bigram "
+        "stream map-side-joins it with NO corpus shuffle; the per-doc "
+        "aggregate is the only wide stage."
+    ),
+)
+def txt_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    prs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    bc = prs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    uc = bc.groupBy("w1").agg(F.sum("n").alias("total"))
+    p = bc.join(uc, "w1").select(
+        "w1",
+        "w2",
+        F.expr("(n * 1000000L) div total").alias("p_u"),
+    )
+    return (
+        prs.join(F.broadcast(p), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.expr("CAST(sum(p_u) div count(*) AS BIGINT)").alias("avg_pcond_u"),
+        )
+    )
+
+
+@register(
+    "txt_top_tokens",
+    oracle=(
+        f"WITH {_TOKS_CTE}, "
+        "occ AS (SELECT unnest(tk) AS token FROM toks) "
+        "SELECT token, COUNT(*) AS n_occurrences FROM occ GROUP BY token "
+        "ORDER BY n_occurrences DESC, token LIMIT 100"
+    ),
+    doc=(
+        "Global token frequency top-k — the vocabulary-construction "
+        "primitive (BPE seeding, stopword discovery, tokenizer "
+        "coverage audits). Plan shape at 100 TB: the explode+count is "
+        "a map-side-combinable aggregate (partial counts per "
+        "partition, one shuffle of vocab-sized partials), and the "
+        "top-100 plans as TakeOrderedAndProject — per-partition heap "
+        "+ driver merge, never a global sort. Ties break "
+        "deterministically by token text."
+    ),
+)
+def txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        occ.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
+# Low enough to yield a non-trivial result at the sf0.01 driver gate
+# (500 docs); at corpus scale this would be a corpus-share threshold.
+_BP_DF_MIN = 5
+
+
+@register(
+    "txt_boilerplate_phrases",
+    oracle=(
+        f"WITH {_TOKS_CTE}, {_TG_CTE}, "
+        "inv AS (SELECT doc_id, unnest(tg) AS phrase FROM tg) "
+        "SELECT phrase, COUNT(*) AS df FROM inv GROUP BY phrase "
+        f"HAVING COUNT(*) >= {_BP_DF_MIN} "
+        "ORDER BY df DESC, phrase LIMIT 100"
+    ),
+    doc=(
+        "Boilerplate-phrase mining: word trigrams counted by DOCUMENT "
+        "frequency (distinct per doc, so a phrase repeated inside one "
+        "page counts once) — phrases shared by ≥N documents (threshold tuned to the gate scale) are "
+        "template/boilerplate candidates for stripping before "
+        "training. Same aggregate shape as txt_top_tokens "
+        "(map-side-combinable count + TakeOrdered top-k); at 100 TB "
+        "this is the cheap first pass that feeds a line/phrase "
+        "removal filter."
+    ),
+)
+def txt_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _tg_sets_df(spark, sf_dir)
+    inv = sets.select("doc_id", F.explode("tg").alias("phrase"))
+    return (
+        inv.groupBy("phrase")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _BP_DF_MIN)
+        .orderBy(F.col("df").desc(), F.col("phrase"))
+        .limit(100)
+    )
+
+
+_KNN_K = 3
+
+
+@register(
+    "sim_knn_bucket_join",
+    oracle=(
+        f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
+        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+        "cand AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        "AS cos_sim FROM sig a JOIN sig b "
+        "ON a.sig = b.sig AND a.vec_id <> b.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cos_sim, "
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id) AS n_rank FROM cand) "
+        f"SELECT query_id, n_rank, neighbor_id, cos_sim FROM ranked "
+        f"WHERE n_rank <= {_KNN_K}"
+    ),
+    doc=(
+        "Batch k-NN JOIN over hyperplane-LSH buckets — the all-queries "
+        "form of ANN search (sim_ann_ivf_search is the few-queries "
+        "form): every vector retrieves its top-3 same-bucket "
+        "neighbors by exact cosine re-rank. Candidates come from the "
+        "8-bit Charikar sketch equi-join (never all-pairs; both "
+        "engines build bit-identical sketches from md5-parity ±1 "
+        "planes), ranking is a per-query window over the bounded "
+        "candidate set with the tie-break on (rounded cosine, "
+        "neighbor id) so row_number is deterministic cross-engine. "
+        "At 100 TB: bucket join shuffles by sketch value, the window "
+        "partitions by query — both bounded by bucket occupancy, "
+        "which multi-probe or more planes tune."
+    ),
+)
+def sim_knn_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.training import _hyperplanes
+
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    planes = _hyperplanes()
+    dim_range = list(range(len(planes[0])))
+    sig_bits = []
+    for p, plane in enumerate(planes):
+        dot = None
+        for dlt, w in zip(dim_range, plane):
+            term = F.col("embedding")[dlt] * F.lit(w)
+            dot = term if dot is None else dot + term
+        sig_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig_expr = sig_bits[0]
+    for b in sig_bits[1:]:
+        sig_expr = sig_expr + b
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    sig = e.select(
+        "vec_id", "embedding", sig_expr.alias("sig"), nrm.alias("nrm")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.round(dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("n_rank", F.row_number().over(w))
+        .filter(F.col("n_rank") <= _KNN_K)
+        .select("query_id", "n_rank", "neighbor_id", "cos_sim")
+    )
