@@ -342,3 +342,91 @@ def sim_knn_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rank") <= _KNN_K)
         .select("query_id", "n_rank", "neighbor_id", "cos_sim")
     )
+
+
+# Ensemble filter thresholds (tuned so every reason fires on the
+# driver's sf0.01 gate data — see the distribution probe in the r5
+# commit): quality < 0.5, non-English, duplicate-token fraction > 0.6,
+# LM score < 32000 micro-units.
+_ENS_Q_MIN = 0.5
+_ENS_DUP_MAX = 0.6
+_ENS_LM_MIN = 32000
+
+
+def _ensemble_oracle() -> str:
+    from duckdb_data_eng_proj_spark.queries.registry import REGISTRY
+
+    q = REGISTRY["txt_quality_score"].oracle
+    r = REGISTRY["txt_rep_signals"].oracle
+    lng = REGISTRY["txt_lang_id"].oracle
+    lm = REGISTRY["txt_lm_doc_score"].oracle
+    return (
+        f"WITH q AS ({q}), r AS ({r}), l AS ({lng}), m AS ({lm}) "
+        "SELECT q.doc_id, "
+        f"CAST((CASE WHEN q.quality_score < {_ENS_Q_MIN} THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN l.pred_lang <> 'en' THEN 2 ELSE 0 END) "
+        f"+ (CASE WHEN r.dup_token_frac > {_ENS_DUP_MAX} THEN 4 ELSE 0 END) "
+        f"+ (CASE WHEN coalesce(m.avg_pcond_u, 0) < {_ENS_LM_MIN} THEN 8 "
+        "ELSE 0 END) AS INT) AS reasons, "
+        f"(q.quality_score >= {_ENS_Q_MIN} AND l.pred_lang = 'en' "
+        f"AND r.dup_token_frac <= {_ENS_DUP_MAX} "
+        f"AND coalesce(m.avg_pcond_u, 0) >= {_ENS_LM_MIN}) AS keep "
+        "FROM q JOIN r ON r.doc_id = q.doc_id "
+        "JOIN l ON l.doc_id = q.doc_id "
+        "LEFT JOIN m ON m.doc_id = q.doc_id"
+    )
+
+
+@register(
+    "ext_quality_ensemble",
+    oracle=_ensemble_oracle(),
+    doc=(
+        "Ensemble quality filter — the decision layer of a pretraining "
+        "pipeline: every document gets a keep/drop verdict plus a "
+        "REASON BITMASK (1=low quality score, 2=non-English, "
+        "4=repetitious, 8=low LM probability) so filter rates are "
+        "auditable per rule, which is how production corpus pipelines "
+        "debug recall loss. Composes four already-verified signal "
+        "operators (txt_quality_score, txt_lang_id, txt_rep_signals, "
+        "txt_lm_doc_score) into ONE lazy plan — the oracle nests their "
+        "oracle SQL as CTEs, so both sides reuse the proven "
+        "definitions verbatim. Docs too short for bigrams LEFT-join "
+        "the LM score and fail the LM rule via coalesce(0) — "
+        "deterministic on both engines. Scale shape: four narrow "
+        "signal maps + per-doc joins keyed doc_id; no corpus-wide "
+        "shuffle beyond the doc_id co-partitioning a real deployment "
+        "would bucket on."
+    ),
+)
+def ext_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.training import (
+        txt_lang_id,
+        txt_quality_score,
+        txt_rep_signals,
+    )
+
+    q = txt_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    r = txt_rep_signals(spark, sf_dir).select("doc_id", "dup_token_frac")
+    lng = txt_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    m = txt_lm_doc_score(spark, sf_dir).select("doc_id", "avg_pcond_u")
+    j = (
+        q.join(r, "doc_id")
+        .join(lng, "doc_id")
+        .join(m, "doc_id", "left")
+        .withColumn("lm_u", F.coalesce(F.col("avg_pcond_u"), F.lit(0)))
+    )
+    reasons = (
+        F.when(F.col("quality_score") < _ENS_Q_MIN, 1).otherwise(0)
+        + F.when(F.col("pred_lang") != "en", 2).otherwise(0)
+        + F.when(F.col("dup_token_frac") > _ENS_DUP_MAX, 4).otherwise(0)
+        + F.when(F.col("lm_u") < _ENS_LM_MIN, 8).otherwise(0)
+    )
+    keep = (
+        (F.col("quality_score") >= _ENS_Q_MIN)
+        & (F.col("pred_lang") == "en")
+        & (F.col("dup_token_frac") <= _ENS_DUP_MAX)
+        & (F.col("lm_u") >= _ENS_LM_MIN)
+    )
+    return j.select(
+        "doc_id", reasons.cast("int").alias("reasons"), keep.alias("keep")
+    )
