@@ -142,3 +142,114 @@ def snk_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@register(
+    "etl_dq_checks",
+    oracle=(
+        "SELECT "
+        "CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lineitem, "
+        "CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) "
+        "AS BIGINT) AS orphan_lineitem, "
+        "CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders, "
+        "CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+        "AS BIGINT) AS orphan_orders, "
+        "CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_customer, "
+        "CAST((SELECT COUNT(*) FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) "
+        "AS BIGINT) AS orphan_customer, "
+        "CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) "
+        "AS BIGINT) AS null_orderdate"
+    ),
+    doc=(
+        "Warehouse data-quality audit — referential integrity down the "
+        "star (lineitem→orders→customer→nation orphan counts) plus a "
+        "null-rate counter, assembled into ONE single-row report like "
+        "the reference's data_quality_report (pipeline.py:392-492 "
+        "assembles counters the same way). Each orphan count is a "
+        "left-anti join keyed on the FK — at 100 TB these are "
+        "shuffle-hash anti-joins (or broadcast when the parent dim is "
+        "small, as nation is), each independently parallel; the 1-row "
+        "assembly is a cross of six 1-row aggregates, not a data "
+        "shuffle. Counters pinned BIGINT (DuckDB COUNT is BIGINT; "
+        "Spark count is long)."
+    ),
+)
+def etl_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+
+    def one(df, name):
+        return df.agg(F.count("*").alias(name))
+
+    counts = [
+        one(li, "n_lineitem"),
+        one(li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"), "orphan_lineitem"),
+        one(o, "n_orders"),
+        one(o.join(c, o.o_custkey == c.c_custkey, "left_anti"), "orphan_orders"),
+        one(c, "n_customer"),
+        one(c.join(n, c.c_nationkey == n.n_nationkey, "left_anti"), "orphan_customer"),
+        one(o.filter(F.col("o_orderdate").isNull()), "null_orderdate"),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)  # 1-row × 1-row assemblies
+    return out
+
+
+# The verified txt_fingerprint oracle, spliced verbatim (training is
+# imported before this module in queries/__init__, so the registry
+# entry exists at decoration time).
+def _fp_sql() -> str:
+    from duckdb_data_eng_proj_spark.queries.registry import REGISTRY
+
+    return REGISTRY["txt_fingerprint"].oracle
+
+
+@register(
+    "etl_dedup_incremental",
+    oracle=(
+        f"WITH fp AS ({_fp_sql()}), "
+        "existing AS (SELECT fingerprint FROM fp WHERE doc_id % 3 <> 0), "
+        "incoming AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 = 0), "
+        "fresh AS (SELECT i.doc_id, i.fingerprint FROM incoming i "
+        "WHERE NOT EXISTS (SELECT 1 FROM existing e "
+        "WHERE e.fingerprint = i.fingerprint)) "
+        "SELECT doc_id, fingerprint FROM fresh f "
+        "WHERE doc_id = (SELECT min(doc_id) FROM fresh g "
+        "WHERE g.fingerprint = f.fingerprint)"
+    ),
+    doc=(
+        "INCREMENTAL corpus dedup — the snapshot-over-snapshot step of "
+        "a continuously-built training corpus: an incoming batch "
+        "(doc_id %% 3 = 0 stands in for the new crawl) is admitted "
+        "only if its content fingerprint (a) does not exist in the "
+        "already-ingested corpus and (b) is the first occurrence "
+        "within the batch (min doc_id survivor rule). Composes the "
+        "verified txt_fingerprint definition on both sides. Scale "
+        "shape: the existing-corpus side projects ONLY fingerprints "
+        "(in production: the fingerprint index table, not a corpus "
+        "scan), the anti-join + survivor groupBy shuffle on "
+        "fingerprint — incremental ingest cost is O(batch + index), "
+        "never O(corpus)."
+    ),
+)
+def etl_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from duckdb_data_eng_proj_spark.queries.training import txt_fingerprint
+
+    fp = txt_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
+    existing = fp.filter(F.col("doc_id") % 3 != 0).select("fingerprint")
+    incoming = fp.filter(F.col("doc_id") % 3 == 0)
+    fresh = incoming.join(existing, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint")
+    )
