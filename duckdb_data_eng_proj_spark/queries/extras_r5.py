@@ -253,3 +253,107 @@ def etl_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "fingerprint")
     )
+
+
+@register(
+    "win_count_distinct",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, o_orderpriority, "
+        "COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) "
+        "AS n_priorities "
+        "FROM orders"
+    ),
+    doc=(
+        "COUNT(DISTINCT) OVER (PARTITION BY ...) — an operator gap in "
+        "Spark itself: Catalyst rejects DISTINCT aggregates in window "
+        "frames (DuckDB runs them natively), so the engine re-expresses "
+        "it as size(collect_set() OVER w) — same semantics (NULLs "
+        "excluded by collect_set, matching COUNT DISTINCT), one window "
+        "exchange, no self-join. The collect_set state is bounded by "
+        "per-partition distinct cardinality (here: ≤5 priorities), "
+        "which is the case where this rewrite is 100 TB-safe; for "
+        "high-cardinality distincts the dense_rank-max rewrite "
+        "(2 windows, O(1) state) is the alternative."
+    ),
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("bigint")
+        .alias("n_priorities"),
+    )
+
+
+_OOV_VOCAB_K = 20
+
+
+def _top_tokens_sql(k: int) -> str:
+    from duckdb_data_eng_proj_spark.queries.registry import REGISTRY
+
+    # txt_top_tokens' verified oracle, re-limited to the vocab size
+    return REGISTRY["txt_top_tokens"].oracle.replace("LIMIT 100", f"LIMIT {k}")
+
+
+@register(
+    "txt_oov_rate",
+    oracle=(
+        f"WITH vocab AS (SELECT token FROM ({_top_tokens_sql(_OOV_VOCAB_K)})), "
+        "toks AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "x -> x <> '') AS tk FROM documents), "
+        "occ AS (SELECT doc_id, unnest(tk) AS token FROM toks), "
+        "cov AS (SELECT o.doc_id, COUNT(*) AS n_tok, "
+        "COUNT(v.token) AS n_in_vocab FROM occ o "
+        "LEFT JOIN vocab v ON v.token = o.token GROUP BY o.doc_id) "
+        "SELECT doc_id, n_tok, "
+        "CAST(n_tok - n_in_vocab AS BIGINT) AS n_oov, "
+        "round(CAST(n_tok - n_in_vocab AS DOUBLE) / n_tok, 4) AS oov_frac "
+        "FROM cov"
+    ),
+    doc=(
+        "Out-of-vocabulary rate per document against the corpus top-K "
+        "vocabulary — the tokenizer-coverage audit run before "
+        "committing a vocab/tokenizer to a training run. Composes the "
+        "verified txt_top_tokens definition (re-limited to K=20) as "
+        "the vocabulary on both sides. Scale shape: the vocab is "
+        "K rows -> broadcast left-join against the token stream (no "
+        "corpus shuffle), then a per-doc count aggregate; identical "
+        "to ext_decontaminate's broadcast-probe pattern with a "
+        "coverage count instead of a drop."
+    ),
+)
+def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+    from duckdb_data_eng_proj_spark.operators.textops import tokens
+
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(_OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    cov = (
+        occ.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count("_in_vocab").alias("n_in_vocab"),
+        )
+    )
+    oov = F.col("n_tok") - F.col("n_in_vocab")
+    return cov.select(
+        "doc_id",
+        "n_tok",
+        oov.cast("bigint").alias("n_oov"),
+        F.round(oov.cast("double") / F.col("n_tok"), 4).alias("oov_frac"),
+    )
