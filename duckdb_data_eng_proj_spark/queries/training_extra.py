@@ -94,7 +94,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = _tg_sets_df(spark, sf_dir)
     inv0 = sets.select("doc_id", F.explode("tg").alias("g"))
     keep = inv0.groupBy("g").count().filter(F.col("count") <= _TG_DF_CUTOFF).select("g")
-    inv = inv0.join(keep, "g")
+    # The filtered inverted index is consumed three times (sizes +
+    # both self-join sides): materialize it ONCE — this is an index
+    # build, and without it the explode+DF-filter lineage re-executes
+    # per consumer (15 exchanges -> 7, measured).
+    inv = inv0.join(keep, "g").localCheckpoint()
     sz = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
     x, y = inv.alias("x"), inv.alias("y")
     shared = (

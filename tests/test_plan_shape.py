@@ -291,6 +291,54 @@ def test_new_op_exchange_budget(spark, qid, budget):
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
 
 
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        ("dedup_containment", 3),  # after the inverted-index checkpoint
+        ("txt_lm_doc_score", 7),
+        ("txt_top_tokens", 2),
+        ("txt_boilerplate_phrases", 2),
+        ("sim_knn_bucket_join", 3),
+        ("ext_quality_ensemble", 7),
+        ("ext_funnel_steps", 7),
+        ("snk_csv_gzip_roundtrip", 1),
+        ("etl_dq_checks", 7),
+        ("etl_dedup_incremental", 1),
+        ("win_count_distinct", 1),
+        ("txt_oov_rate", 4),
+    ],
+)
+def test_r5_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r5 operators (same contract as above).
+    dedup_containment's budget dropped 15 -> 3 when the filtered
+    inverted index gained its localCheckpoint — the re-executed
+    explode+DF-filter lineage was the regression this pin guards."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+def test_r5_broadcast_probes(spark):
+    """The two broadcast-probe r5 ops must keep the corpus stream on
+    the probe side: vocab/LM tables broadcast, no corpus shuffle into
+    the join."""
+    for qid in ("txt_oov_rate", "txt_lm_doc_score"):
+        df = REGISTRY[qid].fn(spark, SF_DIR)
+        assert uses_broadcast_join(df), qid
+
+
+def test_r5_no_cartesian(spark):
+    """Candidate generation in the r5 dedup/knn ops is always a
+    bucket/shingle equi-join — a CartesianProduct here is the 100 TB
+    killer. (etl_dq_checks' 1-row x 1-row counter assembly is the one
+    sanctioned cross join.)"""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    for qid in ("dedup_containment", "sim_knn_bucket_join", "ext_quality_ensemble"):
+        plan = physical_plan(REGISTRY[qid].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, qid
+
+
 def test_dpp_prunes_fact_partitions(spark):
     """The month-dim join must inject a dynamicpruningexpression into
     the partitioned fact scan's PartitionFilters — only matching
