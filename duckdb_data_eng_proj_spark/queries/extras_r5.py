@@ -357,3 +357,134 @@ def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.cast("bigint").alias("n_oov"),
         F.round(oov.cast("double") / F.col("n_tok"), 4).alias("oov_frac"),
     )
+
+
+@register(
+    "mm_modality_router",
+    oracle=(
+        "SELECT doc_id, 'image/bmp' AS media_type, "
+        "CAST(54 + ((3 * (doc_id % 31 + 1) + 3) // 4) * 4 * (doc_id % 17 + 1) "
+        "AS BIGINT) AS n_bytes, "
+        "CAST(doc_id % 31 + 1 AS BIGINT) AS feat_a, "
+        "CAST(doc_id % 17 + 1 AS BIGINT) AS feat_b "
+        "FROM documents WHERE doc_id % 2 = 0 "
+        "UNION ALL "
+        "SELECT doc_id, 'audio/wav' AS media_type, "
+        "CAST(44 + 2 * (doc_id % 400 + 16) AS BIGINT) AS n_bytes, "
+        "CAST(doc_id % 400 + 16 AS BIGINT) AS feat_a, "
+        "CAST((doc_id * 37) % 32767 AS BIGINT) AS feat_b "
+        "FROM documents WHERE doc_id % 2 = 1"
+    ),
+    doc=(
+        "Mixed-modality DISPATCH — the shape of a real multimodal "
+        "ingest where one batch carries several media types: items are "
+        "routed by modality (doc_id parity stands in for a media_type "
+        "column), each route runs its REAL codec (the BMP struct-parse "
+        "and RIFF/WAV decode from mm_decode_bmp / mm_audio_wav), and "
+        "the per-modality features normalize into one common schema "
+        "(n_bytes, feat_a, feat_b) for the downstream table. Each "
+        "route is a narrow Arrow mapInPandas stage over ONLY its "
+        "slice (filter pushed below the synth/decode), and the union "
+        "is a zero-shuffle concatenation — at 100 TB modality routing "
+        "costs one corpus scan, no exchange."
+    ),
+)
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        extract_bmp_features,
+        extract_wav_features,
+        synthesize_bmp_media,
+        synthesize_wav_media,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    imgs = extract_bmp_features(
+        synthesize_bmp_media(d.filter(F.col("doc_id") % 2 == 0))
+    ).select(
+        "doc_id",
+        F.lit("image/bmp").alias("media_type"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("feat_a"),
+        F.col("height").cast("bigint").alias("feat_b"),
+    )
+    auds = extract_wav_features(
+        synthesize_wav_media(d.filter(F.col("doc_id") % 2 == 1))
+    ).select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("n_samples").cast("bigint").alias("feat_a"),
+        F.col("peak_amp").cast("bigint").alias("feat_b"),
+    )
+    return imgs.unionByName(auds)
+
+
+@register(
+    "ext_dataset_card",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, lang, "
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "x -> x <> '') AS tk FROM documents), "
+        f"fp AS ({_fp_sql()}), "
+        "lc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) "
+        "SELECT "
+        "CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs, "
+        "CAST((SELECT SUM(len(tk)) FROM toks) AS BIGINT) AS total_tokens, "
+        "CAST((SELECT SUM(len(tk)) FROM toks) // "
+        "(SELECT COUNT(*) FROM documents) AS BIGINT) AS avg_doc_tokens, "
+        "CAST((SELECT COUNT(*) FROM lc) AS BIGINT) AS n_langs, "
+        "(SELECT lang FROM lc ORDER BY n DESC, lang LIMIT 1) AS top_lang, "
+        "CAST((SELECT COUNT(DISTINCT fingerprint) FROM fp) AS BIGINT) "
+        "AS n_unique_fingerprints, "
+        "round(1.0 - CAST((SELECT COUNT(DISTINCT fingerprint) FROM fp) "
+        "AS DOUBLE) / (SELECT COUNT(*) FROM documents), 4) AS exact_dup_rate"
+    ),
+    doc=(
+        "DATASET CARD — the one-row datasheet a corpus release ships "
+        "with (Gebru et al., 'Datasheets for Datasets'): document "
+        "count, total/average token counts, language inventory with "
+        "the dominant language (deterministic count-then-name "
+        "tie-break), and the exact-duplicate rate derived from the "
+        "verified content-fingerprint definition (spliced from "
+        "txt_fingerprint on both sides). Every statistic is a "
+        "map-side-combinable aggregate; the 1-row assembly joins "
+        "scalar aggregates, not data — the whole card costs ~two "
+        "corpus scans at any scale."
+    ),
+)
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.operators.textops import tokens
+    from duckdb_data_eng_proj_spark.queries.training import txt_fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.size(tokens(F.col("text"))).alias("n_tok"))
+    base = d.agg(F.count("*").alias("n_docs"))
+    tok_tot = toks.agg(F.sum("n_tok").alias("total_tokens"))
+    lc = d.groupBy("lang").agg(F.count("*").alias("n"))
+    n_langs = lc.agg(F.count("*").alias("n_langs"))
+    top_lang = (
+        lc.orderBy(F.col("n").desc(), F.col("lang")).limit(1).select("lang")
+        .withColumnRenamed("lang", "top_lang")
+    )
+    fp = txt_fingerprint(spark, sf_dir).agg(
+        F.countDistinct("fingerprint").alias("n_unique_fingerprints")
+    )
+    card = (
+        base.crossJoin(tok_tot)
+        .crossJoin(n_langs)
+        .crossJoin(top_lang)
+        .crossJoin(fp)
+    )
+    return card.select(
+        "n_docs",
+        "total_tokens",
+        F.expr("total_tokens div n_docs").cast("bigint").alias("avg_doc_tokens"),
+        "n_langs",
+        "top_lang",
+        "n_unique_fingerprints",
+        F.round(
+            1.0
+            - F.col("n_unique_fingerprints").cast("double") / F.col("n_docs"),
+            4,
+        ).alias("exact_dup_rate"),
+    )
