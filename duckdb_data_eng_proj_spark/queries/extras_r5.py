@@ -488,3 +488,94 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("exact_dup_rate"),
     )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_slot_sql(j: int, item: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{j}:' || {item}), 1, 8) AS BIGINT) "
+        f"% {_CMS_WIDTH}"
+    )
+
+
+@register(
+    "agg_sketch_cms",
+    oracle=(
+        "WITH toks AS (SELECT "
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "x -> x <> '') AS tk FROM documents), "
+        "occ AS (SELECT unnest(tk) AS token FROM toks), "
+        "cells AS ("
+        + " UNION ALL ".join(
+            f"SELECT {j} AS d, {_cms_slot_sql(j, 'token')} AS slot, "
+            "COUNT(*) AS n FROM occ GROUP BY 1, 2"
+            for j in range(_CMS_DEPTH)
+        )
+        + "), "
+        "items AS (SELECT token, COUNT(*) AS true_n FROM occ GROUP BY token) "
+        "SELECT i.token, i.true_n, CAST(min(c.n) AS BIGINT) AS cms_n "
+        "FROM items i JOIN cells c "
+        "ON ("
+        + " OR ".join(
+            f"(c.d = {j} AND c.slot = {_cms_slot_sql(j, 'i.token')})"
+            for j in range(_CMS_DEPTH)
+        )
+        + ") GROUP BY i.token, i.true_n"
+    ),
+    doc=(
+        "Count-Min sketch — the frequency-estimation sketch next to "
+        "ext_sketch_kmv's cardinality sketch: 4 hash rows × 256 slots, "
+        "each cell a (row, slot) count; an item's estimate is the MIN "
+        "over its 4 cells, always ≥ the true count (over-estimation "
+        "only). md5-derived slot hashing makes the sketch bit-"
+        "identical cross-engine, so the oracle verifies exact cell "
+        "values, not just error bounds — unlike native CMS/HLL "
+        "implementations, which never match across engines. Probed "
+        "here for every distinct token against its true count. At "
+        "100 TB the sketch build is a map-side-combinable groupBy of "
+        "d×w bounded cells — constant memory, one shuffle of partial "
+        "cells; the probe side broadcasts the finished sketch."
+    ),
+)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+    from duckdb_data_eng_proj_spark.operators.textops import tokens
+
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("token")).localCheckpoint()
+
+    def slot(j: int, item):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), item)), 1, 8), 16, 10)
+            .cast("long")
+            % _CMS_WIDTH
+        )
+
+    cells = None
+    for j in range(_CMS_DEPTH):
+        c = (
+            occ.groupBy(slot(j, F.col("token")).alias("slot"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(j).alias("d"), "slot", "n")
+        )
+        cells = c if cells is None else cells.unionByName(c)
+    items = occ.groupBy("token").agg(F.count("*").alias("true_n"))
+    probe = items
+    for j in range(_CMS_DEPTH):
+        probe = probe.withColumn(f"s{j}", slot(j, F.col("token")))
+    cond = None
+    for j in range(_CMS_DEPTH):
+        this = (F.col("c.d") == j) & (F.col("c.slot") == F.col(f"i.s{j}"))
+        cond = this if cond is None else cond | this
+    est = (
+        probe.alias("i")
+        .join(F.broadcast(cells.alias("c")), cond)
+        .groupBy("i.token", "i.true_n")
+        .agg(F.min("c.n").cast("bigint").alias("cms_n"))
+    )
+    return est.select(
+        F.col("token"), F.col("true_n"), F.col("cms_n")
+    )

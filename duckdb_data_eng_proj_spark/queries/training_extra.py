@@ -348,6 +348,130 @@ def sim_knn_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECALL_NQ = 10  # evaluation query batch: vec_id < 10
+
+
+@register(
+    "sim_ann_recall_eval",
+    oracle=(
+        f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
+        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+        "bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        f"AS cs FROM sig a JOIN sig b ON a.vec_id < {_RECALL_NQ} "
+        "AND b.vec_id <> a.vec_id), "
+        "bfr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, "
+        "neighbor_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cs DESC, neighbor_id) AS r FROM bf) WHERE r <= "
+        f"{_KNN_K}), "
+        "lc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        "AS cs FROM sig a JOIN sig b ON a.sig = b.sig "
+        f"AND a.vec_id < {_RECALL_NQ} AND b.vec_id <> a.vec_id), "
+        "lr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, "
+        "neighbor_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cs DESC, neighbor_id) AS r FROM lc) WHERE r <= "
+        f"{_KNN_K}) "
+        "SELECT t.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_overlap, "
+        f"round(CAST(COUNT(l.neighbor_id) AS DOUBLE) / {_KNN_K}, 4) AS recall "
+        "FROM bfr t LEFT JOIN lr l ON l.query_id = t.query_id "
+        "AND l.neighbor_id = t.neighbor_id "
+        "GROUP BY t.query_id"
+    ),
+    doc=(
+        "ANN QUALITY EVALUATION — recall@k of the hyperplane-LSH "
+        "bucket search against exact brute-force ground truth for an "
+        "evaluation query batch: the harness every ANN deployment "
+        "runs before trusting an index (tune nprobe/planes until "
+        "recall clears the bar). Ground truth is a broadcast "
+        "nested-loop scan of the bounded query batch against the "
+        "corpus (the sanctioned all-pairs: |queries| is fixed and "
+        "tiny, so cost is |Q|×N map-side, no shuffle); the LSH side "
+        "is the same-bucket candidate ranking as sim_knn_bucket_join. "
+        "Both rankings share the deterministic (rounded cosine, "
+        "neighbor id) tie-break, so recall is exact cross-engine."
+    ),
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.training import _hyperplanes
+
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    planes = _hyperplanes()
+    dim_range = list(range(len(planes[0])))
+    sig_bits = []
+    for p, plane in enumerate(planes):
+        dot = None
+        for dlt, wgt in zip(dim_range, plane):
+            term = F.col("embedding")[dlt] * F.lit(wgt)
+            dot = term if dot is None else dot + term
+        sig_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig_expr = sig_bits[0]
+    for b in sig_bits[1:]:
+        sig_expr = sig_expr + b
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    sig = e.select("vec_id", "embedding", sig_expr.alias("sig"), nrm.alias("nrm"))
+    q = sig.filter(F.col("vec_id") < _RECALL_NQ)
+
+    dot_ab = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cs = F.round(dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id")
+    )
+
+    def topk(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _KNN_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    bf = topk(
+        F.broadcast(q.alias("a"))
+        .join(sig.alias("b"), F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cs.alias("cs"),
+        )
+    )
+    ls = topk(
+        F.broadcast(q.alias("a"))
+        .join(
+            sig.alias("b"),
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("b.vec_id") != F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cs.alias("cs"),
+        )
+    )
+    hit = ls.withColumn("_hit", F.lit(1))
+    return (
+        bf.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").cast("bigint").alias("n_overlap"),
+            F.round(F.count("_hit").cast("double") / _KNN_K, 4).alias("recall"),
+        )
+    )
+
+
 # Ensemble filter thresholds (tuned so every reason fires on the
 # driver's sf0.01 gate data — see the distribution probe in the r5
 # commit): quality < 0.5, non-English, duplicate-token fraction > 0.6,
