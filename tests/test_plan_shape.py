@@ -306,6 +306,10 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("etl_dedup_incremental", 1),
         ("win_count_distinct", 1),
         ("txt_oov_rate", 4),
+        ("mm_modality_router", 0),  # pure route+decode+union, no shuffle
+        ("ext_dataset_card", 7),
+        ("agg_sketch_cms", 5),
+        ("sim_ann_recall_eval", 9),
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
