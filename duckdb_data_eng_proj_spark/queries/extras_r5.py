@@ -490,6 +490,38 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_anonymize_ids",
+    oracle=(
+        "SELECT event_id, event_type, "
+        "substr(md5('salt-v1:' || CAST(user_id AS VARCHAR)), 1, 16) "
+        "AS user_pseudo "
+        "FROM events"
+    ),
+    doc=(
+        "Structured-key PSEUDONYMIZATION (the GDPR-pipeline sibling of "
+        "txt_pii_scrub's free-text redaction): user ids are replaced "
+        "by a salted-hash token, deterministically — the same user "
+        "maps to the same pseudonym across tables, runs, and engines, "
+        "so joins and per-user aggregates still work downstream while "
+        "the raw id never leaves the trust boundary. Versioned salt "
+        "('salt-v1') models key rotation. Pure narrow projection, "
+        "codegen'd, no shuffle at any scale."
+    ),
+)
+def ext_anonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.substring(
+            F.md5(F.concat(F.lit("salt-v1:"), F.col("user_id").cast("string"))),
+            1,
+            16,
+        ).alias("user_pseudo"),
+    )
+
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
 

@@ -348,6 +348,100 @@ def sim_knn_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 32
+
+
+@register(
+    "ext_doc_chunk",
+    oracle=(
+        f"WITH {_TOKS_CTE} "
+        "SELECT doc_id, "
+        f"CAST(i // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id, "
+        f"CAST(least({_CHUNK_LEN}, len(tk) - i) AS BIGINT) AS n_chunk_tokens, "
+        "tk[i+1] AS first_token "
+        f"FROM toks, unnest(range(0, len(tk), {_CHUNK_STRIDE})) AS u(i) "
+        "WHERE len(tk) > 0"
+    ),
+    doc=(
+        "Document CHUNKING — the stage between a clean corpus and an "
+        "embedding/RAG index: each document is split into 64-token "
+        "windows with stride 32 (50% overlap), emitting (doc_id, "
+        "chunk_id, chunk length, first token) per window; the final "
+        "window may be short, matching every production chunker. Pure "
+        "sequence+explode over the materialized token array — a "
+        "narrow whole-stage-codegen'd map stage, no shuffle, so at "
+        "100 TB chunking fuses into the corpus scan that feeds the "
+        "embedding model."
+    ),
+)
+def ext_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("tk") - 1, F.lit(_CHUNK_STRIDE))
+    return (
+        toks.select("doc_id", "tk", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.expr(f"i div {_CHUNK_STRIDE}").cast("bigint").alias("chunk_id"),
+            F.least(F.lit(_CHUNK_LEN), F.size("tk") - F.col("i"))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.element_at("tk", F.col("i") + 1).alias("first_token"),
+        )
+    )
+
+
+@register(
+    "vec_quantize_int8",
+    oracle=(
+        "WITH s AS (SELECT vec_id, embedding, "
+        "list_aggregate(list_transform(embedding, x -> "
+        "abs(CAST(x AS DOUBLE))), 'max') AS scale FROM embeddings) "
+        "SELECT vec_id, "
+        "CAST(floor(scale * 1000000) AS BIGINT) AS scale_u, "
+        "array_to_string(list_transform(embedding, x -> "
+        "CAST(CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS INT) "
+        "AS VARCHAR)), ',') AS q8 "
+        "FROM s WHERE scale > 0"
+    ),
+    doc=(
+        "Symmetric int8 vector QUANTIZATION — the compression step a "
+        "100 TB embedding store ships (4× smaller than float32, "
+        "dot-product-compatible): per-vector scale = max |x|, "
+        "components mapped by floor(x·127/scale). floor() — not "
+        "round/cast — because IEEE floor is bit-identical across "
+        "engines while DuckDB CAST rounds half-to-nearest and Spark "
+        "cast truncates (the dedup_fuzzy_edit trap class); the scale "
+        "ships as fixed-point micro-units for the same reason. The "
+        "quantized array serializes via array_join (container-typed "
+        "results crash the driver canonicalizer). Narrow map stage, "
+        "no shuffle."
+    ),
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    s = e.select("vec_id", "embedding", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 127 / F.col("scale"))
+        .cast("int")
+        .cast("string"),
+    )
+    return s.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1000000).cast("bigint").alias("scale_u"),
+        F.array_join(q, ",").alias("q8"),
+    )
+
+
 _RECALL_NQ = 10  # evaluation query batch: vec_id < 10
 
 

@@ -310,6 +310,9 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("ext_dataset_card", 7),
         ("agg_sketch_cms", 5),
         ("sim_ann_recall_eval", 9),
+        ("ext_doc_chunk", 1),  # the ensure_parallelism input repartition
+        ("vec_quantize_int8", 1),  # same
+        ("ext_anonymize_ids", 0),  # pure projection
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
