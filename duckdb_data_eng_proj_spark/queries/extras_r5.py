@@ -491,6 +491,57 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snk_write_audit_publish",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum "
+        "FROM orders WHERE o_orderdate IS NOT NULL "
+        "GROUP BY o_orderstatus"
+    ),
+    doc=(
+        "WRITE-AUDIT-PUBLISH — the production sink pattern that keeps "
+        "bad data out of consumer-visible tables: the batch lands in a "
+        "STAGING directory, an audit re-reads the staged files and "
+        "gates on row-count equality with the source plus a "
+        "null-contract check, and only a passing audit atomically "
+        "renames staging into the PUBLISHED location consumers read. "
+        "A failed audit raises and leaves the published table "
+        "untouched. The returned aggregate reads the PUBLISHED copy, "
+        "so the oracle equality proves the staged bytes survived the "
+        "whole staging→audit→publish→read cycle. At 100 TB the same "
+        "flow uses a metastore partition swap or table-format commit "
+        "instead of a directory rename — same three phases."
+    ),
+)
+def snk_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    stage = scratch_dir("orders_wap_stage")
+    pub = scratch_dir("orders_wap_pub")
+    src = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    cols = ["o_orderkey", "o_orderstatus", "o_orderdate"]
+    src.select(*cols).write.mode("overwrite").parquet(stage)
+
+    staged = spark.read.parquet(stage)
+    n_src = src.count()
+    n_staged = staged.count()
+    n_null_keys = staged.filter(F.col("o_orderkey").isNull()).count()
+    if n_staged != n_src or n_null_keys != 0:
+        raise RuntimeError(
+            f"audit failed: staged={n_staged} source={n_src} "
+            f"null_keys={n_null_keys}; publish aborted"
+        )
+    shutil.rmtree(pub, ignore_errors=True)
+    shutil.move(stage, pub)
+
+    published = spark.read.parquet(pub)
+    return published.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@register(
     "ext_anonymize_ids",
     oracle=(
         "SELECT event_id, event_type, "

@@ -313,6 +313,7 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("ext_doc_chunk", 1),  # the ensure_parallelism input repartition
         ("vec_quantize_int8", 1),  # same
         ("ext_anonymize_ids", 0),  # pure projection
+        ("snk_write_audit_publish", 1),  # the published-copy aggregate
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
