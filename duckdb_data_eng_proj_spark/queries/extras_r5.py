@@ -314,7 +314,8 @@ def _top_tokens_sql(k: int) -> str:
         "LEFT JOIN vocab v ON v.token = o.token GROUP BY o.doc_id) "
         "SELECT doc_id, n_tok, "
         "CAST(n_tok - n_in_vocab AS BIGINT) AS n_oov, "
-        "round(CAST(n_tok - n_in_vocab AS DOUBLE) / n_tok, 4) AS oov_frac "
+        "CAST(floor((n_tok - n_in_vocab) * 10000.0 / n_tok) AS BIGINT) "
+        "AS oov_bp "
         "FROM cov"
     ),
     doc=(
@@ -351,11 +352,14 @@ def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     oov = F.col("n_tok") - F.col("n_in_vocab")
+    # floor'd basis points, not round(ratio, 4): small-denominator
+    # rationals can land exactly on 4dp half-boundaries where the two
+    # engines' rounding implementations diverge; IEEE floor is exact.
     return cov.select(
         "doc_id",
         "n_tok",
         oov.cast("bigint").alias("n_oov"),
-        F.round(oov.cast("double") / F.col("n_tok"), 4).alias("oov_frac"),
+        F.floor(oov * 10000.0 / F.col("n_tok")).cast("bigint").alias("oov_bp"),
     )
 
 
@@ -436,8 +440,9 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT lang FROM lc ORDER BY n DESC, lang LIMIT 1) AS top_lang, "
         "CAST((SELECT COUNT(DISTINCT fingerprint) FROM fp) AS BIGINT) "
         "AS n_unique_fingerprints, "
-        "round(1.0 - CAST((SELECT COUNT(DISTINCT fingerprint) FROM fp) "
-        "AS DOUBLE) / (SELECT COUNT(*) FROM documents), 4) AS exact_dup_rate"
+        "CAST(floor(((SELECT COUNT(*) FROM documents) - "
+        "(SELECT COUNT(DISTINCT fingerprint) FROM fp)) * 10000.0 / "
+        "(SELECT COUNT(*) FROM documents)) AS BIGINT) AS exact_dup_bp"
     ),
     doc=(
         "DATASET CARD — the one-row datasheet a corpus release ships "
@@ -482,11 +487,15 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "top_lang",
         "n_unique_fingerprints",
-        F.round(
-            1.0
-            - F.col("n_unique_fingerprints").cast("double") / F.col("n_docs"),
-            4,
-        ).alias("exact_dup_rate"),
+        # floor'd basis points (not round(rate,4)): cross-engine-safe
+        # on exact half-boundaries — see dedup_containment note.
+        F.floor(
+            (F.col("n_docs") - F.col("n_unique_fingerprints"))
+            * 10000.0
+            / F.col("n_docs")
+        )
+        .cast("bigint")
+        .alias("exact_dup_bp"),
     )
 
 

@@ -70,7 +70,8 @@ def _tg_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COUNT(*) AS n_common FROM inv x JOIN inv y ON x.g = y.g "
         "AND x.doc_id < y.doc_id GROUP BY 1, 2) "
         "SELECT s.doc_a, s.doc_b, s.n_common, "
-        "round(CAST(s.n_common AS DOUBLE) / least(a.sz, b.sz), 4) AS containment "
+        "CAST(floor(s.n_common * 10000.0 / least(a.sz, b.sz)) AS BIGINT) "
+        "AS containment_bp "
         "FROM shared s JOIN sz a ON a.doc_id = s.doc_a "
         "JOIN sz b ON b.doc_id = s.doc_b "
         f"WHERE CAST(s.n_common AS DOUBLE) / least(a.sz, b.sz) >= {_CONTAIN_THR}"
@@ -115,12 +116,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     b = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     contain = F.col("n_common").cast("double") / F.least("sz_a", "sz_b")
+    # Output in floor'd basis points, not round(ratio, 4): the ratio is
+    # a small-denominator rational, and on exact 4dp half-boundaries
+    # Spark's BigDecimal-string rounding and DuckDB's float-multiply
+    # rounding disagree (the r4 dedup_fuzzy_edit / r5 txt_lm_doc_score
+    # trap class). IEEE multiply+divide+floor is bit-identical.
+    bp = F.floor(F.col("n_common") * 10000.0 / F.least("sz_a", "sz_b"))
     return (
         shared.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(contain >= _CONTAIN_THR)
         .select(
-            "doc_a", "doc_b", "n_common", F.round(contain, 4).alias("containment")
+            "doc_a", "doc_b", "n_common", bp.cast("bigint").alias("containment_bp")
         )
     )
 

@@ -43,13 +43,13 @@ def test_quantization_reconstruction_bound(spark):
 
 
 def test_containment_bounds(spark):
-    """Containment is a true overlap coefficient: inside [thr, 1] and
-    n_common never exceeds either set size."""
+    """Containment is a true overlap coefficient: inside [thr, 1]
+    (basis points, floor'd — so the lower bound loses at most 1bp)."""
     from duckdb_data_eng_proj_spark.queries.training_extra import _CONTAIN_THR
 
     rows = REGISTRY["dedup_containment"].fn(spark, SF_DIR).collect()
     for r in rows:
-        assert _CONTAIN_THR <= r.containment <= 1.0
+        assert _CONTAIN_THR * 10000 - 1 <= r.containment_bp <= 10000
 
 
 def test_funnel_histogram_partitions_users(spark):
