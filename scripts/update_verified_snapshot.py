@@ -31,11 +31,51 @@ import __spark_entry__ as entrymod  # noqa: E402
 from duckdb_data_eng_proj_spark.queries import REGISTRY  # noqa: E402
 
 
+def _edited_since_last_driver_run() -> list:
+    """Query-module files modified after the newest CORRECTNESS_r*.json.
+
+    A green row only describes the code the driver actually ran. If a
+    query module changed since that run, re-blessing its ids here would
+    hide the change from the driver's re-verify queue (VERDICT r5 #2:
+    six sink/warehouse ids escaped re-enqueue exactly this way).
+    """
+    import glob
+
+    correctness = glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))
+    if not correctness:
+        return []
+    last_run = max(os.path.getmtime(p) for p in correctness)
+    pkg = os.path.join(_HERE, "duckdb_data_eng_proj_spark")
+    edited = []
+    for root, _dirs, files in os.walk(pkg):
+        for name in files:
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(root, name)
+            if os.path.getmtime(path) > last_run:
+                edited.append(os.path.relpath(path, _HERE))
+    return sorted(edited)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--drop", nargs="*", default=[], metavar="QID",
                     help="ids whose green rows predate the current code")
+    ap.add_argument("--force", action="store_true",
+                    help="regenerate even though query modules changed "
+                         "since the last driver run (you must --drop every "
+                         "id whose implementation those edits touched)")
     args = ap.parse_args()
+
+    edited = _edited_since_last_driver_run()
+    if edited and not args.force:
+        print("REFUSING: these modules changed after the last driver run:",
+              file=sys.stderr)
+        for path in edited:
+            print(f"  {path}", file=sys.stderr)
+        print("Run at round start before editing, or pass --force with "
+              "--drop for every id those edits touched.", file=sys.stderr)
+        sys.exit(1)
 
     green = entrymod._green_rows() - set(args.drop)
     snapshot = {
