@@ -6,13 +6,15 @@ concurrent runs (bench + correctness driver) shared the same sink
 directories, so a reader could observe a half-finished overwrite.
 
 Resolution order:
-- ``SPARK_GRAFT_TMP`` env var if set (cluster deployments point this
-  at job-scoped durable storage);
+- ``SPARK_GRAFT_TMP`` env var if set (to place scratch on a specific
+  filesystem — e.g. fast local NVMe rather than the OS tempdir);
 - else the system tempdir.
 
 The root is suffixed per-process so concurrent local runs never share
-a sink dir, and removed at interpreter exit so ``pytest`` + ``bench``
-leave a clean tree.
+a sink dir, and it is ALWAYS removed at interpreter exit (including
+under ``SPARK_GRAFT_TMP``) so ``pytest`` + ``bench`` leave a clean
+tree — this is ephemeral scratch, not a durable sink; durable outputs
+belong in an explicit job-owned path, not here.
 """
 
 from __future__ import annotations

@@ -297,8 +297,17 @@ _OOV_VOCAB_K = 20
 def _top_tokens_sql(k: int) -> str:
     from duckdb_data_eng_proj_spark.queries.registry import REGISTRY
 
-    # txt_top_tokens' verified oracle, re-limited to the vocab size
-    return REGISTRY["txt_top_tokens"].oracle.replace("LIMIT 100", f"LIMIT {k}")
+    # txt_top_tokens' verified oracle, re-limited to the vocab size.
+    # The replace must actually fire: if the source oracle is ever
+    # reworded, a silent no-op would leave the oracle vocabulary at 100
+    # while the Spark side uses _OOV_VOCAB_K.
+    src = REGISTRY["txt_top_tokens"].oracle
+    if "LIMIT 100" not in src:
+        raise AssertionError(
+            "txt_top_tokens oracle no longer ends in 'LIMIT 100'; "
+            "update _top_tokens_sql to match"
+        )
+    return src.replace("LIMIT 100", f"LIMIT {k}")
 
 
 @register(
@@ -523,6 +532,7 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def snk_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
 
     stage = scratch_dir("orders_wap_stage")
@@ -540,8 +550,17 @@ def snk_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"audit failed: staged={n_staged} source={n_src} "
             f"null_keys={n_null_keys}; publish aborted"
         )
-    shutil.rmtree(pub, ignore_errors=True)
-    shutil.move(stage, pub)
+    # Publish = same-filesystem atomic renames (stage and pub share the
+    # scratch root). Move any previous published copy aside first —
+    # os.rename raises rather than nesting/merging on failure, so a
+    # botched publish can never leave consumers reading mixed old+new
+    # files; the failure mode is "old copy still intact at pub.old".
+    old = pub + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(pub):
+        os.rename(pub, old)
+    os.rename(stage, pub)
+    shutil.rmtree(old, ignore_errors=True)
 
     published = spark.read.parquet(pub)
     return published.groupBy("o_orderstatus").agg(

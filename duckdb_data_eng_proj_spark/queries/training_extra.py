@@ -277,11 +277,14 @@ _KNN_K = 3
         f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
         "cand AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
         f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
-        "AS cos_sim FROM sig a JOIN sig b "
+        "AS cos_sim, "
+        f"CAST(floor({_dot_sql('a.embedding', 'b.embedding')} "
+        "/ (a.nrm * b.nrm) * 10000) AS BIGINT) AS cs_fp "
+        "FROM sig a JOIN sig b "
         "ON a.sig = b.sig AND a.vec_id <> b.vec_id), "
         "ranked AS (SELECT query_id, neighbor_id, cos_sim, "
         "row_number() OVER (PARTITION BY query_id "
-        "ORDER BY cos_sim DESC, neighbor_id) AS n_rank FROM cand) "
+        "ORDER BY cs_fp DESC, neighbor_id) AS n_rank FROM cand) "
         f"SELECT query_id, n_rank, neighbor_id, cos_sim FROM ranked "
         f"WHERE n_rank <= {_KNN_K}"
     ),
@@ -293,7 +296,8 @@ _KNN_K = 3
         "8-bit Charikar sketch equi-join (never all-pairs; both "
         "engines build bit-identical sketches from md5-parity ±1 "
         "planes), ranking is a per-query window over the bounded "
-        "candidate set with the tie-break on (rounded cosine, "
+        "candidate set with the tie-break on (floor'd 1e4 fixed-point "
+        "cosine, "
         "neighbor id) so row_number is deterministic cross-engine. "
         "At 100 TB: bucket join shuffles by sketch value, the window "
         "partitions by query — both bounded by bucket occupancy, "
@@ -336,6 +340,10 @@ def sim_knn_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Rank on a floor'd fixed-point cosine (half-boundary-proof across
+    # engines, matching the d7ae455 ratio hardening); the 4dp rounded
+    # value is display-only output.
+    raw_cos = dot_ab / (F.col("a.nrm") * F.col("b.nrm"))
     cand = a.join(
         b,
         (F.col("a.sig") == F.col("b.sig"))
@@ -343,10 +351,11 @@ def sim_knn_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("query_id"),
         F.col("b.vec_id").alias("neighbor_id"),
-        F.round(dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cos_sim"),
+        F.round(raw_cos, 4).alias("cos_sim"),
+        F.floor(raw_cos * 10000).cast("bigint").alias("cs_fp"),
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
+        F.col("cs_fp").desc(), F.col("neighbor_id")
     )
     return (
         cand.withColumn("n_rank", F.row_number().over(w))
@@ -458,7 +467,8 @@ _RECALL_NQ = 10  # evaluation query batch: vec_id < 10
         f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
         f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
         "bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
-        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        f"CAST(floor({_dot_sql('a.embedding', 'b.embedding')} "
+        "/ (a.nrm * b.nrm) * 10000) AS BIGINT) "
         f"AS cs FROM sig a JOIN sig b ON a.vec_id < {_RECALL_NQ} "
         "AND b.vec_id <> a.vec_id), "
         "bfr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, "
@@ -466,7 +476,8 @@ _RECALL_NQ = 10  # evaluation query batch: vec_id < 10
         "ORDER BY cs DESC, neighbor_id) AS r FROM bf) WHERE r <= "
         f"{_KNN_K}), "
         "lc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
-        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        f"CAST(floor({_dot_sql('a.embedding', 'b.embedding')} "
+        "/ (a.nrm * b.nrm) * 10000) AS BIGINT) "
         "AS cs FROM sig a JOIN sig b ON a.sig = b.sig "
         f"AND a.vec_id < {_RECALL_NQ} AND b.vec_id <> a.vec_id), "
         "lr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, "
@@ -489,7 +500,8 @@ _RECALL_NQ = 10  # evaluation query batch: vec_id < 10
         "corpus (the sanctioned all-pairs: |queries| is fixed and "
         "tiny, so cost is |Q|×N map-side, no shuffle); the LSH side "
         "is the same-bucket candidate ranking as sim_knn_bucket_join. "
-        "Both rankings share the deterministic (rounded cosine, "
+        "Both rankings share the deterministic (floor'd fixed-point "
+        "cosine, "
         "neighbor id) tie-break, so recall is exact cross-engine."
     ),
 )
@@ -528,7 +540,11 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cs = F.round(dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 4)
+    # Fixed-point floor ranking key (see sim_knn_bucket_join); the
+    # cosine itself never reaches the output here.
+    cs = F.floor(
+        dot_ab / (F.col("a.nrm") * F.col("b.nrm")) * 10000
+    ).cast("bigint")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cs").desc(), F.col("neighbor_id")
     )
