@@ -87,21 +87,55 @@ def _tg_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cutoff drops postings >500 docs so no hot shingle can go "
         "quadratic. Sizes are counted in the SAME filtered shingle "
         "space as the intersection so the coefficient stays a true "
-        "ratio. At 100 TB the shuffle is keyed by shingle and the "
-        "pair space is bounded by postings² per surviving shingle."
+        "ratio. Verbatim-duplicate collapse (VERDICT r5 #3): docs "
+        "with identical filtered shingle sets are grouped by a set "
+        "digest BEFORE the self-join, the index join runs over one "
+        "representative per group, and pairs re-expand to members "
+        "afterwards (intra-group pairs are containment=1 by "
+        "definition, cross-group pairs inherit the representative "
+        "pair's n_common — both exact, since containment depends "
+        "only on the two shingle sets). The DF cutoff is still "
+        "computed over the FULL corpus, duplicates included, so the "
+        "filtered space is unchanged. At 100 TB the shuffle is keyed "
+        "by shingle over unique contents only; the duplicate "
+        "explosion is confined to the final output-sized expansion."
     ),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = _tg_sets_df(spark, sf_dir)
     inv0 = sets.select("doc_id", F.explode("tg").alias("g"))
+    # DF cutoff over the FULL corpus (duplicate multiplicity counts),
+    # so the filtered shingle space is identical to the oracle's.
     keep = inv0.groupBy("g").count().filter(F.col("count") <= _TG_DF_CUTOFF).select("g")
-    # The filtered inverted index is consumed three times (sizes +
-    # both self-join sides): materialize it ONCE — this is an index
-    # build, and without it the explode+DF-filter lineage re-executes
-    # per consumer (15 exchanges -> 7, measured).
+    # Materialize the filtered index ONCE — it feeds the digest pass
+    # and both self-join sides; without this the explode+DF-filter
+    # lineage re-executes per consumer (15 exchanges -> 7, measured).
     inv = inv0.join(keep, "g").localCheckpoint()
-    sz = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    x, y = inv.alias("x"), inv.alias("y")
+
+    # Verbatim-duplicate collapse: containment depends only on the two
+    # filtered shingle SETS, so docs with identical sets are one
+    # logical content. Digest each doc's sorted filtered set (0x1f
+    # can't occur inside whitespace-split tokens), pick min(doc_id) as
+    # the group representative, and run the quadratic-prone index
+    # self-join over representatives only.
+    # members/groups feed five consumers (rep filter, sizes on both
+    # join sides, both expansion sides) — checkpoint them like the
+    # index itself so the digest aggregation runs once, not per
+    # consumer, and downstream joins see real size stats.
+    members = inv.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("\x1f", F.sort_array(F.collect_list("g")))).alias("gid"),
+        F.count("*").alias("sz"),
+    ).localCheckpoint()
+    groups = members.groupBy("gid").agg(
+        F.min("doc_id").alias("rep"),
+        F.count("*").alias("n_members"),
+        F.min("sz").alias("sz"),
+    ).localCheckpoint()
+    inv_rep = inv.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id"
+    ).localCheckpoint()
+
+    x, y = inv_rep.alias("x"), inv_rep.alias("y")
     shared = (
         x.join(
             y,
@@ -109,12 +143,18 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.col("x.doc_id").alias("rep_a"), F.col("y.doc_id").alias("rep_b")
         )
         .agg(F.count("*").alias("n_common"))
     )
-    a = sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    b = sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    ga = groups.select(
+        F.col("rep").alias("rep_a"), F.col("gid").alias("gid_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    gb = groups.select(
+        F.col("rep").alias("rep_b"), F.col("gid").alias("gid_b"),
+        F.col("sz").alias("sz_b"),
+    )
     contain = F.col("n_common").cast("double") / F.least("sz_a", "sz_b")
     # Output in floor'd basis points, not round(ratio, 4): the ratio is
     # a small-denominator rational, and on exact 4dp half-boundaries
@@ -122,14 +162,48 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounding disagree (the r4 dedup_fuzzy_edit / r5 txt_lm_doc_score
     # trap class). IEEE multiply+divide+floor is bit-identical.
     bp = F.floor(F.col("n_common") * 10000.0 / F.least("sz_a", "sz_b"))
-    return (
-        shared.join(a, "doc_a")
-        .join(b, "doc_b")
+    rep_pairs = (
+        shared.join(ga, "rep_a")
+        .join(gb, "rep_b")
         .filter(contain >= _CONTAIN_THR)
         .select(
-            "doc_a", "doc_b", "n_common", bp.cast("bigint").alias("containment_bp")
+            "gid_a", "gid_b", "n_common", bp.cast("bigint").alias("containment_bp")
         )
     )
+
+    # Re-expand: cross-group pairs inherit the representative pair's
+    # (n_common, containment_bp) — exact, the sets are identical per
+    # member; member doc_ids interleave across groups, so re-order
+    # each expanded pair by id.
+    ma = members.select(F.col("gid").alias("gid_a"), F.col("doc_id").alias("id_a"))
+    mb = members.select(F.col("gid").alias("gid_b"), F.col("doc_id").alias("id_b"))
+    cross = (
+        rep_pairs.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "n_common",
+            "containment_bp",
+        )
+    )
+    # Intra-group pairs: identical sets => n_common = sz, containment
+    # exactly 1.0 (>= any sane threshold). Output-sized by necessity.
+    dup_members = members.join(
+        groups.filter(F.col("n_members") >= 2).select("gid"), "gid"
+    )
+    p, q = dup_members.alias("p"), dup_members.alias("q")
+    intra = p.join(
+        q,
+        (F.col("p.gid") == F.col("q.gid"))
+        & (F.col("p.doc_id") < F.col("q.doc_id")),
+    ).select(
+        F.col("p.doc_id").alias("doc_a"),
+        F.col("q.doc_id").alias("doc_b"),
+        F.col("p.sz").alias("n_common"),
+        F.lit(10000).cast("bigint").alias("containment_bp"),
+    )
+    return cross.unionByName(intra)
 
 
 @register(

@@ -59,6 +59,10 @@ QUERIES = [
     "ext_decontaminate",
     "ext_seq_pack",
     "ext_sketch_kmv",
+    "dedup_containment",
+    "sim_knn_bucket_join",
+    "txt_lm_doc_score",
+    "ext_quality_ensemble",
 ]
 
 

@@ -294,7 +294,12 @@ def test_new_op_exchange_budget(spark, qid, budget):
 @pytest.mark.parametrize(
     ("qid", "budget"),
     [
-        ("dedup_containment", 3),  # after the inverted-index checkpoint
+        # r6 verbatim-collapse plan: index self-join (2) + pair agg (1)
+        # + intra-group self-join (2); members/groups/expansion joins
+        # broadcast off their checkpoints. Was 3 pre-collapse; the
+        # collapse trades 2 exchanges for a non-quadratic pair space
+        # (x8 stress 37.8s -> 11.9s).
+        ("dedup_containment", 5),
         ("txt_lm_doc_score", 7),
         ("txt_top_tokens", 2),
         ("txt_boilerplate_phrases", 2),
