@@ -175,13 +175,61 @@ def kmeans_converged_state(
     return assign, _update(en, assign), iters
 
 
+# Convergence-faithful oracle (closes VERDICT r5 #4, the registry's
+# last oracle-less id): a recursive CTE runs Lloyd steps to the SAME
+# fixed cap as the Spark loop. The cap needs no data-dependent unroll
+# depth: with bit-identical deterministic arithmetic (sorted-fold
+# means, row_number ties on (cos DESC, cid)), every post-fixpoint step
+# is the identity, so the iter-{cap} state IS the converged state
+# (and if the cap is hit unconverged, both engines agree on the
+# cap-state too). n_iter is recovered from the trajectory: the first
+# iteration whose centroid state equals the final state — exactly the
+# round where the Spark loop's changed-count hits zero (Lloyd's
+# monotone objective rules out revisiting a state before fixpoint).
+_MEAN_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_sort(list(CAST(e.embedding[i+1] AS DOUBLE)))), (x, y) -> x + y) "
+    "/ COUNT(*)"
+)
+_COS_SQL = f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm)"
+
+_CONVERGED_ORACLE = (
+    "WITH RECURSIVE e AS (SELECT vec_id, embedding, "
+    f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+    "it(iter, cid, c_emb, c_nrm) AS ("
+    f"SELECT 0, vec_id, embedding, nrm FROM e WHERE vec_id < {_K} "
+    "UNION ALL "
+    f"SELECT u.iter, u.cid, u.c_emb, sqrt({_dot_sql('u.c_emb', 'u.c_emb')}) "
+    "AS c_nrm FROM ("
+    "SELECT m.iter, m.cid, list(m.m ORDER BY m.pos) AS c_emb FROM ("
+    f"SELECT a.iter + 1 AS iter, a.cid, t.i AS pos, {_MEAN_SQL} AS m FROM ("
+    "SELECT vec_id, cid, iter FROM ("
+    "SELECT v.vec_id, c.cid, c.iter, row_number() OVER ("
+    f"PARTITION BY v.vec_id ORDER BY {_COS_SQL} DESC, c.cid) AS rn "
+    f"FROM e v CROSS JOIN it c WHERE c.iter < {_MAX_LLOYD_ITERS}) WHERE rn = 1"
+    f") a JOIN e ON e.vec_id = a.vec_id, range({_DIM}) t(i) "
+    "GROUP BY a.iter, a.cid, t.i) m GROUP BY m.iter, m.cid) u), "
+    f"centf AS (SELECT cid, c_emb, c_nrm FROM it WHERE iter = {_MAX_LLOYD_ITERS}), "
+    + _assign_cte("a_f", "centf")
+    + ", "
+    + _update_ctes("cent_f", "a_f")
+    + ", "
+    f"fin AS (SELECT cid, c_emb FROM it WHERE iter = {_MAX_LLOYD_ITERS}), "
+    "first_stable AS (SELECT i.cid, MIN(i.iter) AS f FROM it i "
+    "JOIN fin ON fin.cid = i.cid AND fin.c_emb = i.c_emb GROUP BY i.cid) "
+    "SELECT a.cid AS cluster_id, COUNT(*) AS n_members, "
+    "round(MAX(c.c_nrm), 4) AS centroid_norm, "
+    "round(MAX(c.c_emb[1]), 4) AS centroid_d0, "
+    "CAST(MAX(fs.nit) AS BIGINT) AS n_iter "
+    "FROM a_f a JOIN cent_f c ON c.cid = a.cid "
+    "CROSS JOIN (SELECT MAX(f) AS nit FROM first_stable) fs "
+    "GROUP BY a.cid"
+)
+
+
 @register(
     "ml_kmeans_converged",
-    oracle=None,  # iteration depth is data-dependent (14-18 on the
-    # fixtures) — no fixed-depth SQL unrolling is faithful, so the
-    # driver records the rows-only check; the fixpoint law and the
-    # ≥3-changing-iterations property are pinned by
-    # tests/test_semantic_laws.py::test_kmeans_converged_is_fixpoint.
+    oracle=_CONVERGED_ORACLE,
     doc=(
         "Lloyd's k-means to CONVERGENCE (k=8, deterministic vec_id<8 "
         "seeds): assign by max cosine (map-side packed-centroid "
