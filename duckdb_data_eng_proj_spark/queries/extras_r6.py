@@ -1,0 +1,446 @@
+"""Round-6 operators: pretokenization, web-corpus canonicalization,
+importance sampling, time-series gap fill, vector range search, and
+window distribution functions.
+
+These fill the remaining standard stages of a web-scale training-data
+pipeline plus two general analytics gaps:
+
+- BPE-style pretokenization counts — the regex pre-split every
+  subword tokenizer (GPT-2/tiktoken family) applies before merges;
+- URL canonicalization + dedup — the first dedup stage of any web
+  crawl (scheme/www/tracking-param/trailing-slash normalization);
+- importance sampling — deterministic quality-weighted inclusion,
+  the data-mixing primitive behind "sample high-quality sources at
+  2x" recipes;
+- time-series gap fill — bucket + generate missing buckets +
+  forward fill, the resample/ffill of every metrics pipeline;
+- cosine range search — the threshold form of ANN retrieval
+  (sim_knn_bucket_join is the top-k form);
+- percent_rank / cume_dist / ntile — the distribution window family.
+
+Reference parity: the reference project (pipeline.py, queries.sql)
+has none of these; they are north-star surface over the driver's
+tables. All are oracle-checked (hash grade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+from duckdb_data_eng_proj_spark.queries.training import _dot_sql, _hp_sig_sql
+
+
+# ---------------------------------------------------------------------------
+# txt_bpe_pretokenize
+
+# The GPT-2-family pretokenizer splits text into letter runs, digit
+# runs, and punctuation runs BEFORE any BPE merge is applied; merge
+# tables never cross these boundaries. Lookahead-free so the same
+# pattern is valid in Java regex (Spark) and RE2 (DuckDB).
+_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+@register(
+    "txt_bpe_pretokenize",
+    oracle=(
+        "WITH pt AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(trim(text)), '{_PRETOK_RE}') AS p "
+        "FROM documents) "
+        "SELECT doc_id, CAST(len(p) AS BIGINT) AS n_pretok, "
+        "CAST(len(list_filter(p, x -> regexp_matches(x, '^[a-z]'))) AS BIGINT) "
+        "AS n_alpha, "
+        "CAST(len(list_filter(p, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) "
+        "AS n_num, "
+        "CAST(len(p) "
+        "- len(list_filter(p, x -> regexp_matches(x, '^[a-z]'))) "
+        "- len(list_filter(p, x -> regexp_matches(x, '^[0-9]'))) AS BIGINT) "
+        "AS n_other "
+        "FROM pt"
+    ),
+    doc=(
+        "BPE-STYLE PRETOKENIZATION counts — the regex pre-split "
+        "(letter runs | digit runs | punctuation runs) every subword "
+        "tokenizer applies before merges; its token count is the "
+        "input length a BPE vocab actually sees, and the alpha/num/"
+        "punct mix is a cheap quality signal (code vs prose vs "
+        "boilerplate). Complements txt_token_count's whitespace "
+        "tokenizer per the north star ('whitespace + a BPE-ish "
+        "regex'). Pure narrow projection over regexp_extract_all — "
+        "whole-stage codegen, zero shuffle at any scale."
+    ),
+)
+def txt_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    p = F.regexp_extract_all(F.lower(F.trim(F.col("text"))), F.lit(_PRETOK_RE), 0)
+    alpha = F.size(F.filter(p, lambda x: x.rlike("^[a-z]")))
+    num = F.size(F.filter(p, lambda x: x.rlike("^[0-9]")))
+    return d.select(
+        "doc_id",
+        F.size(p).cast("bigint").alias("n_pretok"),
+        alpha.cast("bigint").alias("n_alpha"),
+        num.cast("bigint").alias("n_num"),
+        (F.size(p) - alpha - num).cast("bigint").alias("n_other"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical
+
+# documents.source is a bare feed name, so a deterministic URL is
+# derived from (source, doc_id) first — scheme/www/tracking-query/
+# trailing-slash variants of a much smaller canonical space — and the
+# OPERATOR under test is the canonicalizer that collapses them.
+_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END "
+    "|| source || '.example.org/p/' || CAST(doc_id % 40 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END "
+    "|| CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' "
+    "|| CAST(doc_id AS VARCHAR) "
+    "|| CASE WHEN doc_id % 7 = 0 THEN '&page=' || CAST(doc_id % 2 AS VARCHAR) "
+    "ELSE '' END "
+    "WHEN doc_id % 7 = 0 THEN '?page=' || CAST(doc_id % 2 AS VARCHAR) "
+    "ELSE '' END"
+)
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=(
+        f"WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents), "
+        "parts AS (SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(url, '\\?.*$', ''), "
+        "'^https?://(www\\.)?', ''), '/$', '') AS hostpath, "
+        "list_filter(string_split(regexp_extract(url, '\\?(.*)$', 1), '&'), "
+        "x -> x <> '' AND NOT regexp_matches(x, '^(utm_|ref=)')) AS params "
+        "FROM u), "
+        "canon AS (SELECT doc_id, CASE WHEN len(params) > 0 "
+        "THEN hostpath || '?' || array_to_string(params, '&') "
+        "ELSE hostpath END AS canonical_url FROM parts) "
+        "SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants, "
+        "MIN(doc_id) AS keeper_doc_id "
+        "FROM canon GROUP BY canonical_url"
+    ),
+    doc=(
+        "URL CANONICALIZATION dedup — the first dedup stage of every "
+        "web crawl: strip scheme and www, drop tracking query params "
+        "(utm_*, ref) while KEEPING meaningful ones (page=), strip "
+        "trailing slash, then collapse to one keeper per canonical "
+        "URL (min doc_id — deterministic, same survivor rule as "
+        "ext_dedup_exact). Pure string-expression canonicalizer + one "
+        "groupBy shuffled on the canonical key; at 100 TB this is a "
+        "map stage plus a single key-partitioned aggregate, exactly "
+        "how CommonCrawl index dedup runs."
+    ),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.org/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&ref="),
+                F.col("doc_id").cast("string"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit("&page="), (F.col("doc_id") % 2).cast("string")),
+                ).otherwise(F.lit("")),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("?page="), (F.col("doc_id") % 2).cast("string")),
+        )
+        .otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    hostpath = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), r"\?.*$", ""),
+            r"^https?://(www\.)?",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    params = F.filter(
+        F.split(F.regexp_extract(F.col("url"), r"\?(.*)$", 1), "&"),
+        lambda x: (x != "") & ~x.rlike("^(utm_|ref=)"),
+    )
+    canonical = F.when(
+        F.size(params) > 0,
+        F.concat(hostpath, F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(hostpath)
+    return (
+        u.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_importance_sample
+
+_IS_SALT = "is-v1:"
+
+
+@register(
+    "ext_importance_sample",
+    oracle=(
+        "WITH mx AS (SELECT MAX(n_chars) AS mc FROM documents), "
+        "w AS (SELECT doc_id, "
+        "CAST(floor(n_chars * 10000.0 / mx.mc) AS BIGINT) AS w_bp, "
+        f"CAST('0x' || substr(md5('{_IS_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) "
+        "AS BIGINT) % 10000 AS u_bp "
+        "FROM documents CROSS JOIN mx) "
+        "SELECT doc_id, w_bp, u_bp FROM w WHERE u_bp < w_bp"
+    ),
+    doc=(
+        "IMPORTANCE SAMPLING — deterministic quality-weighted "
+        "inclusion: each doc keeps with probability proportional to "
+        "its weight (here n_chars vs the corpus max; in production a "
+        "quality/domain score), decided by comparing an md5-derived "
+        "uniform in [0,10000) against the weight in basis points. "
+        "Same salted-md5 determinism as ext_split_train/"
+        "ext_corpus_shuffle, so the SAME docs are kept on every run, "
+        "engine, and cluster size — reproducible data mixing. Scale "
+        "shape: the corpus max broadcasts as a 1-row cross join, the "
+        "decision is a map-side filter — zero corpus shuffle."
+    ),
+)
+def ext_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    mx = d.agg(F.max("n_chars").alias("mc"))
+    w_bp = F.floor(F.col("n_chars") * 10000.0 / F.col("mc")).cast("bigint")
+    u_bp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_IS_SALT), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .select("doc_id", w_bp.alias("w_bp"), u_bp.alias("u_bp"))
+        .filter(F.col("u_bp") < F.col("w_bp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_gap_fill
+
+_GAP_FILL_USERS = 30  # bounded eval slice; the plan is per-user generic
+
+
+@register(
+    "ts_gap_fill",
+    oracle=(
+        "WITH ev AS (SELECT user_id, "
+        "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts, "
+        "SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        f"FROM events WHERE user_id < {_GAP_FILL_USERS} "
+        "GROUP BY user_id, bucket_ts), "
+        "span AS (SELECT user_id, MIN(bucket_ts) AS mn, MAX(bucket_ts) AS mx "
+        "FROM ev GROUP BY user_id), "
+        "grid AS (SELECT user_id, unnest(generate_series(mn, mx, "
+        "INTERVAL 1 HOUR)) AS bucket_ts FROM span), "
+        "joined AS (SELECT g.user_id, g.bucket_ts, ev.sum_cents, ev.n_events "
+        "FROM grid g LEFT JOIN ev ON ev.user_id = g.user_id "
+        "AND ev.bucket_ts = g.bucket_ts) "
+        "SELECT user_id, bucket_ts, "
+        "last_value(sum_cents IGNORE NULLS) OVER w AS sum_cents_filled, "
+        "last_value(n_events IGNORE NULLS) OVER w AS n_events_filled, "
+        "(sum_cents IS NULL) AS is_gap "
+        "FROM joined "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    doc=(
+        "TIME-SERIES GAP FILL (resample + forward-fill): hourly "
+        "buckets per user, a generated dense bucket grid between each "
+        "user's first and last activity (sequence + explode — no "
+        "driver loop), then last-observation-carried-forward via "
+        "last_value IGNORE NULLS over an unbounded-preceding row "
+        "frame. Integer-cents sums for cross-engine exactness. Scale "
+        "shape: one shuffle keyed by user_id for the bucket "
+        "aggregate; the span aggregate, grid explode, fill window, "
+        "and left join all reuse that same user_id partitioning — no "
+        "further corpus shuffle. The eval slice bounds users, not the "
+        "per-user logic."
+    ),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < _GAP_FILL_USERS)
+    ev = (
+        e.select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "bucket_ts")
+        .agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(ev, ["user_id", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket_ts",
+        F.last("sum_cents", ignorenulls=True).over(w).alias("sum_cents_filled"),
+        F.last("n_events", ignorenulls=True).over(w).alias("n_events_filled"),
+        F.col("sum_cents").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_range_search
+
+_RANGE_THR_FP = 2000  # floor(cos * 1e4) >= this, i.e. cosine >= 0.2
+
+
+@register(
+    "sim_range_search",
+    oracle=(
+        f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
+        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings) "
+        "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        "AS cos_sim "
+        "FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id "
+        f"WHERE CAST(floor({_dot_sql('a.embedding', 'b.embedding')} "
+        f"/ (a.nrm * b.nrm) * 10000) AS BIGINT) >= {_RANGE_THR_FP}"
+    ),
+    doc=(
+        "Cosine RANGE SEARCH — the threshold form of vector retrieval "
+        "(sim_knn_bucket_join is the top-k form): all same-bucket "
+        "pairs with cosine above a fixed threshold, no per-query "
+        "ranking state at all. Candidates from the 8-bit hyperplane "
+        "sketch equi-join (never all-pairs); the threshold compares "
+        "the floor'd 1e4 fixed-point cosine (half-boundary-proof "
+        "cross-engine, the r6 ANN hardening), the 4dp rounded value "
+        "is display output. At 100 TB: one shuffle keyed by sketch "
+        "bucket, then a map-side filter — strictly cheaper than "
+        "top-k, which is why production range queries (near-dup "
+        "candidate generation) prefer it."
+    ),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.training import _hyperplanes
+
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    planes = _hyperplanes()
+    dim_range = list(range(len(planes[0])))
+    sig_bits = []
+    for p, plane in enumerate(planes):
+        dot_p = None
+        for dlt, wgt in zip(dim_range, plane):
+            term = F.col("embedding")[dlt] * F.lit(wgt)
+            dot_p = term if dot_p is None else dot_p + term
+        sig_bits.append(F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig_expr = sig_bits[0]
+    for b in sig_bits[1:]:
+        sig_expr = sig_expr + b
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    sig = e.select("vec_id", "embedding", sig_expr.alias("sig"), nrm.alias("nrm"))
+    a, b = sig.alias("a"), sig.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    raw_cos = dot_ab / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.floor(raw_cos * 10000).cast("bigint") >= F.lit(_RANGE_THR_FP)
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(raw_cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_distribution
+
+
+@register(
+    "win_distribution",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr_bp, "
+        "CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cd_bp, "
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderpriority "
+        "ORDER BY o_totalprice, o_orderkey)"
+    ),
+    doc=(
+        "Distribution window family — percent_rank, cume_dist, "
+        "ntile(4) — partitioned by order priority, ordered by "
+        "(totalprice, orderkey) so every row is a distinct peer and "
+        "the ranks are deterministic cross-engine. The rank ratios "
+        "are emitted as floor'd basis points (the half-boundary-proof "
+        "fixed-point rule). One shuffle keyed by the partition "
+        "column; all three functions share a single sort — Spark "
+        "computes them in one Window physical node."
+    ),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.percent_rank().over(w) * 10000).cast("bigint").alias("pr_bp"),
+        F.floor(F.cume_dist().over(w) * 10000).cast("bigint").alias("cd_bp"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )

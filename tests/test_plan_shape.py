@@ -319,6 +319,13 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("vec_quantize_int8", 1),  # same
         ("ext_anonymize_ids", 0),  # pure projection
         ("snk_write_audit_publish", 1),  # the published-copy aggregate
+        # r6 ops
+        ("txt_bpe_pretokenize", 1),  # ensure_parallelism repartition only
+        ("dedup_url_canonical", 2),  # repartition + canonical-key agg
+        ("ext_importance_sample", 3),  # repartition + 1-row max agg pair
+        ("ts_gap_fill", 2),  # bucket agg; span/grid/fill reuse user_id keying
+        ("sim_range_search", 2),  # bucket equi-join sides; filter is map-side
+        ("win_distribution", 1),  # one shuffle, three fns share one Window
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
