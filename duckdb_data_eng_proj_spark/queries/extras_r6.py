@@ -444,3 +444,160 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.cume_dist().over(w) * 10000).cast("bigint").alias("cd_bp"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_pq_codebook
+
+_PQ_M = 8   # sub-blocks
+_PQ_K = 16  # centroids per block codebook
+_PQ_SUB = 8  # dims per sub-block (8 x 8 = the 64-dim embedding)
+
+
+def _pq_dist_sql(sv: str, c: str) -> str:
+    return (
+        f"list_reduce(list_transform(range({_PQ_SUB}), "
+        f"i -> ({sv}[i+1] - {c}[i+1]) * ({sv}[i+1] - {c}[i+1])), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _pq_assign_sql(name: str, cent: str) -> str:
+    d = _pq_dist_sql("s.sv", "c.c")
+    return (
+        f"{name} AS (SELECT vec_id, m, cid, dist FROM ("
+        f"SELECT s.vec_id, s.m, c.cid, {d} AS dist, "
+        f"row_number() OVER (PARTITION BY s.vec_id, s.m "
+        f"ORDER BY {d}, c.cid) AS rn "
+        f"FROM sub s JOIN {cent} c ON c.m = s.m) WHERE rn = 1)"
+    )
+
+
+def _pq_update_sql(prefix: str, assign: str) -> str:
+    mean = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_sort(list(CAST(s.sv[t.i+1] AS DOUBLE)))), (x, y) -> x + y) "
+        "/ COUNT(*)"
+    )
+    return (
+        f"{prefix}m AS (SELECT a.m, a.cid, t.i AS pos, {mean} AS mu "
+        f"FROM {assign} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m, "
+        f"range({_PQ_SUB}) t(i) GROUP BY a.m, a.cid, t.i), "
+        f"{prefix} AS (SELECT m, cid, list(mu ORDER BY pos) AS c "
+        f"FROM {prefix}m GROUP BY m, cid)"
+    )
+
+
+_PQ_ORACLE = (
+    "WITH sub AS (SELECT vec_id, t.m AS m, "
+    f"list_transform(embedding[t.m * {_PQ_SUB} + 1 : t.m * {_PQ_SUB} + {_PQ_SUB}], "
+    "x -> CAST(x AS DOUBLE)) AS sv "
+    f"FROM embeddings, range({_PQ_M}) t(m)), "
+    f"cent0 AS (SELECT m, vec_id AS cid, sv AS c FROM sub WHERE vec_id < {_PQ_K}), "
+    + _pq_assign_sql("a1", "cent0")
+    + ", "
+    + _pq_update_sql("c1", "a1")
+    + ", "
+    + _pq_assign_sql("a2", "c1")
+    + " SELECT vec_id, "
+    "array_to_string(list(CAST(cid AS VARCHAR) ORDER BY m), ',') AS codes, "
+    "CAST(SUM(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT) AS err_u "
+    "FROM a2 GROUP BY vec_id"
+)
+
+
+@register(
+    "vec_pq_codebook",
+    oracle=_PQ_ORACLE,
+    doc=(
+        "PRODUCT QUANTIZATION — the memory-bound ANN index that "
+        "completes the embedding-index family (sim_ann_ivf* = "
+        "partition pruning, vec_quantize_int8 = scalar compression, "
+        "PQ = sub-space codebooks): the 64-dim embedding splits into "
+        "8 sub-blocks of 8 dims; each block trains a 16-centroid "
+        "codebook (seeded from vec_id<16, two unrolled Lloyd L2 "
+        "iterations — the ml_kmeans_2iter determinism recipe per "
+        "block: sorted-fold means, row_number ties on (dist, cid)) "
+        "and every vector encodes as 8 one-byte codes — 64 doubles "
+        "-> 8 bytes, the 64x compression real PQ indexes ship. "
+        "Output: csv code string + total quantization error in "
+        "floor'd micro-units (per-block floor then integer sum — "
+        "associative, cross-engine exact). Scale shape: codebooks "
+        "are 128 tiny rows (broadcast); training joins shuffle "
+        "keyed by (m, cid, pos); ENCODING — the 100 TB pass — is "
+        "one broadcast join + per-vec argmin, zero corpus shuffle, "
+        "and in production the training side runs on a bounded "
+        "sample exactly like sim_ann_ivf's codebook build."
+    ),
+)
+def vec_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    sub = e.select("vec_id", F.inline(blocks))
+
+    def dist(sv, c):
+        return F.aggregate(
+            F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        j = sub.join(F.broadcast(cent), "m").withColumn(
+            "dist", dist(F.col("sv"), F.col("c"))
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid", "dist")
+        )
+
+    def update(a: DataFrame) -> DataFrame:
+        x = a.join(sub, ["vec_id", "m"]).select(
+            "m", "cid", F.posexplode("sv").alias("pos", "val")
+        )
+        sorted_sum = F.aggregate(
+            F.sort_array(F.collect_list(F.col("val").cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        means = x.groupBy("m", "cid", "pos").agg(
+            (sorted_sum / F.count("*")).alias("mu")
+        )
+        return means.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("c")
+        )
+
+    cent0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    )
+    a1 = assign(cent0)
+    c1 = update(a1)
+    a2 = assign(c1)
+    return a2.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s["cid"].cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+        F.sum(F.floor(F.col("dist") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("err_u"),
+    )

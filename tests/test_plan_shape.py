@@ -326,6 +326,9 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("ts_gap_fill", 2),  # bucket agg; span/grid/fill reuse user_id keying
         ("sim_range_search", 2),  # bucket equi-join sides; filter is map-side
         ("win_distribution", 1),  # one shuffle, three fns share one Window
+        # 2 unrolled training iters (argmin windows + mean aggs) + encode;
+        # codebooks broadcast, so no exchange scales with the corpus twice
+        ("vec_pq_codebook", 9),
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
