@@ -601,3 +601,235 @@ def vec_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count
+
+_TRI_USER_CAP = 300  # bounded eval slice (see doc: degree capping at scale)
+
+
+@register(
+    "graph_triangle_count",
+    oracle=(
+        "WITH ev AS (SELECT DISTINCT user_id, event_type, "
+        "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h "
+        f"FROM events WHERE user_id < {_TRI_USER_CAP}), "
+        "edges AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v "
+        "FROM ev a JOIN ev b ON a.event_type = b.event_type "
+        "AND a.h = b.h AND a.user_id < b.user_id), "
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        "FROM edges e1 JOIN edges e2 ON e2.u = e1.v "
+        "JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ("
+        "SELECT a AS user_id FROM tri UNION ALL "
+        "SELECT b AS user_id FROM tri UNION ALL "
+        "SELECT c AS user_id FROM tri) GROUP BY user_id"
+    ),
+    doc=(
+        "TRIANGLE COUNTING over the user co-occurrence graph (users "
+        "sharing an event_type x hour bucket are adjacent) — "
+        "completes the graph-analytics family (ml_pagerank_2iter, "
+        "dedup_cluster_cc): per-vertex triangle membership counts, "
+        "the local clustering-coefficient numerator used in "
+        "fraud/community detection. Uses the id-ORIENTED edge "
+        "representation (u<v, each undirected edge once) so every "
+        "triangle a<b<c is found exactly once by the two-path join "
+        "e(a,b)+e(b,c) closed by e(a,c) — the standard distributed "
+        "algorithm; the join is keyed by vertex, never all-pairs. "
+        "At 100 TB the pair space inside hot buckets and hot "
+        "vertices is bounded by degree capping / high-degree-vertex "
+        "splitting; the eval slice bounds users instead, the plan is "
+        "the production one."
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < _TRI_USER_CAP)
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).distinct()
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint()  # index build: three join consumers below
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    verts = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    return verts.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# etl_snapshot_diff
+
+_SNAP_INS_OFFSET = 10_000_000
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle=(
+        "WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM orders), "
+        "s2 AS (SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END "
+        "AS o_orderstatus, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10 "
+        "ELSE o_totalprice END AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 13 <> 0 "
+        "UNION ALL "
+        f"SELECT o_orderkey + {_SNAP_INS_OFFSET}, o_orderstatus, o_totalprice "
+        "FROM orders WHERE o_orderkey % 11 = 0), "
+        "d AS (SELECT COALESCE(s1.o_orderkey, s2.o_orderkey) AS o_orderkey, "
+        "s1.o_orderstatus AS old_status, s2.o_orderstatus AS new_status, "
+        "s1.o_totalprice AS old_price, s2.o_totalprice AS new_price "
+        "FROM s1 FULL OUTER JOIN s2 ON s2.o_orderkey = s1.o_orderkey) "
+        "SELECT o_orderkey, "
+        "CASE WHEN old_status IS NULL THEN 'I' "
+        "WHEN new_status IS NULL THEN 'D' ELSE 'U' END AS op, "
+        "old_status, new_status, "
+        "CASE WHEN old_status IS NOT NULL AND new_status IS NOT NULL "
+        "THEN CAST(round((new_price - old_price) * 100, 0) AS BIGINT) "
+        "END AS price_delta_cents "
+        "FROM d "
+        "WHERE old_status IS NULL OR new_status IS NULL "
+        "OR old_status <> new_status OR old_price <> new_price"
+    ),
+    doc=(
+        "SNAPSHOT DIFF / CDC GENERATION — the inverse of etl_upsert's "
+        "MERGE: given two table snapshots (the second simulated "
+        "deterministically: %7 keys updated, %13 keys deleted, %11 "
+        "keys re-inserted under offset ids), emit the minimal "
+        "insert/update/delete changefeed with old/new values and the "
+        "exact cents delta. This is how warehouse pipelines derive "
+        "incremental feeds from full-refresh sources. One full outer "
+        "join keyed by the primary key + a map-side change predicate; "
+        "unchanged rows (the overwhelming majority at scale) are "
+        "filtered before any further processing. At 100 TB both "
+        "snapshots bucket/partition by key so the join co-locates."
+    ),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    s1 = o
+    upd = F.col("o_orderkey") % 7 == 0
+    s2 = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(upd, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(upd, F.col("o_totalprice") + 10)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + _SNAP_INS_OFFSET).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    d = s1.alias("s1").join(
+        s2.alias("s2"),
+        F.col("s2.o_orderkey") == F.col("s1.o_orderkey"),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("s1.o_orderkey"), F.col("s2.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.col("s1.o_orderstatus").alias("old_status"),
+        F.col("s2.o_orderstatus").alias("new_status"),
+        F.col("s1.o_totalprice").alias("old_price"),
+        F.col("s2.o_totalprice").alias("new_price"),
+    )
+    changed = (
+        F.col("old_status").isNull()
+        | F.col("new_status").isNull()
+        | (F.col("old_status") != F.col("new_status"))
+        | (F.col("old_price") != F.col("new_price"))
+    )
+    return d.filter(changed).select(
+        "o_orderkey",
+        F.when(F.col("old_status").isNull(), F.lit("I"))
+        .when(F.col("new_status").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "old_status",
+        "new_status",
+        F.when(
+            F.col("old_status").isNotNull() & F.col("new_status").isNotNull(),
+            F.round((F.col("new_price") - F.col("old_price")) * 100, 0).cast(
+                "bigint"
+            ),
+        ).alias("price_delta_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_stratified_sample
+
+_STRAT_K = 5
+_STRAT_SALT = "ss-v1:"
+
+
+@register(
+    "ext_stratified_sample",
+    oracle=(
+        "WITH r AS (SELECT doc_id, source, "
+        f"md5('{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)) AS rkey, "
+        "row_number() OVER (PARTITION BY source ORDER BY "
+        f"md5('{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+        "FROM documents) "
+        f"SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {_STRAT_K}"
+    ),
+    doc=(
+        "STRATIFIED SAMPLING — exactly K docs per stratum (source), "
+        "selected by salted-md5 order so the sample is uniform within "
+        "each stratum yet fully deterministic across runs, engines, "
+        "and cluster sizes (the eval-set / ablation-split primitive; "
+        "ext_importance_sample weights globally, this quotas per "
+        "group). One shuffle keyed by the stratum column; the window "
+        "top-K never materializes more than K rows per stratum past "
+        "the sort — Spark plans it as a rank-limited window, the "
+        "standard per-group reservoir at scale."
+    ),
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    rkey = F.md5(F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(rkey, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _STRAT_K)
+        .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
+    )

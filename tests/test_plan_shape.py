@@ -329,6 +329,10 @@ def test_new_op_exchange_budget(spark, qid, budget):
         # 2 unrolled training iters (argmin windows + mean aggs) + encode;
         # codebooks broadcast, so no exchange scales with the corpus twice
         ("vec_pq_codebook", 9),
+        # edges checkpoint feeds the 3-way triangle join; final agg only
+        ("graph_triangle_count", 1),
+        ("etl_snapshot_diff", 2),  # full-outer key join + derived snap union
+        ("ext_stratified_sample", 2),  # repartition + stratum window
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
