@@ -279,7 +279,8 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
         "CAST(len(t.tk) AS BIGINT) AS n_tokens, "
         "list_reduce(list_prepend(0, list_transform(t.tk, x -> length(x))), "
         "(a, b) -> a + b) AS sum_tok_len, "
-        "CAST(len(regexp_extract_all(lower(trim(d.text)), '[^a-z0-9\\s]')) AS BIGINT) "
+        "CAST(length(lower(trim(d.text))) - length(regexp_replace("
+        "lower(trim(d.text)), '[^a-z0-9\\s]', '', 'g')) AS BIGINT) "
         "AS punct_cnt, "
         f"CAST(len(list_filter(t.tk, x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) "
         "AS stop_cnt "
@@ -301,16 +302,28 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     ),
 )
 def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    tk = tokens(F.col("text"))
-    norm_text = F.lower(F.trim(F.col("text")))
+    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    m = d.select(
+    # Token array behind a projection barrier (defensive — the r6 x8
+    # investigation showed this op's ~3x growth is honest linear
+    # compute saturation, ~30us/doc over fixed cores, not re-eval or
+    # parallelism loss; see README Scale validation note).
+    toks = d.select("doc_id", "text", tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
+    norm_text = F.lower(F.trim(F.col("text")))
+    m = toks.select(
         "doc_id",
         F.length(F.trim(F.col("text"))).cast("long").alias("n_chars"),
         F.size(tk).cast("long").alias("n_tokens"),
         F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x)).alias("sum_tok_len"),
-        F.size(F.regexp_extract_all(norm_text, F.lit(r"[^a-z0-9\s]"), 0))
+        # length-diff of a global regexp_replace counts matches without
+        # materializing a per-char array (the r6 stress hot spot)
+        (
+            F.length(norm_text)
+            - F.length(F.regexp_replace(norm_text, r"[^a-z0-9\s]", ""))
+        )
         .cast("long")
         .alias("punct_cnt"),
         F.size(F.filter(tk, lambda x: F.array_contains(stop_arr, x)))
