@@ -304,7 +304,9 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("txt_top_tokens", 2),
         ("txt_boilerplate_phrases", 2),
         ("sim_knn_bucket_join", 3),
-        ("ext_quality_ensemble", 7),
+        # 7 + the r6 ensure_parallelism round-robin in txt_quality_score's
+        # branch (a small-input spreader that no-ops at scale)
+        ("ext_quality_ensemble", 8),
         ("ext_funnel_steps", 7),
         ("snk_csv_gzip_roundtrip", 1),
         ("etl_dq_checks", 7),
