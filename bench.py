@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sim_knn_bucket_join", # batch k-NN over LSH buckets + exact re-rank
     "txt_lm_doc_score",    # corpus bigram LM + per-doc scoring
     "ext_quality_ensemble",  # multi-signal keep/drop + reason bitmask
+    "agg_sketch_cms",      # Count-Min sketch build (d×w cell grid)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

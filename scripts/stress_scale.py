@@ -9,7 +9,9 @@ scales and reports the throughput ratio. Linear-ish wall-clock growth
 means no plan degenerates (no accidental cross join, no driver
 collect, no single-task stage) as volume grows.
 
-Usage: python scripts/stress_scale.py [amplification]
+Usage: python scripts/stress_scale.py [amplification] [query_id ...]
+(query ids restrict the timed set — used for the deep ×16/×32 sweeps
+of the heavy dedup/knn/ensemble plans)
 """
 
 from __future__ import annotations
@@ -86,9 +88,9 @@ def build_amplified(spark, out_dir: str, k: int) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, queries=None) -> dict[str, float]:
     timings = {}
-    for qid in QUERIES:
+    for qid in queries or QUERIES:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -102,6 +104,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    queries = sys.argv[2:] or QUERIES
     spark = get_spark(app_name="stress", latency_profile=True)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -109,10 +112,10 @@ def main() -> None:
     print(f"amplifying sf0.1 ×{k} → {out_dir}", flush=True)
     build_amplified(spark, out_dir, k)
 
-    base = time_queries(spark, BASE)
-    big = time_queries(spark, out_dir)
+    base = time_queries(spark, BASE, queries)
+    big = time_queries(spark, out_dir, queries)
     print(f"{'query':24} {'sf0.1':>8} {f'×{k}':>8} {'ratio':>7}")
-    for qid in QUERIES:
+    for qid in queries:
         ratio = big[qid] / base[qid] if base[qid] else float("nan")
         print(f"{qid:24} {base[qid]:8.3f} {big[qid]:8.3f} {ratio:6.1f}x")
 
