@@ -18,6 +18,7 @@ from duckdb_data_eng_proj_spark.queries import streaming_q  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras_r5  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras_r6  # noqa: E402,F401
+from duckdb_data_eng_proj_spark.queries import extras_r6b  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import tpch  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import tpch_full  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import corpus  # noqa: E402,F401

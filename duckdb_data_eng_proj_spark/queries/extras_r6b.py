@@ -1,0 +1,409 @@
+"""Round-6 batch 2: span-level exact dedup, bloom-prefilter joins,
+exact distributed quantiles, grouped linear regression, and TF-IDF
+term scoring.
+
+- dedup_span_exact — the exact-substring dedup stage of training-data
+  pipelines (Lee et al., "Deduplicating Training Data Makes Language
+  Models Better"): repeated token windows across documents, found via
+  an inverted index on rolling window hashes — never pairwise.
+- join_bloom_prefilter — the classic shuffle-volume cut: a compact
+  bloom filter built from the dim side prefilters the fact table
+  map-side before the exact join; false positives are removed by the
+  join itself, so semantics are exact while shuffle input shrinks.
+- agg_quantiles_exact — exact (interpolated) quantiles per group;
+  Spark's percentile() is the built-in exact path (sort-based partial
+  aggregation), cross-checked against an explicit R-7 formulation.
+- agg_regr_linear — least-squares slope/intercept per group from
+  decimal-exact moment sums (the SUM-of-raw-doubles trap avoided).
+- txt_tfidf_topterms — per-document top terms by TF-IDF; scored in
+  integer micro-units (tf·1e6/df) so ranking is cross-engine exact
+  with no transcendental in the hash path.
+
+Reference parity: none of these exist in the reference (pipeline.py,
+queries.sql); they are north-star surface for the 100 TB engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+from duckdb_data_eng_proj_spark.operators.textops import tokens
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    "x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_exact
+
+_SPAN_W = 8  # tokens per window (Lee et al. use 50; sized to testdata docs)
+
+
+@register(
+    "dedup_span_exact",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents), "
+        "spans AS (SELECT doc_id, "
+        "array_to_string(list_slice(tk, i + 1, "
+        f"i + {_SPAN_W}), ' ') AS span "
+        "FROM toks, LATERAL unnest(range(len(tk) - "
+        f"{_SPAN_W} + 1)) t(i) "
+        f"WHERE len(tk) >= {_SPAN_W}) "
+        "SELECT md5(span) AS span_hash, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) AS BIGINT) AS n_occ, "
+        "min(span) AS span_text "
+        "FROM spans GROUP BY md5(span) "
+        "HAVING COUNT(DISTINCT doc_id) >= 2"
+    ),
+    doc=(
+        "EXACT-SUBSTRING (span) dedup — the second dedup stage of "
+        "modern pretraining pipelines (after whole-doc near-dup): "
+        "find token windows of width W that recur across documents, "
+        "e.g. shared boilerplate, licenses, quoted passages. "
+        "Architecture is an INVERTED INDEX on rolling window hashes "
+        "(tokenize → all W-token windows stride 1 → md5 → group by "
+        "hash → keep hashes spanning ≥2 docs) — the distributed "
+        "re-expression of the suffix-array approach in Lee et al.; "
+        "never a pairwise doc join. Scale shape: one explode (rows "
+        "× ~tokens) and ONE shuffle keyed by span hash with map-side "
+        "partial counts; hot spans (a license header in millions of "
+        "docs) are just large count cells, not join fan-out. The "
+        "token array and the window array are both materialized "
+        "behind projection barriers (the inlined-tokenizer re-eval "
+        "trap). Reference: none (pipeline.py has no text surface)."
+    ),
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= _SPAN_W
+    )
+    # Window array behind its own barrier: slice+concat_ws runs once
+    # per window, not once per downstream reference.
+    spans = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - _SPAN_W),
+            lambda i: F.concat_ws(" ", F.slice("tk", i + 1, _SPAN_W)),
+        ).alias("spans"),
+    ).select("doc_id", F.explode("spans").alias("span"))
+    return (
+        spans.groupBy(F.md5("span").alias("span_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.min("span").alias("span_text"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_prefilter
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(j: int, item: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{j}:' || CAST({item} AS VARCHAR)), 1, 8) "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=(
+        "WITH dim AS (SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'), "
+        "bloom AS (SELECT DISTINCT pos FROM ("
+        + " UNION ALL ".join(
+            f"SELECT {_bloom_pos_sql(j, 'o_orderkey')} AS pos FROM dim"
+            for j in range(_BLOOM_K)
+        )
+        + ") u), "
+        "cand AS (SELECT l.l_orderkey, l.l_quantity, l.l_returnflag "
+        "FROM lineitem l WHERE "
+        + " AND ".join(
+            f"EXISTS (SELECT 1 FROM bloom b "
+            f"WHERE b.pos = {_bloom_pos_sql(j, 'l.l_orderkey')})"
+            for j in range(_BLOOM_K)
+        )
+        + "), "
+        "exact AS (SELECT c.* FROM cand c "
+        "WHERE EXISTS (SELECT 1 FROM dim d "
+        "WHERE d.o_orderkey = c.l_orderkey)) "
+        "SELECT l_returnflag, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates "
+        "FROM exact GROUP BY l_returnflag"
+    ),
+    doc=(
+        "BLOOM-PREFILTERED JOIN — the shuffle-volume cut every "
+        "fact⋈dim engine applies at scale (Spark's own runtime filter "
+        "under spark.sql.optimizer.runtime.bloomFilter, here built "
+        "explicitly so the structure is visible and the ORACLE CAN "
+        "VERIFY THE FILTER ITSELF): the dim side's join keys hash "
+        "into an m=8192-bit / k=3 bloom set, the set broadcasts as a "
+        "sorted position array, and the fact side drops every row "
+        "whose k positions aren't all present — map-side, before any "
+        "shuffle. False positives pass the bloom and are removed by "
+        "the exact (broadcast) semi-join, so results are exact; the "
+        "n_candidates output pins the bloom's exact candidate count "
+        "cross-engine (md5-derived positions are bit-identical), so "
+        "a membership bug can't hide behind the exact join. At "
+        "100 TB: the bloom is a few KB regardless of fact size — the "
+        "prefilter runs in the scan stage, cutting shuffle input by "
+        "the dim selectivity before the join ever sees a row."
+    ),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    dim = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    def pos(j: int, item):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), item.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    bloom = (
+        dim.select(
+            F.explode(
+                F.array(*[pos(j, F.col("o_orderkey")) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .agg(F.sort_array(F.collect_set("pos")).alias("bloom"))
+    )
+    # 1-row bloom array broadcast against the fact scan: the membership
+    # predicate evaluates map-side inside the scan stage.
+    member = F.lit(True)
+    for j in range(_BLOOM_K):
+        member = member & F.array_contains("bloom", pos(j, F.col("l_orderkey")))
+    cand = (
+        li.crossJoin(F.broadcast(bloom))
+        .filter(member)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .localCheckpoint(eager=False)
+    )
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    exact = cand.join(F.broadcast(dim), cand.l_orderkey == dim.o_orderkey, "left_semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .select("l_returnflag", "n_items", "sum_qty", "n_candidates")
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantiles_exact
+
+_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+@register(
+    "agg_quantiles_exact",
+    oracle=(
+        # Mirrors Spark Percentile's exact arithmetic: position =
+        # (n-1)*p in DOUBLE; result = (ceil(pos)-pos)*lower +
+        # (pos-floor(pos))*higher, lower value when ceil==floor.
+        "WITH v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q "
+        "FROM lineitem), "
+        "r AS (SELECT l_returnflag, q, "
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY q) - 1 AS rk, "
+        "COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM v), "
+        "s AS (SELECT l_returnflag, q, rk, n, "
+        "lead(q, 1, q) OVER (PARTITION BY l_returnflag ORDER BY rk) "
+        "AS lead_q FROM r) "
+        "SELECT l_returnflag, "
+        + ", ".join(
+            (
+                "max(CASE WHEN rk = CAST(floor((n-1) * CAST({p} AS DOUBLE)) "
+                "AS BIGINT) THEN CASE "
+                "WHEN ceil((n-1) * CAST({p} AS DOUBLE)) = "
+                "floor((n-1) * CAST({p} AS DOUBLE)) THEN CAST(q AS DOUBLE) "
+                "ELSE (ceil((n-1) * CAST({p} AS DOUBLE)) "
+                "- (n-1) * CAST({p} AS DOUBLE)) * q "
+                "+ ((n-1) * CAST({p} AS DOUBLE) "
+                "- floor((n-1) * CAST({p} AS DOUBLE))) * lead_q "
+                "END END) AS q{tag}"
+            ).format(p=p, tag=str(p).replace("0.", ""))
+            for p in _QS
+        )
+        + " FROM s GROUP BY l_returnflag"
+    ),
+    doc=(
+        "EXACT grouped quantiles (R-7 linear interpolation, the "
+        "percentile_cont contract) — Spark side uses the built-in "
+        "percentile() exact aggregate; the oracle re-derives the same "
+        "statistic from first principles (row_number + lead + the "
+        "h=(n-1)p interpolation formula), so the check certifies the "
+        "STATISTIC, not a shared implementation. Values are cast to "
+        "BIGINT before aggregation: interpolation arithmetic on "
+        "integers with identical literal fractions is IEEE-exact "
+        "cross-engine, the repo's no-raw-double-sums rule. Scale "
+        "shape: percentile() is a sort-based partial aggregate — one "
+        "shuffle on the group key; for 100 TB-cardinality groups the "
+        "documented alternative is approx_percentile (t-digest, "
+        "mergeable, bounded memory) at a declared error bound."
+    ),
+)
+def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    out = [
+        F.percentile(q, F.lit(p)).alias("q" + str(p).replace("0.", ""))
+        for p in _QS
+    ]
+    return li.groupBy("l_returnflag").agg(*out)
+
+
+# ---------------------------------------------------------------------------
+# agg_regr_linear
+
+_SLOPE_SQL = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+    "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+
+
+@register(
+    "agg_regr_linear",
+    oracle=(
+        "WITH pts AS (SELECT event_type, "
+        "CAST(hour(ts) AS DECIMAL(10, 0)) AS x, "
+        "CAST(value AS DECIMAL(18, 6)) AS y "
+        "FROM events WHERE value IS NOT NULL), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(x * y) AS sxy "
+        "FROM pts GROUP BY event_type) "
+        "SELECT event_type, n, "
+        f"round({_SLOPE_SQL}, 6) AS slope, "
+        f"round((CAST(sy AS DOUBLE) - {_SLOPE_SQL} * CAST(sx AS DOUBLE)) "
+        "/ CAST(n AS DOUBLE), 6) AS intercept "
+        "FROM m"
+    ),
+    doc=(
+        "Grouped LEAST-SQUARES REGRESSION (regr_slope / regr_intercept "
+        "re-expressed): slope and intercept of value-vs-hour per event "
+        "type from the classical moment sums. The moments are summed "
+        "as DECIMAL (x integer, y decimal(18,6)) so partial-aggregation "
+        "order can't perturb them — the repo's no-raw-double-SUM rule; "
+        "only the final closed-form division happens in double, with "
+        "an identical expression tree on both engines. One map-side-"
+        "combinable shuffle on the group key; constant state per group "
+        "(5 moments) — the textbook 100 TB-safe aggregate."
+    ),
+)
+def agg_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.hour("ts").cast("decimal(10,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    slope = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
+    intercept = (sy_d - slope * sx_d) / n_d
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_tfidf_topterms
+
+_TFIDF_K = 5
+
+
+@register(
+    "txt_tfidf_topterms",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents), "
+        "occ AS (SELECT doc_id, unnest(tk) AS token FROM toks), "
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ "
+        "GROUP BY doc_id, token), "
+        "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM occ "
+        "GROUP BY token), "
+        "scored AS (SELECT t.doc_id, t.token, "
+        "CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df, "
+        "CAST(floor(t.tf * 1000000.0 / d.df) AS BIGINT) AS score_ppm "
+        "FROM tf t JOIN df d USING (token)), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_ppm DESC, token) AS rk FROM scored) "
+        f"SELECT doc_id, token, tf, df, score_ppm FROM rk WHERE rk <= {_TFIDF_K}"
+    ),
+    doc=(
+        "Per-document TOP TERMS by TF-IDF — the keyword/topic signal "
+        "of corpus analytics. IDF is the linear 1/df variant scored "
+        "in integer micro-units (floor(tf·1e6/df)) so ranking and "
+        "hash are cross-engine EXACT — no transcendental (ln) in the "
+        "comparison path, per the repo's fixed-point rule; the "
+        "standard log-idf is a monotone transform of 1/df for fixed "
+        "tf, so top-k membership differs only across tf strata, and "
+        "the deterministic (score, token) tie-break pins borderline "
+        "rows. Scale shape: tf = one shuffle on (doc, token) with "
+        "map-side combine; df = one shuffle on token; the df table "
+        "(vocabulary-sized) joins the tf table on token and the "
+        "top-k window is rank-limited per doc — no corpus-sized "
+        "broadcast, no pair joins."
+    ),
+)
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    occ = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)
+    tf = occ.groupBy("doc_id", "token").agg(F.count("*").cast("bigint").alias("tf"))
+    df_t = occ.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = tf.join(df_t, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.floor(F.col("tf") * F.lit(1000000.0) / F.col("df"))
+        .cast("bigint")
+        .alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "token", "tf", "df", "score_ppm")
+    )

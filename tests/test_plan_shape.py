@@ -335,6 +335,15 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("graph_triangle_count", 1),
         ("etl_snapshot_diff", 2),  # full-outer key join + derived snap union
         ("ext_stratified_sample", 2),  # repartition + stratum window
+        # r6 batch 2
+        # repartition + Catalyst's 2-phase distinct-agg (expand) on span_hash
+        ("dedup_span_exact", 3),
+        # 1-row bloom agg + final groupBy; membership filter is map-side
+        ("join_bloom_prefilter", 2),
+        ("agg_quantiles_exact", 1),  # sort-based percentile, one shuffle
+        ("agg_regr_linear", 1),  # 5 decimal moments, one shuffle
+        # tf groupBy + 2-phase distinct df + doc window; df joins broadcast
+        ("txt_tfidf_topterms", 4),
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
