@@ -506,31 +506,12 @@ _PQ_ORACLE = (
 )
 
 
-@register(
-    "vec_pq_codebook",
-    oracle=_PQ_ORACLE,
-    doc=(
-        "PRODUCT QUANTIZATION — the memory-bound ANN index that "
-        "completes the embedding-index family (sim_ann_ivf* = "
-        "partition pruning, vec_quantize_int8 = scalar compression, "
-        "PQ = sub-space codebooks): the 64-dim embedding splits into "
-        "8 sub-blocks of 8 dims; each block trains a 16-centroid "
-        "codebook (seeded from vec_id<16, two unrolled Lloyd L2 "
-        "iterations — the ml_kmeans_2iter determinism recipe per "
-        "block: sorted-fold means, row_number ties on (dist, cid)) "
-        "and every vector encodes as 8 one-byte codes — 64 doubles "
-        "-> 8 bytes, the 64x compression real PQ indexes ship. "
-        "Output: csv code string + total quantization error in "
-        "floor'd micro-units (per-block floor then integer sum — "
-        "associative, cross-engine exact). Scale shape: codebooks "
-        "are 128 tiny rows (broadcast); training joins shuffle "
-        "keyed by (m, cid, pos); ENCODING — the 100 TB pass — is "
-        "one broadcast join + per-vec argmin, zero corpus shuffle, "
-        "and in production the training side runs on a bounded "
-        "sample exactly like sim_ann_ivf's codebook build."
-    ),
-)
-def vec_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Shared PQ trainer: returns (sub, c1, a2) — the per-vector
+    sub-blocks, the 1-iteration-updated codebooks, and the final code
+    assignments. Used by vec_pq_codebook (codes + reconstruction
+    error) and vec_pq_adc_search (extras_r6b; ADC top-k over the
+    codes)."""
     e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     blocks = F.array(
         *[
@@ -589,6 +570,35 @@ def vec_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = assign(cent0)
     c1 = update(a1)
     a2 = assign(c1)
+    return sub, c1, a2
+
+
+@register(
+    "vec_pq_codebook",
+    oracle=_PQ_ORACLE,
+    doc=(
+        "PRODUCT QUANTIZATION — the memory-bound ANN index that "
+        "completes the embedding-index family (sim_ann_ivf* = "
+        "partition pruning, vec_quantize_int8 = scalar compression, "
+        "PQ = sub-space codebooks): the 64-dim embedding splits into "
+        "8 sub-blocks of 8 dims; each block trains a 16-centroid "
+        "codebook (seeded from vec_id<16, two unrolled Lloyd L2 "
+        "iterations — the ml_kmeans_2iter determinism recipe per "
+        "block: sorted-fold means, row_number ties on (dist, cid)) "
+        "and every vector encodes as 8 one-byte codes — 64 doubles "
+        "-> 8 bytes, the 64x compression real PQ indexes ship. "
+        "Output: csv code string + total quantization error in "
+        "floor'd micro-units (per-block floor then integer sum — "
+        "associative, cross-engine exact). Scale shape: codebooks "
+        "are 128 tiny rows (broadcast); training joins shuffle "
+        "keyed by (m, cid, pos); ENCODING — the 100 TB pass — is "
+        "one broadcast join + per-vec argmin, zero corpus shuffle, "
+        "and in production the training side runs on a bounded "
+        "sample exactly like sim_ann_ivf's codebook build."
+    ),
+)
+def vec_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _sub, _c1, a2 = _pq_train(spark, sf_dir)
     return a2.groupBy("vec_id").agg(
         F.array_join(
             F.transform(

@@ -407,3 +407,113 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TFIDF_K)
         .select("doc_id", "token", "tf", "df", "score_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_pq_adc_search
+
+_ADC_K = 10  # neighbors per query
+_ADC_QMOD = 100  # query batch: vec_id % 100 == 0
+
+
+def _adc_oracle() -> str:
+    from duckdb_data_eng_proj_spark.queries.extras_r6 import (
+        _pq_assign_sql,
+        _pq_dist_sql,
+        _pq_update_sql,
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+    )
+
+    d = _pq_dist_sql("q.qsv", "c.c")
+    return (
+        "WITH sub AS (SELECT vec_id, t.m AS m, "
+        f"list_transform(embedding[t.m * {_PQ_SUB} + 1 : "
+        f"t.m * {_PQ_SUB} + {_PQ_SUB}], "
+        "x -> CAST(x AS DOUBLE)) AS sv "
+        f"FROM embeddings, range({_PQ_M}) t(m)), "
+        f"cent0 AS (SELECT m, vec_id AS cid, sv AS c FROM sub "
+        f"WHERE vec_id < {_PQ_K}), "
+        + _pq_assign_sql("a1", "cent0")
+        + ", "
+        + _pq_update_sql("c1", "a1")
+        + ", "
+        + _pq_assign_sql("a2", "c1")
+        + ", "
+        f"q AS (SELECT vec_id AS qid, m, sv AS qsv FROM sub "
+        f"WHERE vec_id % {_ADC_QMOD} = 0), "
+        "lut AS (SELECT q.qid, c.m, c.cid, "
+        f"CAST(floor({d} * 1000000) AS BIGINT) AS du "
+        "FROM q JOIN c1 c ON c.m = q.m), "
+        "scores AS (SELECT l.qid, a.vec_id, "
+        "CAST(SUM(l.du) AS BIGINT) AS adc_u "
+        "FROM a2 a JOIN lut l ON l.m = a.m AND l.cid = a.cid "
+        "GROUP BY l.qid, a.vec_id), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY adc_u, vec_id) AS rank FROM scores) "
+        "SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, adc_u "
+        f"FROM rk WHERE rank <= {_ADC_K}"
+    )
+
+
+@register(
+    "vec_pq_adc_search",
+    oracle=_adc_oracle(),
+    doc=(
+        "PQ ADC SEARCH — the query half of the product-quantization "
+        "index (vec_pq_codebook is the build half): each query builds "
+        "a LOOK-UP TABLE of distances to every codebook centroid "
+        "(M×K=128 cells, floor'd to BIGINT micro-units), and every "
+        "indexed vector's asymmetric distance is then the INTEGER sum "
+        "of M table cells addressed by its codes — the corpus's raw "
+        "floats are never touched at query time, which is the whole "
+        "point: a 100 TB vector corpus searches from an 8-byte-per-"
+        "vector code table. Determinism: per-cell floor then integer "
+        "sum (associative, order-free) with (adc_u, vec_id) ranking — "
+        "the repo's fixed-point ANN convention. Scale shape: "
+        "codebooks and per-query LUTs broadcast (queries×M×K rows); "
+        "the code table streams through one broadcast join and one "
+        "partial-aggregated shuffle keyed by (query, vector); top-k "
+        "is a rank-limited window per query."
+    ),
+)
+def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.extras_r6 import _pq_train
+
+    sub, c1, a2 = _pq_train(spark, sf_dir)
+    c1 = c1.localCheckpoint(eager=False)  # feeds both a2's argmin and the LUT
+
+    def dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = sub.filter(F.col("vec_id") % _ADC_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
+    )
+    lut = (
+        q.join(F.broadcast(c1), "m")
+        .select(
+            "qid",
+            "m",
+            "cid",
+            F.floor(dist(F.col("qsv"), F.col("c")) * 1000000)
+            .cast("bigint")
+            .alias("du"),
+        )
+    )
+    scores = (
+        a2.select("vec_id", "m", "cid")
+        .join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("du").cast("bigint").alias("adc_u"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_u", "vec_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_K)
+        .select("qid", F.col("rank").cast("bigint").alias("rank"), "vec_id", "adc_u")
+    )

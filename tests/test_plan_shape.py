@@ -344,6 +344,9 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("agg_regr_linear", 1),  # 5 decimal moments, one shuffle
         # tf groupBy + 2-phase distinct df + doc window; df joins broadcast
         ("txt_tfidf_topterms", 4),
+        # _pq_train's 9 (argmin windows + mean aggs) + the score agg
+        # and the per-query top-k window; LUT and codebooks broadcast
+        ("vec_pq_adc_search", 11),
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
