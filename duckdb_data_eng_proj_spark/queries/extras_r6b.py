@@ -517,3 +517,209 @@ def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _ADC_K)
         .select("qid", F.col("rank").cast("bigint").alias("rank"), "vec_id", "adc_u")
     )
+
+
+# ---------------------------------------------------------------------------
+# evt_sequence_detect
+
+_EVT_CH = {"click": "c", "error": "e", "purchase": "p", "signup": "s", "view": "v"}
+_EVT_CH_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in sorted(_EVT_CH.items()))
+    + " ELSE '?' END"
+)
+
+
+@register(
+    "evt_sequence_detect",
+    oracle=(
+        f"WITH ch AS (SELECT user_id, ts, event_id, {_EVT_CH_SQL} AS c "
+        "FROM events), "
+        "seqs AS (SELECT user_id, "
+        "string_agg(c, '' ORDER BY ts, event_id) AS seq, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM ch GROUP BY user_id) "
+        "SELECT user_id, seq, n_events, "
+        "(seq LIKE '%s%p%') AS signup_then_purchase, "
+        "CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_view_purchase "
+        "FROM seqs"
+    ),
+    doc=(
+        "EVENT-SEQUENCE PATTERN DETECTION (the MATCH_RECOGNIZE / "
+        "funnel-regex analytic): each user's event history collapses "
+        "to an ordered character string (one char per event type, "
+        "ordered by (ts, event_id) — fully deterministic), and "
+        "behavioral patterns become plain regex/LIKE over that "
+        "string: 'signup eventually followed by purchase' and the "
+        "count of immediate view→purchase transitions. This is how "
+        "sequence mining stays declarative at scale: ONE shuffle on "
+        "user_id, per-user state bounded by the event count, and the "
+        "pattern engine is the built-in regex — no per-row UDF, no "
+        "iterative joins. The ordered collapse uses "
+        "array_sort(collect_list(struct)) — the repo's deterministic "
+        "ordered-aggregation recipe."
+    ),
+)
+def evt_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    ch = F.col("event_type")
+    expr = None
+    for k, v in sorted(_EVT_CH.items()):
+        expr = (
+            F.when(ch == k, v) if expr is None else expr.when(ch == k, v)
+        )
+    expr = expr.otherwise("?")
+    seqs = (
+        e.select("user_id", "ts", "event_id", expr.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "c"))
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("seq"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "seq",
+        "n_events",
+        F.col("seq").like("%s%p%").alias("signup_then_purchase"),
+        F.size(F.regexp_extract_all("seq", F.lit("vp"), 0))
+        .cast("bigint")
+        .alias("n_view_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_resample_ohlc
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle=(
+        "WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket, "
+        "ts, event_id, value, "
+        "row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) "
+        "ORDER BY ts, event_id) AS rn_a, "
+        "row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) "
+        "ORDER BY ts DESC, event_id DESC) AS rn_d "
+        "FROM events WHERE value IS NOT NULL) "
+        "SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+        "max(CASE WHEN rn_a = 1 THEN value END) AS open, "
+        "max(value) AS high, min(value) AS low, "
+        "max(CASE WHEN rn_d = 1 THEN value END) AS close "
+        "FROM b GROUP BY user_id, bucket"
+    ),
+    doc=(
+        "OHLC RESAMPLING — the open/high/low/close candle aggregation "
+        "of every metrics/finance pipeline (pandas resample().ohlc() "
+        "re-expressed): per (series, hour bucket), open/close are the "
+        "first/last observation by the deterministic (ts, event_id) "
+        "order, high/low plain min/max. No double is ever summed — "
+        "every output is an individual stored value, so cross-engine "
+        "hashing is exact without fixed-point machinery. Plan: both "
+        "row_number windows and the final aggregate share the "
+        "(user_id, bucket) clustering — ONE shuffle, two in-partition "
+        "sorts, then a map-side-combinable agg."
+    ),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = (
+        e.select("user_id", bucket.alias("bucket"), "ts", "event_id", "value")
+        .withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+    )
+    return b.groupBy("user_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_zorder_layout
+
+_Z_BITS = 10  # bits per dimension
+_Z_BUCKET_SHIFT = 14  # keep top 6 interleaved bits -> 64 buckets
+
+
+def _z_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({x} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({y} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "ext_zorder_layout",
+    oracle=(
+        "WITH pts AS (SELECT "
+        "CAST(o_custkey % 1024 AS BIGINT) AS x, "
+        "CAST(datediff('day', DATE '1970-01-01', o_orderdate) % 1024 "
+        "AS BIGINT) AS y FROM orders WHERE o_orderdate IS NOT NULL), "
+        f"z AS (SELECT x, y, {_z_sql('x', 'y')} AS zval FROM pts) "
+        f"SELECT CAST(zval >> {_Z_BUCKET_SHIFT} AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "min(x) AS min_x, max(x) AS max_x, "
+        "min(y) AS min_y, max(y) AS max_y "
+        "FROM z GROUP BY bucket"
+    ),
+    doc=(
+        "Z-ORDER LAYOUT — the multi-dimensional clustering key behind "
+        "data-skipping file layouts (Delta/Iceberg OPTIMIZE ZORDER): "
+        "interleave the bits of two dimensions (customer, order-day) "
+        "so that rows close in BOTH dimensions land in the same file "
+        "bucket, making min/max file statistics selective for "
+        "predicates on EITHER column. The output is the per-bucket "
+        "row count and per-dimension min/max envelope — exactly the "
+        "footer stats a scan planner would prune on; tight envelopes "
+        "(side ≈ 2^(bits_kept/2)) are the correctness signal. The "
+        "interleave is pure integer bit arithmetic (shift/mask/add) — "
+        "codegen'd, map-side, cross-engine exact; the only shuffle is "
+        "the final bounded-cardinality bucket aggregate. At 100 TB "
+        "this expression is the sort/bucket key of the writer."
+    ),
+)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    x = (F.col("o_custkey") % 1024).cast("bigint")
+    y = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 1024).cast(
+        "bigint"
+    )
+    pts = o.select(x.alias("x"), y.alias("y"))
+    zval = None
+    for i in range(_Z_BITS):
+        tx = F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        ty = F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)) * (
+            1 << (2 * i + 1)
+        )
+        zval = tx + ty if zval is None else zval + tx + ty
+    z = pts.select("x", "y", zval.alias("zval"))
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zval"), _Z_BUCKET_SHIFT)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

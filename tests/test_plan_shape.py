@@ -347,6 +347,10 @@ def test_new_op_exchange_budget(spark, qid, budget):
         # _pq_train's 9 (argmin windows + mean aggs) + the score agg
         # and the per-query top-k window; LUT and codebooks broadcast
         ("vec_pq_adc_search", 11),
+        ("evt_sequence_detect", 1),  # one shuffle on user_id
+        # windows + agg share (user_id, bucket) clustering
+        ("ts_resample_ohlc", 1),
+        ("ext_zorder_layout", 1),  # map-side interleave + bucket agg
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
