@@ -723,3 +723,399 @@ def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_sketch_kmv_intersect
+
+_KMVI_K = 64
+_KMVI_SCALE = "1152921504606846976.0"  # 2^60, exactly representable
+
+
+@register(
+    "ext_sketch_kmv_intersect",
+    oracle=(
+        "WITH pu AS (SELECT DISTINCT event_type, user_id FROM events), "
+        "ph AS (SELECT event_type, "
+        "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) "
+        "AS h FROM pu), "
+        "sk AS (SELECT event_type, h FROM (SELECT event_type, h, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn "
+        f"FROM ph) WHERE rn <= {_KMVI_K}), "
+        "ty AS (SELECT DISTINCT event_type FROM events), "
+        "tp AS (SELECT a.event_type AS ta, b.event_type AS tb "
+        "FROM ty a JOIN ty b ON a.event_type < b.event_type), "
+        "u AS (SELECT tp.ta, tp.tb, s.h, s.event_type FROM tp "
+        "JOIN sk s ON s.event_type IN (tp.ta, tp.tb)), "
+        "g AS (SELECT ta, tb, h, COUNT(DISTINCT event_type) AS n_types "
+        "FROM u GROUP BY ta, tb, h), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) "
+        "AS rn FROM g), "
+        f"th AS (SELECT ta, tb, max(CASE WHEN rn <= {_KMVI_K} THEN h END) "
+        "AS theta, "
+        f"CAST(SUM(CASE WHEN rn <= {_KMVI_K} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS k_eff FROM r GROUP BY ta, tb), "
+        "c AS (SELECT r.ta, r.tb, CAST(COUNT(*) AS BIGINT) AS n_common "
+        "FROM r JOIN th ON th.ta = r.ta AND th.tb = r.tb "
+        "WHERE r.n_types = 2 AND r.h <= th.theta GROUP BY r.ta, r.tb), "
+        "tru AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS true_inter FROM ("
+        "SELECT tp.ta, tp.tb, p.user_id, COUNT(DISTINCT p.event_type) AS nt "
+        "FROM tp JOIN pu p ON p.event_type IN (tp.ta, tp.tb) "
+        "GROUP BY tp.ta, tp.tb, p.user_id) x WHERE nt = 2 GROUP BY ta, tb) "
+        "SELECT th.ta, th.tb, th.k_eff, "
+        "COALESCE(c.n_common, 0) AS n_common, "
+        f"CASE WHEN th.k_eff < {_KMVI_K} "
+        "THEN CAST(COALESCE(c.n_common, 0) AS DOUBLE) "
+        "ELSE round(COALESCE(c.n_common, 0) "
+        f"* ({_KMVI_K - 1}.0 * {_KMVI_SCALE} / th.theta) / {_KMVI_K}.0, 2) "
+        "END AS est_inter, "
+        "COALESCE(tru.true_inter, 0) AS true_inter "
+        "FROM th LEFT JOIN c ON c.ta = th.ta AND c.tb = th.tb "
+        "LEFT JOIN tru ON tru.ta = th.ta AND tru.tb = th.tb"
+    ),
+    doc=(
+        "KMV SET-INTERSECTION estimate (the theta-sketch composition "
+        "that completes the sketch family: ext_sketch_kmv = "
+        "cardinality, agg_sketch_cms = frequency, this = set "
+        "algebra): per event type, keep the K=64 smallest md5 user "
+        "hashes; for each type pair, θ = K-th smallest of the hash "
+        "UNION, and |A∩B| ≈ (common hashes ≤ θ) × est(|A∪B|) / K. "
+        "Every step is deterministic md5 order statistics, so the "
+        "oracle checks exact sketch cells AND the exact true "
+        "intersection side-by-side. The 100 TB shape is the point: "
+        "intersections compute on K-row SKETCHES (KB each, "
+        "broadcast), never on the raw sets — the only corpus-sized "
+        "work is the per-type distinct + top-K, one shuffle; "
+        "sketches then compose associatively for any pair, the way "
+        "production theta sketches serve set expressions from a "
+        "sketch store."
+    ),
+)
+def ext_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    pu = e.select("event_type", "user_id").distinct()
+    h60 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ph = pu.select("event_type", h60.alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        ph.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMVI_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=False)
+    )
+    ty = e.select("event_type").distinct()
+    tp = (
+        ty.alias("a")
+        .join(ty.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    u = tp.join(
+        F.broadcast(sk),
+        (F.col("event_type") == F.col("ta"))
+        | (F.col("event_type") == F.col("tb")),
+    )
+    g = u.groupBy("ta", "tb", "h").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    r = g.withColumn("rn", F.row_number().over(wp)).localCheckpoint(eager=False)
+    th = r.groupBy("ta", "tb").agg(
+        F.max(F.when(F.col("rn") <= _KMVI_K, F.col("h"))).alias("theta"),
+        F.sum(F.when(F.col("rn") <= _KMVI_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k_eff"),
+    )
+    c = (
+        r.join(th.select("ta", "tb", "theta"), ["ta", "tb"])
+        .filter((F.col("n_types") == 2) & (F.col("h") <= F.col("theta")))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    tru = (
+        tp.join(
+            F.broadcast(pu),
+            (F.col("event_type") == F.col("ta"))
+            | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("bigint").alias("true_inter"))
+    )
+    est_full = F.round(
+        F.col("n_common")
+        * (
+            F.lit(float(_KMVI_K - 1))
+            * F.lit(float(1 << 60))
+            / F.col("theta")
+        )
+        / F.lit(float(_KMVI_K)),
+        2,
+    )
+    return (
+        th.join(c, ["ta", "tb"], "left")
+        .join(tru, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            "k_eff",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.when(
+                F.col("k_eff") < _KMVI_K,
+                F.coalesce("n_common", F.lit(0)).cast("double"),
+            )
+            .otherwise(est_full)
+            .alias("est_inter"),
+            F.coalesce("true_inter", F.lit(0))
+            .cast("bigint")
+            .alias("true_inter"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_ngram_collocations
+
+_COLL_MIN_N = 5
+_COLL_TOPK = 50
+
+
+@register(
+    "ext_ngram_collocations",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents), "
+        "big AS (SELECT tk[i+1] || ' ' || tk[i+2] AS bg, "
+        "tk[i+1] AS w1, tk[i+2] AS w2 "
+        "FROM toks, LATERAL unnest(range(len(tk) - 1)) t(i) "
+        "WHERE len(tk) >= 2), "
+        "uni AS (SELECT unnest(tk) AS w FROM toks), "
+        "nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM uni), "
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM big), "
+        "cb AS (SELECT bg, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy "
+        "FROM big GROUP BY bg, w1, w2), "
+        "cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY w), "
+        "lifted AS (SELECT cb.bg, cb.n_xy, u1.n AS n_x, u2.n AS n_y, "
+        "CAST(floor((CAST(cb.n_xy AS DOUBLE) * nu.n_uni * nu.n_uni) "
+        "/ (CAST(nb.n_big AS DOUBLE) * u1.n * u2.n) * 10000.0) AS BIGINT) "
+        "AS lift_x4 "
+        "FROM cb JOIN cu u1 ON u1.w = cb.w1 JOIN cu u2 ON u2.w = cb.w2, "
+        "nu, nb "
+        f"WHERE cb.n_xy >= {_COLL_MIN_N}) "
+        "SELECT bg, n_xy, n_x, n_y, lift_x4 FROM lifted "
+        f"ORDER BY lift_x4 DESC, bg LIMIT {_COLL_TOPK}"
+    ),
+    doc=(
+        "COLLOCATION MINING by PMI-style lift: bigrams whose observed "
+        "frequency most exceeds the independence expectation — "
+        "lift = p(xy)/(p(x)p(y)) — surface multi-word expressions "
+        "('machine learning') for tokenizer vocab and phrase-aware "
+        "filters. Scored as floor(lift×1e4) with identical double "
+        "expression trees both engines (no log: log-PMI is a "
+        "monotone transform of lift, so ranking is unchanged and the "
+        "hash path stays transcendental-free); support floor "
+        "n_xy≥5 kills noise pairs; deterministic (lift, bigram) "
+        "top-50. Scale shape: bigram and unigram counts are two "
+        "map-side-combinable shuffles; corpus totals are 1-row "
+        "broadcasts; the unigram join keys on the bounded "
+        "vocabulary, and top-k is a TakeOrdered — no sort of the "
+        "full bigram table."
+    ),
+)
+def ext_ngram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk")).localCheckpoint(
+        eager=False
+    )
+    big = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tk"), i + 1).alias("w1"),
+                        F.element_at(F.col("tk"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bg"),
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    uni = toks.select(F.explode("tk").alias("w")).localCheckpoint(eager=False)
+    nu = uni.agg(F.count("*").cast("bigint").alias("n_uni"))
+    nb = big.agg(F.count("*").cast("bigint").alias("n_big"))
+    cb = big.groupBy("bg", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n_xy")
+    ).filter(F.col("n_xy") >= _COLL_MIN_N)
+    cu = uni.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    u1 = cu.select(F.col("w").alias("w1"), F.col("n").alias("n_x"))
+    u2 = cu.select(F.col("w").alias("w2"), F.col("n").alias("n_y"))
+    lifted = (
+        cb.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bg",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.floor(
+                (
+                    F.col("n_xy").cast("double")
+                    * F.col("n_uni")
+                    * F.col("n_uni")
+                )
+                / (F.col("n_big").cast("double") * F.col("n_x") * F.col("n_y"))
+                * F.lit(10000.0)
+            )
+            .cast("bigint")
+            .alias("lift_x4"),
+        )
+    )
+    return lifted.orderBy(F.col("lift_x4").desc(), "bg").limit(_COLL_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# evt_time_to_convert
+
+
+@register(
+    "evt_time_to_convert",
+    oracle=(
+        "WITH f AS (SELECT user_id, "
+        "min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts, "
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts "
+        "FROM events GROUP BY user_id) "
+        "SELECT user_id, CAST(signup_ts AS TIMESTAMP) AS signup_ts, "
+        "CAST(purchase_ts AS TIMESTAMP) AS first_purchase_ts, "
+        "CASE WHEN signup_ts IS NOT NULL AND purchase_ts IS NOT NULL "
+        "AND purchase_ts >= signup_ts "
+        "THEN CAST(date_diff('second', signup_ts, purchase_ts) AS BIGINT) "
+        "END AS delta_s, "
+        "(signup_ts IS NOT NULL AND purchase_ts IS NOT NULL "
+        "AND purchase_ts >= signup_ts) AS converted "
+        "FROM f WHERE signup_ts IS NOT NULL"
+    ),
+    doc=(
+        "TIME-TO-CONVERT — the activation metric behind every funnel "
+        "dashboard: per user, first signup timestamp, first purchase "
+        "timestamp, and the signup→purchase latency in whole seconds "
+        "(integer — no double time math). Conditional-min aggregation "
+        "gives both landmarks in ONE map-side-combinable shuffle on "
+        "user_id — no self-join of the events table, which is the "
+        "naive formulation's scale killer."
+    ),
+)
+def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "signup_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchase_ts"
+        ),
+    )
+    ok = (
+        F.col("signup_ts").isNotNull()
+        & F.col("purchase_ts").isNotNull()
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+    )
+    return f.filter(F.col("signup_ts").isNotNull()).select(
+        "user_id",
+        "signup_ts",
+        F.col("purchase_ts").alias("first_purchase_ts"),
+        F.when(
+            ok,
+            F.col("purchase_ts").cast("long") - F.col("signup_ts").cast("long"),
+        )
+        .cast("bigint")
+        .alias("delta_s"),
+        ok.alias("converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_code_detect
+
+_CODE_SYM_RE = r"[{}()\[\];=<>]"
+_CODE_KW_RE = (
+    r"\b(def|return|import|class|function|var|const|if|else|for|while)\b"
+)
+
+
+@register(
+    "txt_code_detect",
+    oracle=(
+        "WITH m AS (SELECT doc_id, lower(trim(text)) AS s, "
+        "CAST(length(trim(text)) AS BIGINT) AS n_chars FROM documents), "
+        "sig AS (SELECT doc_id, n_chars, "
+        "CAST(length(s) - length(regexp_replace(s, "
+        f"'{_CODE_SYM_RE}', '', 'g')) AS BIGINT) AS sym_cnt, "
+        f"CAST(len(regexp_extract_all(s, '{_CODE_KW_RE}')) AS BIGINT) "
+        "AS kw_cnt FROM m) "
+        "SELECT doc_id, n_chars, sym_cnt, kw_cnt, "
+        "CAST(CASE WHEN n_chars = 0 THEN 0 "
+        "ELSE floor((sym_cnt * 50 + kw_cnt * 200) * 100.0 / n_chars) END "
+        "AS BIGINT) AS code_score_bp, "
+        "(CASE WHEN n_chars = 0 THEN 0 "
+        "ELSE floor((sym_cnt * 50 + kw_cnt * 200) * 100.0 / n_chars) END "
+        ">= 100) AS is_code "
+        "FROM sig"
+    ),
+    doc=(
+        "CODE-vs-PROSE detection — the classifier every pretraining "
+        "mix needs to route code into its own pipeline (different "
+        "dedup, different quality rules): symbol density "
+        "(braces/semicolons/operators via the length-diff counting "
+        "trick — no per-char array) and programming-keyword hits "
+        "combine into an integer basis-point score with a fixed "
+        "threshold. Pure map-side projection, codegen'd, zero "
+        "shuffle at any scale; the score is integer arithmetic "
+        "end-to-end so the gate is cross-engine exact."
+    ),
+)
+def txt_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    m = d.select(
+        "doc_id",
+        s.alias("s"),
+        F.length(F.trim(F.col("text"))).cast("bigint").alias("n_chars"),
+    )
+    sig = m.select(
+        "doc_id",
+        "n_chars",
+        (F.length("s") - F.length(F.regexp_replace("s", _CODE_SYM_RE, "")))
+        .cast("bigint")
+        .alias("sym_cnt"),
+        F.size(F.regexp_extract_all("s", F.lit(_CODE_KW_RE), 0))
+        .cast("bigint")
+        .alias("kw_cnt"),
+    )
+    score = F.when(F.col("n_chars") == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("sym_cnt") * 50 + F.col("kw_cnt") * 200)
+            * F.lit(100.0)
+            / F.col("n_chars")
+        )
+    )
+    return sig.select(
+        "doc_id",
+        "n_chars",
+        "sym_cnt",
+        "kw_cnt",
+        score.cast("bigint").alias("code_score_bp"),
+        (score >= 100).alias("is_code"),
+    )

@@ -351,6 +351,13 @@ def test_new_op_exchange_budget(spark, qid, budget):
         # windows + agg share (user_id, bucket) clustering
         ("ts_resample_ohlc", 1),
         ("ext_zorder_layout", 1),  # map-side interleave + bucket agg
+        # distinct + per-type top-K + pair dedup/rank/θ joins; the
+        # corpus-sized work is only the first two
+        ("ext_sketch_kmv_intersect", 7),
+        # bigram + unigram counts; totals broadcast; TakeOrdered top-k
+        ("ext_ngram_collocations", 5),
+        ("evt_time_to_convert", 1),  # conditional-min, one shuffle
+        ("txt_code_detect", 0),  # pure map-side projection
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
