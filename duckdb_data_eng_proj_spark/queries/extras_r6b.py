@@ -1119,3 +1119,266 @@ def txt_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("code_score_bp"),
         (score >= 100).alias("is_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# evt_cohort_retention
+
+_COHORT_MAX_OFFSET = 7
+
+
+@register(
+    "evt_cohort_retention",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "FROM events), "
+        "coh AS (SELECT user_id, min(day) AS cohort_day FROM ud "
+        "GROUP BY user_id), "
+        "sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort "
+        "FROM coh GROUP BY cohort_day), "
+        "act AS (SELECT c.cohort_day, "
+        "CAST(datediff('day', c.cohort_day, u.day) AS BIGINT) AS day_offset, "
+        "CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active "
+        "FROM ud u JOIN coh c ON c.user_id = u.user_id "
+        f"WHERE datediff('day', c.cohort_day, u.day) <= {_COHORT_MAX_OFFSET} "
+        "GROUP BY c.cohort_day, day_offset) "
+        "SELECT a.cohort_day, a.day_offset, a.n_active, s.n_cohort, "
+        "CAST(floor(a.n_active * 10000.0 / s.n_cohort) AS BIGINT) "
+        "AS retention_bp "
+        "FROM act a JOIN sz s ON s.cohort_day = a.cohort_day"
+    ),
+    doc=(
+        "COHORT RETENTION — the canonical product-analytics matrix: "
+        "users grouped by first-active day (their cohort), and for "
+        "each day offset 0..7 the fraction of the cohort active "
+        "again. The whole analysis is distinct-day reduction (one "
+        "shuffle), a per-user min (same shuffle key), and a "
+        "(cohort, offset) count — activity never self-joins at the "
+        "event level, only at the per-user-day level, which is the "
+        "scale-safe formulation (user-days ≪ events). Retention in "
+        "integer basis points — cross-engine exact."
+    ),
+)
+def evt_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    coh = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sz = coh.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("n_cohort")
+    )
+    act = (
+        ud.join(coh, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= _COHORT_MAX_OFFSET)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    return act.join(sz, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        F.floor(F.col("n_active") * F.lit(10000.0) / F.col("n_cohort"))
+        .cast("bigint")
+        .alias("retention_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# etl_cdc_compact
+
+_CDC_OP_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' "
+    "ELSE 'U' END"
+)
+
+
+@register(
+    "etl_cdc_compact",
+    oracle=(
+        f"WITH log AS (SELECT user_id, ts, event_id, value, "
+        f"{_CDC_OP_SQL} AS op FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS n_ops FROM log) "
+        "SELECT user_id, op AS last_op, CAST(ts AS TIMESTAMP) AS last_ts, "
+        "value AS last_value, CAST(n_ops AS BIGINT) AS n_ops "
+        "FROM r WHERE rn = 1 AND op <> 'D'"
+    ),
+    doc=(
+        "CDC LOG COMPACTION — the change-data-capture maintenance "
+        "step every lakehouse table needs: an ordered op log "
+        "(insert/update/delete, here derived from the event stream; "
+        "'error' plays the delete tombstone) compacts to latest-"
+        "state-per-key with tombstoned keys dropped. Last-writer-"
+        "wins is pinned by the deterministic (ts, event_id) order. "
+        "ONE shuffle on the key; the row_number window and the "
+        "per-key op count share its clustering. At 100 TB this is "
+        "exactly the periodic compaction job of a CDC-fed table "
+        "(and composes with snk_write_audit_publish for the "
+        "publish side)."
+    ),
+)
+def etl_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    log = e.select("user_id", "ts", "event_id", "value", op.alias("op"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    r = log.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_ops", F.count("*").over(wc)
+    )
+    return r.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("n_ops").cast("bigint").alias("n_ops"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_readability
+
+
+@register(
+    "txt_readability",
+    oracle=(
+        "WITH m AS (SELECT doc_id, lower(trim(text)) AS s FROM documents), "
+        "sig AS (SELECT doc_id, "
+        "CAST(len(list_filter(string_split_regex(s, '\\s+'), "
+        "x -> x <> '')) AS BIGINT) AS n_words, "
+        "CAST(greatest(1, len(regexp_extract_all(s, '[.!?]+'))) AS BIGINT) "
+        "AS n_sentences, "
+        "CAST(len(regexp_extract_all(s, '[aeiouy]+')) AS BIGINT) "
+        "AS n_syllables FROM m) "
+        "SELECT doc_id, n_words, n_sentences, n_syllables, "
+        "CAST(floor(CASE WHEN n_words = 0 THEN 0.0 "
+        "ELSE 0.39 * (CAST(n_words AS DOUBLE) / n_sentences) "
+        "+ 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59 END "
+        "* 100.0) AS BIGINT) AS fk_grade_x100 "
+        "FROM sig"
+    ),
+    doc=(
+        "READABILITY SCORING (Flesch-Kincaid grade) — a standard "
+        "quality signal next to txt_quality_score's structural "
+        "ratios: words, sentence runs ([.!?]+ groups, floored at 1), "
+        "and vowel-group syllable approximation feed the classic "
+        "0.39·(W/S) + 11.8·(Sy/W) − 15.59 formula. All counts are "
+        "integers from single regex passes (length-diff/extract-all "
+        "— no per-word loop); the grade is one double expression "
+        "with an identical tree both engines, emitted as floor'd "
+        "×100 fixed point (a 2dp ROUND here sat exactly on a .5 "
+        "boundary and split the engines — the d7ae455 rule). Pure "
+        "map stage, zero shuffle at any scale."
+    ),
+)
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    m = d.select("doc_id", s.alias("s"))
+    sig = m.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("s"), r"\s+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all("s", F.lit(r"[.!?]+"), 0)),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(F.regexp_extract_all("s", F.lit(r"[aeiouy]+"), 0))
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    grade = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        F.lit(0.39) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        + F.lit(11.8) * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        - F.lit(15.59)
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.floor(grade * F.lit(100.0)).cast("bigint").alias("fk_grade_x100"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_anomaly_zscore
+
+
+@register(
+    "evt_anomaly_zscore",
+    oracle=(
+        "WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type, bucket), "
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb, "
+        "CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2 "
+        "FROM b GROUP BY event_type), "
+        "z AS (SELECT b.event_type, CAST(b.bucket AS TIMESTAMP) AS bucket, "
+        "b.n, "
+        "(CAST(b.n AS DOUBLE) - CAST(m.s1 AS DOUBLE) / CAST(m.nb AS DOUBLE)) "
+        "/ sqrt(CAST(m.nb * m.s2 - m.s1 * m.s1 AS DOUBLE) "
+        "/ CAST(m.nb * (m.nb - 1) AS DOUBLE)) AS zval "
+        "FROM b JOIN m ON m.event_type = b.event_type WHERE m.nb > 1) "
+        "SELECT event_type, bucket, n, round(zval, 4) AS z "
+        "FROM z WHERE zval >= 2.0 OR zval <= -2.0"
+    ),
+    doc=(
+        "ANOMALY DETECTION by z-score — the ops-monitoring primitive: "
+        "hourly event counts per type, each bucket scored against its "
+        "type's mean/stddev, |z| ≥ 2 flagged. The moments are exact "
+        "BIGINT sums (counts are integers — no raw-double summation); "
+        "the z expression is one identical double tree both engines "
+        "(sqrt is IEEE correctly-rounded, so cross-engine exact). "
+        "Two bounded-cardinality shuffles: (type, bucket) counts, "
+        "then per-type moments (constant state) broadcast back onto "
+        "the bucket table."
+    ),
+)
+def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    m = b.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nb"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    j = b.join(F.broadcast(m), "event_type").filter(F.col("nb") > 1)
+    mean = F.col("s1").cast("double") / F.col("nb").cast("double")
+    var = (F.col("nb") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("nb") * (F.col("nb") - 1)).cast("double")
+    zval = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.select(
+            "event_type",
+            "bucket",
+            "n",
+            zval.alias("zval"),
+        )
+        .filter((F.col("zval") >= 2.0) | (F.col("zval") <= -2.0))
+        .select("event_type", "bucket", "n", F.round("zval", 4).alias("z"))
+    )

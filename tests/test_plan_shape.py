@@ -358,6 +358,12 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("ext_ngram_collocations", 5),
         ("evt_time_to_convert", 1),  # conditional-min, one shuffle
         ("txt_code_detect", 0),  # pure map-side projection
+        # user-day distinct + cohort min + (cohort, offset) distinct
+        # count + size join — all on user-day-sized data
+        ("evt_cohort_retention", 6),
+        ("etl_cdc_compact", 1),  # windows + count share the key
+        ("txt_readability", 0),  # pure map-side projection
+        ("evt_anomaly_zscore", 3),  # bucket counts + moments + join back
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
