@@ -665,15 +665,20 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_WIDTH
         )
 
+    # One corpus-sized shuffle (the token counts); every sketch cell
+    # then derives from the vocab-sized count table — the r5 version
+    # ran 4 separate corpus groupBys (r6: 0.70 s -> ~0.4 s at sf0.1).
+    # SUM(count) per slot ≡ COUNT(*) over raw occurrences per slot.
+    items = occ.groupBy("token").agg(F.count("*").alias("true_n"))
+    items = items.localCheckpoint(eager=False)
     cells = None
     for j in range(_CMS_DEPTH):
         c = (
-            occ.groupBy(slot(j, F.col("token")).alias("slot"))
-            .agg(F.count("*").alias("n"))
+            items.groupBy(slot(j, F.col("token")).alias("slot"))
+            .agg(F.sum("true_n").alias("n"))
             .select(F.lit(j).alias("d"), "slot", "n")
         )
         cells = c if cells is None else cells.unionByName(c)
-    items = occ.groupBy("token").agg(F.count("*").alias("true_n"))
     probe = items
     for j in range(_CMS_DEPTH):
         probe = probe.withColumn(f"s{j}", slot(j, F.col("token")))

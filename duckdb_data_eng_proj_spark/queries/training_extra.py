@@ -257,6 +257,10 @@ def txt_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pr"),
     ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    # The exploded bigram stream feeds BOTH the count model and the
+    # final scoring join — checkpoint it so tokenize+zip+explode runs
+    # once, not twice (r6: 1.16 s -> ~0.7 s at sf0.1).
+    prs = prs.localCheckpoint(eager=False)
     bc = prs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     uc = bc.groupBy("w1").agg(F.sum("n").alias("total"))
     p = bc.join(uc, "w1").select(
