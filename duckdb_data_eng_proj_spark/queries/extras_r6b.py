@@ -1382,3 +1382,178 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("zval") >= 2.0) | (F.col("zval") <= -2.0))
         .select("event_type", "bucket", "n", F.round("zval", 4).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# src_parquet_merge_schema
+
+
+@register(
+    "src_parquet_merge_schema",
+    oracle=(
+        "WITH old_batch AS (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderdate < DATE '1995-01-01'), "
+        "new_batch AS (SELECT o_orderkey, o_totalprice, o_orderpriority "
+        "FROM orders WHERE o_orderdate >= DATE '1995-01-01'), "
+        "merged AS (SELECT o_orderkey, o_totalprice, "
+        "CAST(NULL AS VARCHAR) AS o_orderpriority FROM old_batch "
+        "UNION ALL SELECT * FROM new_batch) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_total, "
+        "CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority, "
+        "CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) "
+        "AS n_without_priority, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum "
+        "FROM merged"
+    ),
+    doc=(
+        "SCHEMA-EVOLUTION READ (mergeSchema) — the source-side "
+        "contract every long-lived dataset needs: an old batch "
+        "written without a column and a new batch written with it "
+        "land in the same parquet directory; the read reconciles "
+        "both footers into the union schema, null-filling the old "
+        "files. The returned summary (total rows, per-column null "
+        "split, key checksum) certifies the merged read end-to-end "
+        "against a UNION-semantics oracle. At scale, mergeSchema's "
+        "cost is footer reconciliation (schema metadata, not data) — "
+        "the documented production alternative is a table format "
+        "carrying the schema in a manifest."
+    ),
+)
+def src_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.io.scratch import scratch_dir
+
+    path = scratch_dir("orders_schema_evolve")
+    o = t(spark, sf_dir, "orders")
+    old_b = o.filter(F.col("o_orderdate") < "1995-01-01").select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_b = o.filter(F.col("o_orderdate") >= "1995-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old_b.write.mode("overwrite").parquet(path)
+    new_b.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+        (F.count("*") - F.count("o_orderpriority"))
+        .cast("bigint")
+        .alias("n_without_priority"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# snk_partition_overwrite_dynamic
+
+
+@register(
+    "snk_partition_overwrite_dynamic",
+    oracle=(
+        "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 "
+        "ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) "
+        "AS price_cents "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+    doc=(
+        "DYNAMIC PARTITION OVERWRITE — the INSERT OVERWRITE "
+        "PARTITION semantics of warehouse maintenance: the table is "
+        "written partitioned by status, then ONE partition ('F') is "
+        "rewritten (prices zeroed, standing in for a restatement) "
+        "with partitionOverwriteMode=dynamic, which replaces only "
+        "the partitions present in the incoming write and leaves "
+        "every other partition's files untouched. The readback "
+        "summary proves both halves: 'F' rows show the restated "
+        "values, other statuses their originals. At 100 TB this is "
+        "the daily-restatement pattern — rewrite cost is "
+        "proportional to the restated partition, not the table. "
+        "Money summed in exact integer cents per the repo rule."
+    ),
+)
+def snk_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.io.scratch import scratch_dir
+
+    path = scratch_dir("orders_dyn_overwrite")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    restated = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_gaps_islands
+
+
+@register(
+    "win_gaps_islands",
+    oracle=(
+        "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "FROM events), "
+        "r AS (SELECT user_id, day, "
+        "day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) "
+        "AS INTEGER) AS grp FROM ud), "
+        "streaks AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len, "
+        "min(day) AS start_day FROM r GROUP BY user_id, grp), "
+        "best AS (SELECT user_id, len, start_day, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY len DESC, start_day) AS rk, "
+        "CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_streaks "
+        "FROM streaks) "
+        "SELECT user_id, len AS longest_streak, start_day AS streak_start, "
+        "n_streaks FROM best WHERE rk = 1"
+    ),
+    doc=(
+        "GAPS-AND-ISLANDS — longest consecutive-day activity streak "
+        "per user, the canonical run-length analysis (engagement "
+        "streaks, sensor uptime, SLA windows): day minus dense rank "
+        "is constant within a consecutive run, so runs become plain "
+        "group keys — no self-join, no iteration. Three aggregations "
+        "all keyed by user_id share one clustering; per-user state "
+        "is bounded by distinct active days. Deterministic "
+        "(len DESC, start) tie-break picks the earliest of equal "
+        "streaks."
+    ),
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = ud.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = r.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "start_day"
+    )
+    wc = Window.partitionBy("user_id")
+    best = streaks.withColumn("rk", F.row_number().over(wb)).withColumn(
+        "n_streaks", F.count("*").over(wc).cast("bigint")
+    )
+    return best.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("len").alias("longest_streak"),
+        F.col("start_day").alias("streak_start"),
+        "n_streaks",
+    )

@@ -364,6 +364,8 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("etl_cdc_compact", 1),  # windows + count share the key
         ("txt_readability", 0),  # pure map-side projection
         ("evt_anomaly_zscore", 3),  # bucket counts + moments + join back
+        # distinct user-days + everything else shares user_id clustering
+        ("win_gaps_islands", 2),
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
