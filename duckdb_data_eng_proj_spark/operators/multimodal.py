@@ -366,3 +366,58 @@ def sample_frames(features: DataFrame, every_n: int = 30) -> DataFrame:
     return features.select(
         "doc_id", F.explode(idx).alias("frame_idx"), "content_md5"
     )
+
+
+def encode_bmp_pattern(width: int, height: int, seed: int) -> bytes:
+    """Real 24-bpp BMP writer with a deterministic grayscale gradient:
+    pixel (x, y) has byte value (seed*31 + x*97 + y*13) % 251 in all
+    three channels, rows stored bottom-up per the BMP spec. Unlike
+    ``encode_bmp``'s constant fill, the gradient gives perceptual
+    hashes (``dhash_bmp``) real structure to bite on."""
+    stride = bmp_stride(width)
+    image_size = stride * height
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", _BMP_HEADER_SIZE + image_size, 0, 0, _BMP_HEADER_SIZE,
+        40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            v = (seed * 31 + x * 97 + y * 13) % 251
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - 3 * width)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def dhash_bmp(payload: bytes) -> int:
+    """Difference hash (dHash) of a 24-bpp BMP: sample the first
+    channel on a 9×8 grid (sx = i·w//9, sy = j·h//8), emit bit
+    (j*8+i) = 1 when grid[j][i] > grid[j][i+1]. Integer-only, so the
+    same definition is expressible closed-form in SQL for synthetic
+    gradients."""
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _, width, height, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bpp BMP is supported")
+    h = abs(height)
+    stride = bmp_stride(width)
+
+    def px(x: int, y: int) -> int:
+        # bottom-up storage: image row y sits at file row (h-1-y)
+        return payload[offset + (h - 1 - y) * stride + 3 * x]
+
+    out = 0
+    for j in range(8):
+        sy = (j * h) // 8
+        for i in range(8):
+            a = px((i * width) // 9, sy)
+            b = px(((i + 1) * width) // 9, sy)
+            if a > b:
+                out |= 1 << (j * 8 + i)
+    # two's-complement signed 64-bit, so the hash fits BIGINT columns
+    return out - (1 << 64) if out >= (1 << 63) else out

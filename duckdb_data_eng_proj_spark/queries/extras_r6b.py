@@ -1557,3 +1557,112 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_day").alias("streak_start"),
         "n_streaks",
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_image_dhash_dedup
+
+
+def _dhash_oracle() -> str:
+    # Closed-form replica of dhash_bmp over the synthetic gradient:
+    # pixel(x, y) = (seed*31 + x*97 + y*13) % 251, seed = doc_id % 16,
+    # w = h = seed % 4 + 8; bit (j*8+i) set when the 9x8-grid sample
+    # at column i exceeds column i+1.
+    def px(sx: str, sy: str) -> str:
+        return f"((seed * 31 + ({sx}) * 97 + ({sy}) * 13) %% 251)"
+
+    terms = []
+    for j in range(8):
+        sy = f"(({j} * h) // 8)"
+        for i in range(8):
+            a = px(f"(({i} * w) // 9)", sy)
+            b = px(f"((({i} + 1) * w) // 9)", sy)
+            # bit 63 is the sign bit of the BIGINT two's-complement form
+            bit = 1 << (j * 8 + i)
+            val = bit - (1 << 64) if bit >= (1 << 63) else bit
+            terms.append(
+                f"(CASE WHEN {a} > {b} THEN CAST({val} AS BIGINT) "
+                "ELSE 0 END)"
+            )
+    expr = (" + ".join(terms)) % ()
+    return (
+        "WITH img AS (SELECT doc_id, doc_id % 16 AS seed, "
+        "(doc_id % 16) % 4 + 8 AS w, (doc_id % 16) % 4 + 8 AS h "
+        "FROM documents), "
+        f"hs AS (SELECT doc_id, CAST({expr} AS BIGINT) AS dhash FROM img) "
+        "SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images, "
+        "CAST(min(doc_id) AS BIGINT) AS canonical_doc "
+        "FROM hs GROUP BY dhash"
+    )
+
+
+@register(
+    "mm_image_dhash_dedup",
+    oracle=_dhash_oracle(),
+    doc=(
+        "PERCEPTUAL-HASH IMAGE DEDUP — the multimodal sibling of the "
+        "text near-dup family: every document synthesizes a REAL "
+        "24-bpp BMP (deterministic gradient pattern, pure-stdlib "
+        "encoder), the pixels are struct-DECODED back and dHashed "
+        "(9×8 grid sample, adjacent-column comparison → 64-bit "
+        "hash), and images group by hash — visually identical frames "
+        "collapse to one canonical doc. The oracle re-derives the "
+        "hash closed-form from the gradient (integer arithmetic "
+        "only), so a hash match proves the encode→decode→dhash "
+        "round-trip byte-exactly, not just the grouping. Scale "
+        "shape: synthesis+decode+hash run in two narrow Arrow "
+        "(mapInPandas) stages — the documented slow-path budget, "
+        "~O(pixels) per image with zero shuffle — and the only "
+        "shuffle is the hash groupBy, whose cells are near-dup "
+        "cluster sized. Hamming-near (not just equal) grouping "
+        "composes with dedup_simhash's pigeonhole chunk buckets "
+        "unchanged, since the hash is the same 64-bit shape."
+    ),
+)
+def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        dhash_bmp,
+        encode_bmp_pattern,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                seed = int(i) % 16
+                side = seed % 4 + 8
+                payloads.append(encode_bmp_pattern(side, side, seed))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "image/bmp",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+    def hash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": pd.Series(
+                        [dhash_bmp(p) for p in pdf["payload"]], dtype="int64"
+                    ),
+                }
+            )
+
+    hashed = media.mapInPandas(hash_batch, schema="doc_id long, dhash long")
+    return hashed.groupBy("dhash").agg(
+        F.count("*").cast("bigint").alias("n_images"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc"),
+    )
