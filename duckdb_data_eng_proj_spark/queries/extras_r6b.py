@@ -1666,3 +1666,114 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_images"),
         F.min("doc_id").cast("bigint").alias("canonical_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_distinct
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle=(
+        "WITH w AS (SELECT event_type, user_id // 32 AS bucket, "
+        "bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS word "
+        "FROM events GROUP BY event_type, bucket), "
+        "c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+        "CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct "
+        "FROM w GROUP BY event_type), "
+        "tru AS (SELECT event_type, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct "
+        "FROM events GROUP BY event_type) "
+        "SELECT c.event_type, c.n_buckets, c.n_distinct, tru.true_distinct "
+        "FROM c JOIN tru ON tru.event_type = c.event_type"
+    ),
+    doc=(
+        "BITMAP EXACT-DISTINCT — the roaring-bitmap counting pattern "
+        "of OLAP warehouses (ClickHouse/Doris bitmap columns), "
+        "re-expressed: user ids pack into 32-bit words "
+        "(bucket = id/32, bit = id%32 — 32 keeps the shift inside "
+        "signed-BIGINT range on both engines) with BIT_OR merge, and "
+        "the distinct count is the popcount sum. Unlike "
+        "COUNT(DISTINCT) — whose state is the value set itself — "
+        "bitmap state is bounded by the id range/64 and merges "
+        "associatively, which is why warehouses precompute bitmap "
+        "columns per segment and answer distinct-count and set "
+        "algebra (AND/OR across segments) without touching rows. "
+        "Both levels are map-side-combinable shuffles; the exact "
+        "COUNT DISTINCT is emitted alongside, so the oracle pins "
+        "bitmap == truth. At 100 TB: the word table IS the "
+        "materialized bitmap index; incremental batches BIT_OR into "
+        "it."
+    ),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = e.groupBy(
+        "event_type", (F.col("user_id") / 32).cast("bigint").alias("bucket")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("word")
+    )
+    c = w.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_distinct"),
+    )
+    tru = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    return c.join(tru, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# win_percent_change
+
+
+@register(
+    "win_percent_change",
+    oracle=(
+        "WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "GROUP BY event_type, day), "
+        "l AS (SELECT event_type, day, n, "
+        "lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n "
+        "FROM d) "
+        "SELECT event_type, day, n, prev_n, "
+        "CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL "
+        "ELSE CAST(floor((n - prev_n) * 10000.0 / prev_n) AS BIGINT) END "
+        "AS pct_change_bp "
+        "FROM l"
+    ),
+    doc=(
+        "PERIOD-OVER-PERIOD CHANGE — the day-over-day delta of every "
+        "metrics dashboard: daily counts per series, LAG for the "
+        "previous period, change in floor'd integer basis points "
+        "(cross-engine exact; NULL for the first period and "
+        "zero-base periods). Bounded-cardinality count shuffle, then "
+        "the lag window shares the series clustering — two "
+        "map-side-friendly exchanges regardless of event volume."
+    ),
+)
+def win_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("prev_n", F.lag("n").over(w))
+    return l.select(
+        "event_type",
+        "day",
+        "n",
+        "prev_n",
+        F.when(
+            F.col("prev_n").isNull() | (F.col("prev_n") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.floor(
+                (F.col("n") - F.col("prev_n")) * F.lit(10000.0) / F.col("prev_n")
+            )
+        )
+        .cast("bigint")
+        .alias("pct_change_bp"),
+    )
