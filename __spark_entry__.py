@@ -191,10 +191,27 @@ def _verified_green() -> set[str]:
 
 
 # Ids the driver must reach THIS round even if the verify run
-# truncates (the driver records exactly ~50 rows/round). VERDICT r4 #1:
-# ml_pagerank_2iter / pipe_corpus_clean_v2 have never been driver-run;
-# dedup_cluster_cc / _star coast on pre-rewrite r3 rows.
+# truncates (the driver records exactly ~50 rows/round).
+# r6: the InferFiltersFromGenerate session exclusion changed every
+# plan's helper digest, so the whole registry reads unverified and
+# band ordering alone would leave the six scratch-refactor sinks
+# (VERDICT r5 item 3) and the r6-rewritten heavies beyond the driver
+# window. Band0 = those six + the five ops whose implementations
+# actually changed this round + the four r5 carryovers; with the
+# ~35 never-green r6 ids in band1 that fills the ~50-slot window
+# with exactly the evidence the round needs.
 _PRIORITY: tuple[str, ...] = (
+    "snk_parquet_partitioned",
+    "join_bucketed_colocated",
+    "snk_json_lines",
+    "snk_orc_roundtrip",
+    "src_jsonl_roundtrip",
+    "join_dpp_pruned",
+    "dedup_containment",
+    "txt_quality_score",
+    "txt_lm_doc_score",
+    "agg_sketch_cms",
+    "ext_quality_ensemble",
     "ml_pagerank_2iter",
     "pipe_corpus_clean_v2",
     "dedup_cluster_cc",
