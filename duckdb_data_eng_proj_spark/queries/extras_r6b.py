@@ -1777,3 +1777,87 @@ def win_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pct_change_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipe_modality_split — modality routing + per-branch dedup policy
+
+
+def _modality_split_oracle() -> str:
+    from duckdb_data_eng_proj_spark.queries.training import _TOKS_CTE
+
+    code_score = (
+        "CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE "
+        "floor(((length(lower(trim(d.text))) - length(regexp_replace("
+        f"lower(trim(d.text)), '{_CODE_SYM_RE}', '', 'g'))) * 50 "
+        f"+ len(regexp_extract_all(lower(trim(d.text)), '{_CODE_KW_RE}')) "
+        "* 200) * 100.0 / length(trim(d.text))) END"
+    )
+    return (
+        f"WITH {_TOKS_CTE}, "
+        f"m AS (SELECT d.doc_id, ({code_score}) >= 100 AS is_code, "
+        "md5(lower(trim(d.text))) AS exact_key, "
+        "CASE WHEN len(t.tk) >= 5 THEN list_aggregate(list_transform("
+        "list_transform(range(len(t.tk) - 4), "
+        "i -> array_to_string(t.tk[i+1:i+5], ' ')), s -> md5(s)), 'min') "
+        "ELSE md5(array_to_string(t.tk, ' ')) END AS fuzzy_key "
+        "FROM documents d JOIN toks t USING (doc_id)), "
+        "keyed AS (SELECT doc_id, "
+        "CASE WHEN is_code THEN 'code' ELSE 'prose' END AS modality, "
+        "CASE WHEN is_code THEN exact_key ELSE fuzzy_key END AS dedup_key "
+        "FROM m) "
+        "SELECT doc_id, modality, dedup_key, "
+        "(doc_id = min(doc_id) OVER (PARTITION BY modality, dedup_key)) "
+        "AS keep "
+        "FROM keyed"
+    )
+
+
+@register(
+    "pipe_modality_split",
+    oracle=_modality_split_oracle(),
+    doc=(
+        "MODALITY-ROUTED DEDUP POLICY — the branching step of a mixed "
+        "corpus pipeline: every document routes by the verified "
+        "txt_code_detect gate, and each branch applies the dedup "
+        "policy appropriate to its modality — code dedups on the "
+        "VERBATIM text hash (code near-dup across formatting variants "
+        "is usually wrong to collapse), prose on the verified 5-gram "
+        "min-fingerprint (whitespace/boilerplate-tolerant). The "
+        "min-doc_id survivor rule runs per (modality, key), so the "
+        "branches never interfere. Composes three verified "
+        "primitives (code gate, fingerprint, survivor window) in ONE "
+        "lazy plan — one shuffle keyed by (modality, dedup_key) "
+        "after pure map stages; at 100 TB the prose branch swaps in "
+        "the LSH near-dup pipeline exactly as pipe_corpus_clean "
+        "demonstrates."
+    ),
+)
+def pipe_modality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.training import txt_fingerprint
+
+    gate = txt_code_detect(spark, sf_dir).select("doc_id", "is_code")
+    fuzzy = txt_fingerprint(spark, sf_dir).select(
+        "doc_id", F.col("fingerprint").alias("fuzzy_key")
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("exact_key")
+    )
+    keyed = (
+        d.join(gate, "doc_id")
+        .join(fuzzy, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("is_code"), "code").otherwise("prose").alias("modality"),
+            F.when(F.col("is_code"), F.col("exact_key"))
+            .otherwise(F.col("fuzzy_key"))
+            .alias("dedup_key"),
+        )
+    )
+    w = Window.partitionBy("modality", "dedup_key")
+    return keyed.select(
+        "doc_id",
+        "modality",
+        "dedup_key",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
