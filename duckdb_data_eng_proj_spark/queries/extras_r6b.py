@@ -1861,3 +1861,147 @@ def pipe_modality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_key",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vec_binary_quantize
+
+_BQ_K = 5  # neighbors per query in the hamming-then-exact rerank demo
+
+
+def _bq_sig_sql(alias: str) -> str:
+    # 64 sign bits -> one BIGINT, bit d = 1 when dim d > 0; bit 63 in
+    # two's-complement form to stay inside signed BIGINT.
+    terms = []
+    for d in range(64):
+        bit = 1 << d
+        val = bit - (1 << 64) if bit >= (1 << 63) else bit
+        terms.append(
+            f"(CASE WHEN {alias}.embedding[{d + 1}] > 0 "
+            f"THEN CAST({val} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "vec_binary_quantize",
+    oracle=(
+        f"WITH sig AS (SELECT vec_id, embedding, {_bq_sig_sql('embeddings')} "
+        "AS bsig FROM embeddings), "
+        f"q AS (SELECT vec_id AS qid, embedding AS qe, bsig AS qsig "
+        f"FROM sig WHERE vec_id % 100 = 0), "
+        "ham AS (SELECT q.qid, s.vec_id, "
+        "CAST(bit_count(xor(q.qsig, s.bsig)) AS BIGINT) AS hamming "
+        "FROM q JOIN sig s ON s.vec_id <> q.qid), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY qid "
+        "ORDER BY hamming, vec_id) AS rank FROM ham) "
+        f"SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, hamming "
+        f"FROM rk WHERE rank <= {_BQ_K}"
+    ),
+    doc=(
+        "BINARY (1-bit) VECTOR QUANTIZATION — the third compression "
+        "tier of the embedding-index family (int8 = 4×, PQ = 64×, "
+        "sign bits = 512×): each 64-dim vector collapses to ONE "
+        "BIGINT of sign bits, and candidate retrieval is hamming "
+        "distance = POPCOUNT(XOR) — a single ALU op per comparison, "
+        "which is why binary codes are the first-stage filter of "
+        "every modern billion-vector index (the exact/int8 rerank "
+        "stage then runs on the survivors only; sim_knn_bucket_join "
+        "demonstrates that rerank shape). Pure integer end-to-end — "
+        "cross-engine exact with no fixed-point machinery. Scale "
+        "shape: the code table is 8 bytes/vector; the query batch "
+        "broadcasts and the scan is embarrassingly parallel with "
+        "zero shuffle before the top-k window."
+    ),
+)
+def vec_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    bit_terms = None
+    for d in range(64):
+        bit = 1 << d
+        val = bit - (1 << 64) if bit >= (1 << 63) else bit
+        term = F.when(
+            F.element_at("embedding", d + 1) > 0, F.lit(val).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        bit_terms = term if bit_terms is None else bit_terms + term
+    sig = e.select("vec_id", bit_terms.alias("bsig")).localCheckpoint(
+        eager=False
+    )
+    q = sig.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("bsig").alias("qsig")
+    )
+    ham = (
+        sig.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.bit_count(F.expr("qsig ^ bsig")).cast("bigint").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    return (
+        ham.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BQ_K)
+        .select("qid", F.col("rank").cast("bigint").alias("rank"), "vec_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_attribution_last_touch
+
+
+@register(
+    "evt_attribution_last_touch",
+    oracle=(
+        "WITH conv AS (SELECT user_id, ts AS conv_ts, event_id AS conv_id "
+        "FROM events WHERE event_type = 'purchase'), "
+        "touch AS (SELECT user_id, ts, event_id, event_type FROM events "
+        "WHERE event_type <> 'purchase'), "
+        "cand AS (SELECT c.user_id, c.conv_id, c.conv_ts, "
+        "t.event_id AS touch_id, t.event_type AS touch_type, "
+        "row_number() OVER (PARTITION BY c.conv_id "
+        "ORDER BY t.ts DESC, t.event_id DESC) AS rk "
+        "FROM conv c JOIN touch t ON t.user_id = c.user_id "
+        "AND t.ts <= c.conv_ts "
+        "AND t.ts >= c.conv_ts - INTERVAL 1 DAY) "
+        "SELECT conv_id, user_id, CAST(conv_ts AS TIMESTAMP) AS conv_ts, "
+        "touch_id, touch_type FROM cand WHERE rk = 1"
+    ),
+    doc=(
+        "LAST-TOUCH ATTRIBUTION — the marketing-analytics as-of join "
+        "in its native habitat: each purchase attributes to the most "
+        "recent non-purchase event by the same user within a 1-day "
+        "lookback, deterministic (ts, event_id) recency order. "
+        "Expressed as a user-keyed join + per-conversion rank-1 "
+        "window — the same plan join_asof pins, but with the lookback "
+        "band limiting the join fan-out (the unbounded as-of join's "
+        "scale hazard). One shuffle on user_id; the window keys on "
+        "conversions only."
+    ),
+)
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    touch = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    cand = conv.join(touch, "user_id").filter(
+        (F.col("t_ts") <= F.col("conv_ts"))
+        & (F.col("t_ts") >= F.col("conv_ts") - F.expr("INTERVAL 1 DAY"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("t_ts").desc(), F.col("touch_id").desc()
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("conv_id", "user_id", "conv_ts", "touch_id", "touch_type")
+    )
