@@ -2005,3 +2005,130 @@ def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("conv_id", "user_id", "conv_ts", "touch_id", "touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_distribution
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=(
+        "WITH pe AS (SELECT e1.event_id AS u, e2.event_id AS v "
+        "FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id "
+        "AND e1.event_id < e2.event_id "
+        "AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 5 MINUTE), "
+        "deg AS (SELECT u AS node, COUNT(*) AS d FROM ("
+        "SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe) GROUP BY u), "
+        "b AS (SELECT CAST(floor(log2(CAST(d AS DOUBLE))) AS BIGINT) "
+        "AS degree_bin, d FROM deg) "
+        "SELECT degree_bin, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg "
+        "FROM b GROUP BY degree_bin"
+    ),
+    doc=(
+        "DEGREE DISTRIBUTION (log₂-binned) — the first diagnostic of "
+        "any graph workload, here over the temporal co-occurrence "
+        "graph (events of one user within a 5-minute band): heavy "
+        "bins at high degree mean skewed join keys downstream — "
+        "exactly what salting/AQE skew handling must absorb, so this "
+        "operator IS the skew audit a 100 TB graph job runs first. "
+        "log2 of an integer count floor'd to a bin index is "
+        "cross-engine exact for the attainable degrees (powers-of-2 "
+        "boundaries are exactly representable). The band join bounds "
+        "fan-out; degree counting is one shuffle, the bin rollup is "
+        "bounded-cardinality."
+    ),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    e1 = e.alias("a")
+    e2 = e.alias("b")
+    pe = e1.join(
+        e2,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTE")),
+    ).select(F.col("a.event_id").alias("u"), F.col("b.event_id").alias("v"))
+    deg = (
+        pe.select(F.col("u").alias("node"))
+        .unionAll(pe.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    b = deg.select(
+        F.floor(F.log2(F.col("d").cast("double"))).cast("bigint").alias(
+            "degree_bin"
+        ),
+        "d",
+    )
+    return b.groupBy("degree_bin").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("d").cast("bigint").alias("min_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_benford_audit
+
+# Expected Benford first-digit frequencies, log10(1+1/d), as exact
+# basis-point literals — no transcendental at query time.
+_BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792, 6: 669, 7: 580, 8: 512, 9: 458}
+
+
+@register(
+    "ext_benford_audit",
+    oracle=(
+        "WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+        "AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders "
+        "WHERE o_totalprice >= 1), "
+        "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d "
+        "GROUP BY digit), "
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c) "
+        "SELECT c.digit, c.n, "
+        "CAST(floor(c.n * 10000.0 / tot.total) AS BIGINT) AS observed_bp, "
+        "CAST(CASE c.digit "
+        + " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(_BENFORD_BP.items()))
+        + " END AS BIGINT) AS expected_bp "
+        "FROM c, tot"
+    ),
+    doc=(
+        "BENFORD'S-LAW AUDIT — the forensic data-quality check on "
+        "monetary columns: observed first-digit frequencies of "
+        "o_totalprice vs the Benford expectation (log10(1+1/d), "
+        "precomputed as exact basis-point literals so no "
+        "transcendental runs at query time). Fabricated or "
+        "synthetically-uniform amounts diverge loudly — on this "
+        "generator's uniform-ish prices the divergence itself is the "
+        "expected, deterministic output. Map-side digit extraction, "
+        "one 9-cell aggregate, a 1-row total broadcast."
+    ),
+)
+def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = None
+    for k, v in sorted(_BENFORD_BP.items()):
+        expected = (
+            F.when(F.col("digit") == k, v)
+            if expected is None
+            else expected.when(F.col("digit") == k, v)
+        )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.floor(F.col("n") * F.lit(10000.0) / F.col("total"))
+        .cast("bigint")
+        .alias("observed_bp"),
+        expected.cast("bigint").alias("expected_bp"),
+    )
