@@ -366,6 +366,16 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("evt_anomaly_zscore", 3),  # bucket counts + moments + join back
         # distinct user-days + everything else shares user_id clustering
         ("win_gaps_islands", 2),
+        ("vec_binary_quantize", 1),  # top-k window; scan is map-side
+        ("pipe_modality_split", 1),  # one (modality, key) shuffle
+        # user-keyed band join + degree count + bounded bin rollup
+        ("graph_degree_distribution", 2),
+        ("ext_benford_audit", 3),  # 9-cell agg + 1-row total + final
+        # word table + popcount rollup + exact-distinct two-phase
+        ("agg_bitmap_distinct", 4),
+        ("win_percent_change", 2),  # bounded counts + series lag window
+        ("evt_attribution_last_touch", 1),  # user-keyed join + window
+        ("mm_image_dhash_dedup", 1),  # Arrow stages; hash groupBy only
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
