@@ -2132,3 +2132,91 @@ def ext_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("observed_bp"),
         expected.cast("bigint").alias("expected_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_file_provenance
+
+
+@register(
+    "src_file_provenance",
+    oracle=(
+        # The driver registers each table as a view over its single
+        # canonically-named parquet file, so the expected provenance is
+        # the constant basename — the oracle pins that Spark's
+        # input_file_name() extraction lands exactly there with the
+        # right per-file totals.
+        "SELECT 'lineitem.parquet' AS source_file, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(l_orderkey) AS BIGINT) AS key_sum FROM lineitem"
+    ),
+    doc=(
+        "ROW-LEVEL FILE PROVENANCE — the lineage primitive of every "
+        "debugging and backfill workflow: each row carries the file "
+        "it was scanned from (input_file_name(), a metadata column "
+        "materialized at scan time with zero I/O cost), rolled up to "
+        "per-file row counts and key checksums. At 100 TB this is "
+        "how a corrupted-file incident is scoped (which files, which "
+        "rows) and how per-file audit totals reconcile a backfill. "
+        "Basename-normalized so the hash is location-independent."
+    ),
+)
+def src_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "source_file",
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1),
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_avg_exact
+
+
+@register(
+    "agg_weighted_avg_exact",
+    oracle=(
+        "WITH m AS (SELECT l_returnflag, "
+        "SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38, 6)) "
+        "* CAST(l_discount AS DECIMAL(18, 6))) AS swx, "
+        "SUM(CAST(l_quantity AS BIGINT)) AS sw "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, CAST(sw AS BIGINT) AS total_qty, "
+        "round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) "
+        "AS wavg_discount "
+        "FROM m"
+    ),
+    doc=(
+        "EXACT WEIGHTED AVERAGE — quantity-weighted mean discount per "
+        "return flag: the numerator accumulates as DECIMAL (weight "
+        "integer × decimal-cast value), the denominator as BIGINT, so "
+        "partial-aggregation order cannot perturb either (the "
+        "no-raw-double-SUM rule); one double division at the end with "
+        "an identical expression tree both engines. Single map-side-"
+        "combinable shuffle, constant per-group state — the pattern "
+        "every revenue-weighted metric at 100 TB should follow."
+    ),
+)
+def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.sum(
+            w.cast("decimal(38,6)") * F.col("l_discount").cast("decimal(18,6)")
+        ).alias("swx"),
+        F.sum(w).alias("sw"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("sw").cast("bigint").alias("total_qty"),
+        F.round(
+            F.col("swx").cast("double") / F.col("sw").cast("double"), 6
+        ).alias("wavg_discount"),
+    )
