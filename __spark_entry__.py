@@ -38,10 +38,15 @@ _SNAPSHOT_PATH = os.path.join(
 )
 
 
-# Shared helper modules whose edits must invalidate EVERY id's green
-# evidence (VERDICT r4 #2: `tokens()` in operators/textops.py could
-# change under a "verified" id and getsource(fn) would never see it).
-# Paths are package-relative; absolute paths are honored (tests).
+# Shared helper modules whose edits must invalidate DEPENDENT ids'
+# green evidence (VERDICT r4 #2: `tokens()` in operators/textops.py
+# could change under a "verified" id and getsource(fn) would never see
+# it). Since r7 the digest is PER-ID-DEPENDENCY, not global: VERDICT
+# r6 #2 showed the all-seven-helpers digest flips all 232 ids to
+# unverified on any helper edit, and a ~50-row driver window can never
+# re-certify the registry. An id's payload now covers only the helper
+# and sibling-query-module files its defining module actually imports
+# (transitively). Paths are package-relative; absolute honored (tests).
 _HELPER_MODULES: tuple[str, ...] = (
     "operators/textops.py",
     "operators/vectors.py",
@@ -53,19 +58,96 @@ _HELPER_MODULES: tuple[str, ...] = (
 )
 _PKG_DIR = os.path.join(_HERE, "duckdb_data_eng_proj_spark")
 
+# Package subdirs whose modules count as intra-package dependency
+# targets (a query module importing any of them pulls that file into
+# its ids' hash payload).
+_DEP_SCAN_DIRS: tuple[str, ...] = (
+    "queries", "etl", "operators", "functions", "io", "streaming"
+)
+
 
 @functools.lru_cache(maxsize=None)
-def _helpers_digest() -> str:
-    """Concatenated-source digest of the shared helper layer."""
-    chunks = []
+def _dep_file_map() -> dict[str, tuple[str, ...]]:
+    """basename (sans .py) -> abs file paths it may refer to.
+
+    Seeded with _HELPER_MODULES (so tests can monkeypatch extra
+    entries), then every .py in the package's dependency dirs. A
+    basename colliding across dirs maps to ALL its paths
+    (conservative: importing either invalidates on edits to both).
+    """
+    out: dict[str, list[str]] = {}
     for rel in _HELPER_MODULES:
         path = rel if os.path.isabs(rel) else os.path.join(_PKG_DIR, rel)
-        try:
-            with open(path, encoding="utf-8") as fh:
-                chunks.append(fh.read())
-        except OSError:
-            chunks.append("")
-    return hashlib.sha256("\x00".join(chunks).encode()).hexdigest()
+        base = os.path.splitext(os.path.basename(path))[0]
+        out.setdefault(base, []).append(path)
+    for sub in _DEP_SCAN_DIRS:
+        d = os.path.join(_PKG_DIR, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".py") or name == "__init__.py":
+                continue
+            path = os.path.join(d, name)
+            base = name[:-3]
+            if path not in out.setdefault(base, []):
+                out[base].append(path)
+    return {b: tuple(ps) for b, ps in out.items()}
+
+
+@functools.lru_cache(maxsize=None)
+def _file_source(path: str) -> str:
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+    except OSError:
+        return ""
+
+
+@functools.lru_cache(maxsize=None)
+def _file_digest(path: str) -> str:
+    return hashlib.sha256(_file_source(path).encode()).hexdigest()
+
+
+@functools.lru_cache(maxsize=None)
+def _file_deps(path: str) -> tuple[str, ...]:
+    """Direct intra-package dependency files of one source file.
+
+    A dependency is any known basename appearing as a word on an
+    import line (top-level or function-local — `grep`-equivalent, so
+    lazy `from ...training import _hyperplanes` inside a fn body
+    counts). Overmatching is safe (extra invalidation only)."""
+    import re
+
+    dep_map = _dep_file_map()
+    deps: set[str] = set()
+    for line in _file_source(path).splitlines():
+        stripped = line.lstrip()
+        if not (stripped.startswith("from ") or stripped.startswith("import ")):
+            continue
+        for base, paths in dep_map.items():
+            if re.search(rf"\b{re.escape(base)}\b", stripped):
+                deps.update(p for p in paths if p != path)
+    return tuple(sorted(deps))
+
+
+def _deps_closure(path: str) -> tuple[str, ...]:
+    """BFS-transitive dependency files of one source file."""
+    seen: set[str] = set()
+    frontier = list(_file_deps(path))
+    while frontier:
+        p = frontier.pop()
+        if p in seen or p == path:
+            continue
+        seen.add(p)
+        frontier.extend(_file_deps(p))
+    return tuple(sorted(seen))
+
+
+@functools.lru_cache(maxsize=None)
+def _deps_digest(path: str) -> str:
+    """Combined digest over a module file's transitive dependencies."""
+    parts = [f"{os.path.basename(p)}:{_file_digest(p)}" for p in _deps_closure(path)]
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()
 
 
 @functools.lru_cache(maxsize=None)
@@ -99,26 +181,31 @@ def _module_context(modname: str) -> str:
 
 def _impl_hash(spec) -> str:
     """Hash of a registry entry's implementation source + oracle text
-    + defining-module context + shared-helper digest.
+    + defining-module context + per-module dependency digest.
 
     Used to detect 'code changed since the last green driver row'
     (VERDICT r3 #3: ext_dedup_exact / sim_ann_ivf_search shipped r3
     rewrites while coasting on r1/r2 driver evidence). Since r5 the
     payload also covers module-level constants/helpers of the fn's
-    defining module and the shared operator-helper modules, so a
-    helper-only edit flips dependent ids to unverified immediately
-    (VERDICT r4 #2) instead of one round late.
+    defining module; since r7 the helper part is the transitive
+    dependency digest of the DEFINING MODULE ONLY (VERDICT r6 #2:
+    the global seven-helper digest flipped all 232 ids on any helper
+    edit, unrecoverable with a ~50-row driver window). A helper-only
+    edit now flips exactly the ids whose module imports that helper.
     """
     try:
         src = inspect.getsource(spec.fn)
     except (OSError, TypeError):
         src = getattr(spec.fn, "__qualname__", repr(spec.fn))
+    modname = getattr(spec.fn, "__module__", "")
+    mod = sys.modules.get(modname)
+    modfile = getattr(mod, "__file__", None) or modname
     payload = "\x00".join(
         [
             src,
             spec.oracle or "",
-            _module_context(getattr(spec.fn, "__module__", "")),
-            _helpers_digest(),
+            _module_context(modname),
+            _deps_digest(os.path.abspath(modfile) if os.path.exists(str(modfile)) else str(modfile)),
         ]
     )
     return hashlib.sha256(payload.encode()).hexdigest()
@@ -192,31 +279,45 @@ def _verified_green() -> set[str]:
 
 # Ids the driver must reach THIS round even if the verify run
 # truncates (the driver records exactly ~50 rows/round).
-# r6: the InferFiltersFromGenerate session exclusion changed every
-# plan's helper digest, so the whole registry reads unverified and
-# band ordering alone would leave the six scratch-refactor sinks
-# (VERDICT r5 item 3) and the r6-rewritten heavies beyond the driver
-# window. Band0 = those six + the five ops whose implementations
-# actually changed this round + the four r5 carryovers; with the
-# ~35 never-green r6 ids in band1 that fills the ~50-slot window
-# with exactly the evidence the round needs.
+# r7 (VERDICT r6 items 1+2): the six ops that landed after the r6
+# driver window and have ZERO driver evidence, then ts_gap_fill (r6's
+# one red row, hardened to epoch-int bucket_epoch_s this round), then
+# ml_kmeans_converged (gained an oracle after its r3 rows-only row —
+# never hash-checked). Registry growth is frozen this round (VERDICT
+# r6 item 5), so the remaining ~40 window slots flow to the verified
+# band, which now rotates oldest-evidence-first (see queries()).
 _PRIORITY: tuple[str, ...] = (
-    "snk_parquet_partitioned",
-    "join_bucketed_colocated",
-    "snk_json_lines",
-    "snk_orc_roundtrip",
-    "src_jsonl_roundtrip",
-    "join_dpp_pruned",
-    "dedup_containment",
-    "txt_quality_score",
-    "txt_lm_doc_score",
-    "agg_sketch_cms",
-    "ext_quality_ensemble",
-    "ml_pagerank_2iter",
-    "pipe_corpus_clean_v2",
-    "dedup_cluster_cc",
-    "dedup_cluster_cc_star",
+    "vec_binary_quantize",
+    "evt_attribution_last_touch",
+    "graph_degree_distribution",
+    "ext_benford_audit",
+    "src_file_provenance",
+    "agg_weighted_avg_exact",
+    "ts_gap_fill",
+    "ml_kmeans_converged",
 )
+
+
+@functools.lru_cache(maxsize=None)
+def _latest_green_rounds() -> dict[str, int]:
+    """qid -> newest round number with an all-green row (0 if none)."""
+    import re
+
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for qid, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if row.get("rows_match") and row.get("schema_match", True) and row.get("hash_match"):
+                latest[qid] = max(latest.get(qid, 0), rnd)
+    return latest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -234,7 +335,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     band0 = [qid for qid in _PRIORITY if qid in unverified]
     band1 = [q for q in unverified if q not in band0 and q not in ever_green]
     band2 = [q for q in unverified if q not in band0 and q in ever_green]
-    ordered = band0 + band1 + band2 + [qid for qid in REGISTRY if qid in verified]
+    # Verified band: oldest green evidence first, so the ~40 window
+    # slots left after band0-2 ROTATE re-certification through the
+    # registry instead of re-proving the same head ids every round
+    # (VERDICT r6 item 5: spend the window on re-certification).
+    rounds = _latest_green_rounds()
+    reg_ix = {qid: i for i, qid in enumerate(REGISTRY)}
+    band3 = sorted(
+        (qid for qid in REGISTRY if qid in verified),
+        key=lambda q: (rounds.get(q, 0), reg_ix[q]),
+    )
+    ordered = band0 + band1 + band2 + band3
     return {qid: REGISTRY[qid].fn for qid in ordered}
 
 

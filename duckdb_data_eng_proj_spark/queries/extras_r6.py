@@ -264,7 +264,8 @@ _GAP_FILL_USERS = 30  # bounded eval slice; the plan is per-user generic
         "joined AS (SELECT g.user_id, g.bucket_ts, ev.sum_cents, ev.n_events "
         "FROM grid g LEFT JOIN ev ON ev.user_id = g.user_id "
         "AND ev.bucket_ts = g.bucket_ts) "
-        "SELECT user_id, bucket_ts, "
+        "SELECT user_id, "
+        "CAST(epoch(bucket_ts) AS BIGINT) AS bucket_epoch_s, "
         "last_value(sum_cents IGNORE NULLS) OVER w AS sum_cents_filled, "
         "last_value(n_events IGNORE NULLS) OVER w AS n_events_filled, "
         "(sum_cents IS NULL) AS is_gap "
@@ -278,7 +279,11 @@ _GAP_FILL_USERS = 30  # bounded eval slice; the plan is per-user generic
         "user's first and last activity (sequence + explode — no "
         "driver loop), then last-observation-carried-forward via "
         "last_value IGNORE NULLS over an unbounded-preceding row "
-        "frame. Integer-cents sums for cross-engine exactness. Scale "
+        "frame. Integer-cents sums for cross-engine exactness, and "
+        "the generated grid timestamp is emitted as epoch-seconds "
+        "BIGINT (bucket_epoch_s) on both sides so no engine-side "
+        "timestamp serialization can diverge (r6 had a hash-only "
+        "driver mismatch on the TIMESTAMP column). Scale "
         "shape: one shuffle keyed by user_id for the bucket "
         "aggregate; the span aggregate, grid explode, fill window, "
         "and left join all reuse that same user_id partitioning — no "
@@ -317,7 +322,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "user_id",
-        "bucket_ts",
+        F.unix_timestamp("bucket_ts").alias("bucket_epoch_s"),
         F.last("sum_cents", ignorenulls=True).over(w).alias("sum_cents_filled"),
         F.last("n_events", ignorenulls=True).over(w).alias("n_events_filled"),
         F.col("sum_cents").isNull().alias("is_gap"),

@@ -39,22 +39,51 @@ def test_module_context_includes_module_constants():
     assert "_LSH_PRELUDE" in ctx
 
 
-def test_helper_module_edit_flips_hash(tmp_path, monkeypatch):
-    # A deliberate helper-only edit must change the impl hash of every
-    # id (the VERDICT r4 #2 done-criterion).
-    spec = REGISTRY["dedup_fuzzy_edit"]
-    helper = tmp_path / "fake_helper.py"
-    helper.write_text("def tokens(x):\n    return x.split()\n")
-    monkeypatch.setattr(
-        entry, "_HELPER_MODULES", (*entry._HELPER_MODULES, str(helper))
-    )
-    entry._helpers_digest.cache_clear()
-    h1 = entry._impl_hash(spec)
-    helper.write_text("def tokens(x):\n    return x.lower().split()\n")
-    entry._helpers_digest.cache_clear()
-    h2 = entry._impl_hash(spec)
-    entry._helpers_digest.cache_clear()  # restore clean cache state
-    assert h1 != h2
+def test_helper_module_edit_flips_dependent_hash_only(monkeypatch):
+    # The r7 contract (VERDICT r6 #2): a helper edit must change the
+    # impl hash of ids whose defining module imports that helper, and
+    # must NOT change ids whose module doesn't — so routine helper
+    # edits no longer invalidate the whole 232-id registry.
+    import os
+
+    dep_spec = REGISTRY["dedup_fuzzy_edit"]   # training.py imports textops
+    indep_spec = REGISTRY["tpch_q1"]          # tpch.py does not
+    textops = os.path.join(entry._PKG_DIR, "operators", "textops.py")
+    dep_closure = entry._deps_closure(
+        os.path.abspath(entry.sys.modules[dep_spec.fn.__module__].__file__))
+    indep_closure = entry._deps_closure(
+        os.path.abspath(entry.sys.modules[indep_spec.fn.__module__].__file__))
+    assert textops in dep_closure
+    assert textops not in indep_closure
+
+    h_dep_1 = entry._impl_hash(dep_spec)
+    h_indep_1 = entry._impl_hash(indep_spec)
+    real_digest = entry._file_digest
+
+    def fake_digest(path):
+        if path == textops:
+            return "edited-helper-digest"
+        return real_digest(path)
+
+    monkeypatch.setattr(entry, "_file_digest", fake_digest)
+    entry._deps_digest.cache_clear()
+    h_dep_2 = entry._impl_hash(dep_spec)
+    h_indep_2 = entry._impl_hash(indep_spec)
+    monkeypatch.undo()
+    entry._deps_digest.cache_clear()  # restore clean cache state
+    assert h_dep_1 != h_dep_2
+    assert h_indep_1 == h_indep_2
+
+
+def test_cross_query_module_import_is_a_dependency():
+    # extras_r6 lazily imports training helpers (_hyperplanes) inside
+    # fn bodies — those must count as dependencies too, or a training
+    # helper rewrite coasts under extras_r6 green rows.
+    import os
+
+    training = os.path.join(entry._PKG_DIR, "queries", "training.py")
+    extras_r6 = os.path.join(entry._PKG_DIR, "queries", "extras_r6.py")
+    assert training in entry._deps_closure(extras_r6)
 
 
 def test_module_context_edit_flips_hash(monkeypatch):
