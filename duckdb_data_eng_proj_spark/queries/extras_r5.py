@@ -210,6 +210,28 @@ def _fp_sql() -> str:
     return REGISTRY["txt_fingerprint"].oracle
 
 
+# Batch-membership constant for the incremental-ingest family:
+# doc_id % _INGEST_BATCH_MOD == 0 is the incoming crawl batch,
+# everything else is the already-ingested corpus. Shared by
+# etl_dedup_incremental (the batch plan) and pipe_ingest_audited's
+# audit gate (extras_r6) so the two can never reconcile against
+# different index definitions (ADVICE r6).
+_INGEST_BATCH_MOD = 3
+
+
+def existing_fingerprint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprints of the already-ingested corpus (the 'index' side
+    of incremental ingest). In production this is the fingerprint
+    index table, not a corpus scan."""
+    from duckdb_data_eng_proj_spark.queries.training import txt_fingerprint
+
+    return (
+        txt_fingerprint(spark, sf_dir)
+        .filter(F.col("doc_id") % _INGEST_BATCH_MOD != 0)
+        .select("fingerprint")
+    )
+
+
 @register(
     "etl_dedup_incremental",
     oracle=(
@@ -244,8 +266,8 @@ def etl_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_data_eng_proj_spark.queries.training import txt_fingerprint
 
     fp = txt_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
-    existing = fp.filter(F.col("doc_id") % 3 != 0).select("fingerprint")
-    incoming = fp.filter(F.col("doc_id") % 3 == 0)
+    existing = existing_fingerprint_index(spark, sf_dir)
+    incoming = fp.filter(F.col("doc_id") % _INGEST_BATCH_MOD == 0)
     fresh = incoming.join(existing, "fingerprint", "left_anti")
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (

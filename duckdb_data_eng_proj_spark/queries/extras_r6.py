@@ -858,6 +858,10 @@ def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle() -> str:
+    # Import the defining module first so reading REGISTRY works even
+    # when extras_r6 is imported directly, not via queries/__init__
+    # (ADVICE r6: import-order independence).
+    import duckdb_data_eng_proj_spark.queries.extras_r5  # noqa: F401
     from duckdb_data_eng_proj_spark.queries.registry import REGISTRY
 
     return REGISTRY["etl_dedup_incremental"].oracle
@@ -894,8 +898,8 @@ def pipe_ingest_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_data_eng_proj_spark.io.scratch import scratch_dir
     from duckdb_data_eng_proj_spark.queries.extras_r5 import (
         etl_dedup_incremental,
+        existing_fingerprint_index,
     )
-    from duckdb_data_eng_proj_spark.queries.training import txt_fingerprint
 
     stage = scratch_dir("corpus_ingest_stage")
     pub = scratch_dir("corpus_ingest_pub")
@@ -911,11 +915,9 @@ def pipe_ingest_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_null = staged.filter(
         F.col("doc_id").isNull() | F.col("fingerprint").isNull()
     ).count()
-    existing = (
-        txt_fingerprint(spark, sf_dir)
-        .filter(F.col("doc_id") % 3 != 0)
-        .select("fingerprint")
-    )
+    # Same index DataFrame the batch plan anti-joins against (shared
+    # helper — the audit can never reconcile vs a diverged definition).
+    existing = existing_fingerprint_index(spark, sf_dir)
     n_overlap = staged.join(existing, "fingerprint", "left_semi").count()
     if n_staged != n_plan or n_null != 0 or n_overlap != 0:
         shutil.rmtree(stage, ignore_errors=True)

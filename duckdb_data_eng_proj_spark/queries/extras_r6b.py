@@ -835,9 +835,13 @@ def ext_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ta", "tb")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
+    # Verification-only exact truth: broadcast the TINY type-pair list
+    # against the corpus-sized distinct-user set (ADVICE r6: the hint
+    # sat on pu, which would OOM the broadcast at amplified volumes —
+    # the sketch path above never touches pu pairwise).
     tru = (
-        tp.join(
-            F.broadcast(pu),
+        pu.join(
+            F.broadcast(tp),
             (F.col("event_type") == F.col("ta"))
             | (F.col("event_type") == F.col("tb")),
         )

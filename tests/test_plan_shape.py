@@ -352,8 +352,13 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("ts_resample_ohlc", 1),
         ("ext_zorder_layout", 1),  # map-side interleave + bucket agg
         # distinct + per-type top-K + pair dedup/rank/θ joins; the
-        # corpus-sized work is only the first two
-        ("ext_sketch_kmv_intersect", 7),
+        # corpus-sized work is only the first two. r7: +4 over the r6
+        # budget because the exact-truth branch now broadcasts the
+        # TINY pair list instead of the corpus-sized distinct-user set
+        # (ADVICE r6 — the old hint was a broadcast-OOM at volume);
+        # pu's distinct and the two truth aggregates now materialize
+        # as ordinary shuffles, which is the scale-correct trade.
+        ("ext_sketch_kmv_intersect", 11),
         # bigram + unigram counts; totals broadcast; TakeOrdered top-k
         ("ext_ngram_collocations", 5),
         ("evt_time_to_convert", 1),  # conditional-min, one shuffle
