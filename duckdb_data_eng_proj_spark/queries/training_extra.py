@@ -244,7 +244,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def txt_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    # No ensure_parallelism here: both consumers of the tokenized
+    # stream aggregate map-side immediately, so the pre-tokenize
+    # repartition exchange costs more than the parallelism it buys at
+    # every scale (measured r7: 0.78 s -> 0.58 s at sf0.1; at volume
+    # the parquet scan splits parallelize the map stage natively).
+    d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
         F.size("tk") >= 2
     )
@@ -270,7 +275,12 @@ def txt_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side combinable too — the only corpus-sized shuffle in the
     # whole plan is doc-count partials.
     bc = prs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
-    p = bc.select(
+    # coalesce(1): SinglePartition satisfies the window's clustering
+    # requirement, so the unigram-total window runs with NO exchange.
+    # Sound because the LM table is already assumed broadcastable
+    # (the join below) — if it fits in one broadcast it fits in one
+    # window task.
+    p = bc.coalesce(1).select(
         "w1",
         "w2",
         F.expr("(n * 1000000L) div sum(n) over (partition by w1)").alias("p_u"),
