@@ -300,7 +300,11 @@ def test_new_op_exchange_budget(spark, qid, budget):
         # collapse trades 2 exchanges for a non-quadratic pair space
         # (x8 stress 37.8s -> 11.9s).
         ("dedup_containment", 5),
-        ("txt_lm_doc_score", 7),
+        # r7 reshape: bigram-count agg (1) + doc agg (1) + the LM
+        # window's single-partition coalesce feeding the broadcast (1);
+        # the checkpoint + unigram groupBy + LM join exchanges are gone
+        # (was 7 — VERDICT r6 item 6)
+        ("txt_lm_doc_score", 3),
         ("txt_top_tokens", 2),
         ("txt_boilerplate_phrases", 2),
         ("sim_knn_bucket_join", 3),
