@@ -313,7 +313,18 @@ def _latest_green_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for qid, row in data.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            # Mirror _green_rows' predicate: a rows-only no_oracle row
+            # counts as that id's green evidence while the id is still
+            # oracle-less — otherwise such an id reads round 0 forever
+            # and permanently pins the head of the band3 rotation.
+            if err == "no_oracle" and row.get("spark_rows") is not None:
+                if qid in REGISTRY and REGISTRY[qid].oracle is None:
+                    latest[qid] = max(latest.get(qid, 0), rnd)
+                continue
+            if err:
                 continue
             if row.get("rows_match") and row.get("schema_match", True) and row.get("hash_match"):
                 latest[qid] = max(latest.get(qid, 0), rnd)

@@ -236,8 +236,10 @@ def existing_fingerprint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "etl_dedup_incremental",
     oracle=(
         f"WITH fp AS ({_fp_sql()}), "
-        "existing AS (SELECT fingerprint FROM fp WHERE doc_id % 3 <> 0), "
-        "incoming AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 = 0), "
+        "existing AS (SELECT fingerprint FROM fp "
+        f"WHERE doc_id % {_INGEST_BATCH_MOD} <> 0), "
+        "incoming AS (SELECT doc_id, fingerprint FROM fp "
+        f"WHERE doc_id % {_INGEST_BATCH_MOD} = 0), "
         "fresh AS (SELECT i.doc_id, i.fingerprint FROM incoming i "
         "WHERE NOT EXISTS (SELECT 1 FROM existing e "
         "WHERE e.fingerprint = i.fingerprint)) "
