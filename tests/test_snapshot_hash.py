@@ -109,6 +109,22 @@ def test_priority_ids_enumerate_first_while_unverified():
     assert ordered[: len(pending)] == pending
 
 
+def test_verified_band_rotates_oldest_evidence_first():
+    # r7 contract (VERDICT r6 item 5): the verified band enumerates in
+    # ascending latest-green-round order so the driver's ~50-row
+    # window re-certifies the stalest evidence each round instead of
+    # re-proving the same head-of-registry ids forever.
+    ordered = list(entry.queries())
+    verified = entry._verified_green()
+    rounds = entry._latest_green_rounds()
+    band3 = [q for q in ordered if q in verified]
+    seq = [rounds.get(q, 0) for q in band3]
+    assert seq == sorted(seq)
+    # and the verified band always sits AFTER every unverified id
+    first_verified = next((i for i, q in enumerate(ordered) if q in verified), len(ordered))
+    assert all(q in verified for q in ordered[first_verified:])
+
+
 def test_snapshot_never_verifies_beyond_green_rows():
     import json
 
