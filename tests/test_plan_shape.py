@@ -385,6 +385,13 @@ def test_new_op_exchange_budget(spark, qid, budget):
         ("win_percent_change", 2),  # bounded counts + series lag window
         ("evt_attribution_last_touch", 1),  # user-keyed join + window
         ("mm_image_dhash_dedup", 1),  # Arrow stages; hash groupBy only
+        # r7: degree agg + orientation joins + wedge/closing joins +
+        # census — all over the checkpointed edge-sized pair graph;
+        # the one BNLJ is the sanctioned 1-row x 1-row assembly
+        ("graph_clustering_coefficient", 7),
+        # user lag window + type² transition agg; the row-normalizing
+        # window runs on the single-partition tiny table (no exchange)
+        ("evt_markov_transition", 2),
     ],
 )
 def test_r5_op_exchange_budget(spark, qid, budget):
