@@ -52,8 +52,8 @@ _TRI_THR = 0.05  # same pair-graph threshold as the dedup_cluster_cc family
         "JOIN ndpairs e2 ON e2.doc_a = e1.doc_b "
         "JOIN ndpairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b), "
         "agg AS (SELECT CAST((SELECT COUNT(*) FROM ndpairs) AS BIGINT) "
-        "AS n_edges, CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges "
-        "FROM deg) "
+        "AS n_edges, CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) "
+        "AS n_wedges FROM deg) "
         "SELECT a.n_edges, a.n_wedges, t.n_triangles, "
         "CAST(CASE WHEN a.n_wedges = 0 THEN 0 "
         "ELSE (3 * t.n_triangles * 10000) // a.n_wedges END AS BIGINT) "
@@ -121,9 +121,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(closing, ["x", "y"]).agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+    # COALESCE both census sums so an empty pair graph yields 0s on
+    # both engines (SUM over zero rows is NULL; the oracle's n_edges
+    # scalar-subquery COUNT would read 0 and hash-diverge otherwise).
     counts = deg.agg(
-        F.expr("CAST(sum(d) div 2 AS BIGINT)").alias("n_edges"),
-        F.expr("CAST(sum(d * (d - 1) div 2) AS BIGINT)").alias("n_wedges"),
+        F.expr("CAST(coalesce(sum(d), 0) div 2 AS BIGINT)").alias("n_edges"),
+        F.expr("CAST(coalesce(sum(d * (d - 1) div 2), 0) AS BIGINT)").alias("n_wedges"),
     )
     return (
         counts.crossJoin(F.broadcast(tri))  # 1-row x 1-row assembly
