@@ -253,7 +253,8 @@ _GAP_FILL_USERS = 30  # bounded eval slice; the plan is per-user generic
     oracle=(
         "WITH ev AS (SELECT user_id, "
         "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts, "
-        "SUM(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents, "
         "CAST(COUNT(*) AS BIGINT) AS n_events "
         f"FROM events WHERE user_id < {_GAP_FILL_USERS} "
         "GROUP BY user_id, bucket_ts), "
@@ -283,7 +284,11 @@ _GAP_FILL_USERS = 30  # bounded eval slice; the plan is per-user generic
         "the generated grid timestamp is emitted as epoch-seconds "
         "BIGINT (bucket_epoch_s) on both sides so no engine-side "
         "timestamp serialization can diverge (r6 had a hash-only "
-        "driver mismatch on the TIMESTAMP column). Scale "
+        "driver mismatch on the TIMESTAMP column). The oracle's "
+        "cents sum is re-CAST to BIGINT because DuckDB widens "
+        "SUM(BIGINT) to HUGEINT, whose driver-side serialization "
+        "differs from Spark's bigint (the round-1 hasher lesson — "
+        "scripts/type_sweep.py flags exactly this). Scale "
         "shape: one shuffle keyed by user_id for the bucket "
         "aggregate; the span aggregate, grid explode, fill window, "
         "and left join all reuse that same user_id partitioning — no "
