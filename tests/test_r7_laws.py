@@ -57,3 +57,63 @@ def test_markov_rows_are_stochastic_and_complete(spark):
         .collect()[0][0]
     )
     assert n_trans_total == per_user
+
+
+def test_gap_fill_grid_is_dense_and_locf_exact(spark):
+    """Gap-fill laws the oracle hash can't express directly:
+
+    1. density — per user the emitted epoch grid is exactly
+       {min .. max} in 3600 s steps, no holes, no duplicates;
+    2. reconciliation — on non-gap rows the filled sum equals the
+       direct per-bucket cents aggregation of the raw events;
+    3. LOCF — on gap rows the filled sum equals the value at the
+       nearest preceding non-gap bucket (recomputed independently
+       driver-side from the collected rows).
+    """
+    rows = REGISTRY["ts_gap_fill"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, out in by_user.items():
+        out.sort(key=lambda r: r.bucket_epoch_s)
+        epochs = [r.bucket_epoch_s for r in out]
+        assert epochs == list(
+            range(epochs[0], epochs[-1] + 3600, 3600)
+        ), f"user {uid}: grid not dense"
+        # endpoints anchor on real activity, never on a gap
+        assert not out[0].is_gap and not out[-1].is_gap, uid
+        last = None
+        for r in out:
+            if not r.is_gap:
+                last = r.sum_cents_filled
+            else:
+                assert r.sum_cents_filled == last, (
+                    f"user {uid} @ {r.bucket_epoch_s}: LOCF broke"
+                )
+    # non-gap rows reconcile against the direct aggregation
+    from duckdb_data_eng_proj_spark.queries.extras_r6 import _GAP_FILL_USERS
+
+    direct = {
+        (r.user_id, r.bucket_epoch_s): r.cents
+        for r in (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .filter(F.col("user_id") < _GAP_FILL_USERS)
+            .groupBy(
+                "user_id",
+                F.unix_timestamp(
+                    F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                ).alias("bucket_epoch_s"),
+            )
+            .agg(
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                    "cents"
+                )
+            )
+            .collect()
+        )
+    }
+    non_gap = [r for r in rows if not r.is_gap]
+    assert len(non_gap) == len(direct)
+    for r in non_gap:
+        assert direct[(r.user_id, r.bucket_epoch_s)] == r.sum_cents_filled
