@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "txt_lm_doc_score",    # corpus bigram LM + per-doc scoring
     "ext_quality_ensemble",  # multi-signal keep/drop + reason bitmask
     "agg_sketch_cms",      # Count-Min sketch build (d×w cell grid)
+    # r7 additions: the round's new plan shapes + the re-greened gap fill
+    "ts_gap_fill",         # dense-grid resample + LOCF window fill
+    "graph_clustering_coefficient",  # degree-ordered triangle census
+    "evt_markov_transition",  # per-user lag seq -> transition matrix
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -59,7 +63,11 @@ BENCH_QUERIES = [
 # timed. (sim_ann_ivf_search left this set in round 3: its probe
 # table is now a broadcast subplan, not a driver collect — fn() is
 # pure plan construction like every other entry.)
-TIMED_BUILD = {"dedup_cluster_cc", "dedup_containment"}
+TIMED_BUILD = {
+    "dedup_cluster_cc",
+    "dedup_containment",
+    "graph_clustering_coefficient",  # localCheckpoints the oriented edge set
+}
 
 
 def _force(df) -> None:
