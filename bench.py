@@ -6,9 +6,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Execution is forced with a noop sink (full computation, no collect/IO
-skew in the measurement). Each query is timed best-of-2 on a warm
+skew in the measurement). Each query is timed best-of-3 on a warm
 session — the reference comparison (BASELINE.md) is warm-connection
 DuckDB, so JVM startup is excluded from per-query numbers.
+
+The payload is self-validating against box load (VERDICT r7 item 2):
+it records the pre-run 1-min loadavg and a 2-second vmstat CPU-idle
+sample, and stamps ``"loaded": true`` when idle < 90% or loadavg/core
+> 0.25 — so a run taken on a busy box carries its own disclaimer
+instead of needing a side-channel A/B investigation.
 """
 
 from __future__ import annotations
@@ -16,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -74,10 +81,54 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _box_load() -> dict:
+    """Measure box load BEFORE the bench starts (this process is idle
+    during the sample, so the numbers describe *external* activity).
+    Returns {"load1": .., "cpu_idle_pct": .., "loaded": bool}; the
+    "loaded" stamp means the timings below were taken under contention
+    and should not be compared across rounds without an idle re-pair.
+    """
+    load1 = os.getloadavg()[0]
+    idle = None
+    try:
+        out = subprocess.run(
+            ["vmstat", "1", "3"], capture_output=True, text=True, timeout=20
+        ).stdout
+        lines = out.strip().splitlines()
+        hdr = next(l for l in lines if " id " in l).split()
+        idx = hdr.index("id")
+        # Skip the first data row (averages since boot) — only the live
+        # 1-second samples describe the box right now.
+        samples = [
+            float(l.split()[idx])
+            for l in lines
+            if l.split() and l.split()[0].isdigit()
+        ][1:]
+        if samples:
+            idle = round(sum(samples) / len(samples), 1)
+    except Exception:
+        pass
+    ncpu = os.cpu_count() or 1
+    loaded = (idle is not None and idle < 90.0) or (load1 / ncpu > 0.25)
+    return {
+        "load1": round(load1, 2),
+        "cpu_idle_pct": idle,
+        "loaded": loaded,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    box = _box_load()
+    if box["loaded"]:
+        print(
+            "bench.py: WARNING box is loaded (load1=%s idle=%s%%) — "
+            "timings will carry \"loaded\": true" % (box["load1"], box["cpu_idle_pct"]),
+            file=sys.stderr,
+        )
 
     # Latency profile (see session.get_spark): sub-GB input, so trade
     # AQE's per-stage materialization + tiny-shuffle compression for
@@ -147,6 +198,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **box,
             }
         )
     )
