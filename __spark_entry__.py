@@ -286,15 +286,36 @@ def _verified_green() -> set[str]:
 # never hash-checked). Registry growth is frozen this round (VERDICT
 # r6 item 5), so the remaining ~40 window slots flow to the verified
 # band, which now rotates oldest-evidence-first (see queries()).
-_PRIORITY: tuple[str, ...] = (
-    "vec_binary_quantize",
-    "evt_attribution_last_touch",
-    "graph_degree_distribution",
-    "ext_benford_audit",
-    "src_file_provenance",
-    "agg_weighted_avg_exact",
-    "ts_gap_fill",
-    "ml_kmeans_converged",
+_PRIORITY: tuple[str, ...] = ()
+
+# Verified ids lifted to the HEAD of the band3 rotation this round.
+# r8 (VERDICT r7 item 5): the named oldest-evidence stragglers that
+# plain oldest-round ordering would crowd out behind the ~54 r2+r3
+# ids — the ETL family (r3/r4), ext_dedup_exact/near (r4), the §2
+# scan/filter contract block's anchors + fn_now_tz + ext_stream_ingest
+# (r5). Everything else still rotates oldest-evidence-first after
+# these.
+_RECERT_PRIORITY: tuple[str, ...] = (
+    "ext_udf_surface",      # r2 — oldest evidence in the registry
+    "etl_quality_report",   # r3
+    "etl_quarantine",       # r4
+    "etl_clean_apps",
+    "etl_clean_lms",
+    "etl_portfolio",
+    "etl_q0",
+    "etl_q1",
+    "etl_q2",
+    "etl_q3",
+    "etl_q4",
+    "etl_q5",
+    "etl_strict_spec",
+    "ext_dedup_exact",      # r4
+    "ext_dedup_near",       # r4
+    "fn_now_tz",            # r5
+    "ext_stream_ingest",    # r5
+    "src_csv_all_varchar",  # r5 — §2.1 scan block anchor
+    "src_parquet",
+    "snk_csv_quoted",
 )
 
 
@@ -352,9 +373,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r6 item 5: spend the window on re-certification).
     rounds = _latest_green_rounds()
     reg_ix = {qid: i for i, qid in enumerate(REGISTRY)}
+    recert_ix = {qid: i for i, qid in enumerate(_RECERT_PRIORITY)}
     band3 = sorted(
         (qid for qid in REGISTRY if qid in verified),
-        key=lambda q: (rounds.get(q, 0), reg_ix[q]),
+        key=lambda q: (
+            recert_ix.get(q, len(_RECERT_PRIORITY)),
+            rounds.get(q, 0),
+            reg_ix[q],
+        ),
     )
     ordered = band0 + band1 + band2 + band3
     return {qid: REGISTRY[qid].fn for qid in ordered}
