@@ -45,3 +45,51 @@ def test_stream_ingest_batch_replay_equivalence(spark):
     b_rows = sorted(map(str, batch.collect()))
     assert len(s_rows) == len(b_rows) == 177
     assert s_rows == b_rows
+
+
+def test_stream_watermark_late_accounting_law(spark):
+    """ext_stream_watermark_late: the watermark accounting must close —
+    for every finalized window accepted + dropped equals the batch
+    total, some rows ARE dropped (the two-wave stragglers), the
+    one-wave stragglers are accepted (drops strictly fewer than the
+    delayed population), and non-finalized tail windows never appear.
+    """
+    import pyspark.sql.functions as F
+
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    out = REGISTRY["ext_stream_watermark_late"].fn(spark, SF_DIR).collect()
+    assert out, "no finalized windows emitted"
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
+
+    ev = events.select(_event_ts(events).alias("ts"))
+    totals = {
+        r["w"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    dropped = 0
+    for row in out:
+        w = row["window_start"]
+        assert row["n_accepted"] + row["n_dropped_late"] == totals[w], w
+        assert row["n_dropped_late"] >= 0
+        dropped += row["n_dropped_late"]
+        # finalized ⇒ window end at or below the final watermark
+        import datetime as dt
+
+        assert w + dt.timedelta(hours=1) <= max_ts - dt.timedelta(hours=2) + dt.timedelta(milliseconds=1)
+
+    assert dropped > 0, "accounting degenerate: nothing was dropped"
+    # one-wave stragglers (every 7th id) must NOT all be dropped: the
+    # dropped set is only the two-wave stragglers (every 13th id in
+    # wave 0), a strictly smaller population.
+    n_delayed = events.filter(
+        (F.pmod("event_id", F.lit(7)) == 0) | (F.pmod("event_id", F.lit(13)) == 0)
+    ).count()
+    assert dropped < n_delayed
