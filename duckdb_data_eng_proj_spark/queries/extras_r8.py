@@ -1,0 +1,253 @@
+"""Round-8 operators: community labels, fixed-point EWMA, hash reservoir.
+
+Three additions inside the r8 new-id budget (VERDICT r7 item 6; the
+round's fourth new id, ext_stream_watermark_late, lives with its
+family in streaming_q.py):
+
+- graph_label_communities — synchronous label propagation (fixed 3
+  rounds, neighbor-majority vote, deterministic min-label tie-break)
+  over the verified LSH near-dup pair graph; the community sibling of
+  dedup_cluster_cc (which converges to CONNECTIVITY — this converges
+  toward DENSITY: a vertex adopts its most-connected neighborhood's
+  label, so bridges between dense near-dup blocks don't merge them).
+- ts_ewma — exponentially weighted moving average with a FIXED-POINT
+  integer α (3/10 in cent units, truncating integer recursion) over
+  per-user hourly buckets; completes the ts_ family
+  (ts_resample_ohlc / ts_gap_fill / win_moving_avg).
+- agg_reservoir_sample — deterministic salted-hash "reservoir": per
+  group keep the k rows with the smallest keyed multiplicative hash.
+  The bounded-sample primitive every 100 TB audit query needs — a
+  stable k-row sample per group with NO full sort and no RNG state.
+
+Reference parity: the reference has no graph/time-series/sampling
+operators (SURVEY.md §2; its engine is a DuckDB ETL take-home,
+pipeline.py:1) — these extend the north-star training-pipeline
+families. All three follow the repo's determinism rules (registry.py
+docstring): integer fixed-point, identical tie-breaks and aliases in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.queries.corpus import (
+    _PAIRS_SQL,
+    _near_dup_pairs,
+    _state_sized_shuffle,
+)
+from duckdb_data_eng_proj_spark.queries.registry import register
+from duckdb_data_eng_proj_spark.queries.training import _LSH_PRELUDE
+
+# ---------------------------------------------------------------------------
+# graph_label_communities
+
+_LPC_THR = 0.05  # same pair-graph threshold as the dedup_cluster_cc family
+_LPC_ROUNDS = 3  # fixed synchronous rounds — unrolled 1:1 in the oracle
+
+_LPC_EDGES_SQL = (
+    "edges AS MATERIALIZED ("
+    "SELECT doc_a AS src, doc_b AS dst FROM ndpairs "
+    "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ndpairs), "
+    "l0 AS (SELECT DISTINCT src AS doc_id, src AS lbl FROM edges)"
+)
+
+
+def _lpc_round_sql(i: int) -> str:
+    """One unrolled label-propagation round: neighbor label votes,
+    winner = max count, ties to the smallest label."""
+    return (
+        f"v{i} AS (SELECT e.src, l.lbl, COUNT(*) AS c "
+        f"FROM edges e JOIN l{i - 1} l ON l.doc_id = e.dst "
+        f"GROUP BY e.src, l.lbl), "
+        f"l{i} AS (SELECT src AS doc_id, lbl FROM ("
+        f"SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src "
+        f"ORDER BY c DESC, lbl) AS rn FROM v{i}) WHERE rn = 1)"
+    )
+
+
+@register(
+    "graph_label_communities",
+    oracle=(
+        _LSH_PRELUDE
+        + ", "
+        + _PAIRS_SQL.format(thr=_LPC_THR)
+        + ", "
+        + _LPC_EDGES_SQL
+        + ", "
+        + ", ".join(_lpc_round_sql(i) for i in range(1, _LPC_ROUNDS + 1))
+        + f" SELECT doc_id, lbl AS community_id FROM l{_LPC_ROUNDS}"
+    ),
+    doc=(
+        "Community labels by SYNCHRONOUS label propagation over the "
+        "verified LSH near-dup pair graph (fixed 3 rounds; initial "
+        "label = doc_id; each round every vertex adopts the most "
+        "frequent neighbor label, ties to the SMALLEST label — fully "
+        "deterministic, unlike classic randomized LPA). Scale shape "
+        "per round: one join keyed by dst + two grouped aggregates, "
+        "all partition-bounded; labels localCheckpoint'd between "
+        "rounds like dedup_cluster_cc (corpus.py:370), shuffle width "
+        "sized to the label state. Fixed rounds (not fixpoint) keep "
+        "the oracle exactly unrollable AND bound the 100 TB job "
+        "count — LPA communities stabilize in a handful of rounds on "
+        "near-dup graphs, and round count is the knob, not a risk."
+    ),
+)
+def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _near_dup_pairs(spark, sf_dir, _LPC_THR)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    with _state_sized_shuffle(spark, edges.count()):
+        labels = (
+            edges.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("lbl", F.col("doc_id"))
+            .localCheckpoint()
+        )
+        for _ in range(_LPC_ROUNDS):
+            votes = (
+                edges.join(
+                    labels.select(F.col("doc_id").alias("dst"), "lbl"), "dst"
+                )
+                .groupBy("src", "lbl")
+                .agg(F.count("*").alias("c"))
+            )
+            # winner: max vote count, ties to smallest label — one
+            # map-side-combinable max of a (count, -label) struct, no
+            # window/sort over the vote table.
+            labels = (
+                votes.groupBy("src")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                    ).alias("m")
+                )
+                .select(
+                    F.col("src").alias("doc_id"), (-F.col("m.nl")).alias("lbl")
+                )
+                .localCheckpoint()
+            )
+    return labels.select("doc_id", F.col("lbl").alias("community_id"))
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma
+
+_EWMA_SCHEMA = "user_id long, bucket_ts timestamp, v_c100 long, ewma_c100 long"
+
+
+def _ewma_pdf(pdf):
+    """Per-user fixed-point EWMA: y_1 = v_1; y_t = (3·v_t + 7·y_{t-1})
+    // 10, all BIGINT cents — Python's floor `//` matches DuckDB's
+    floor `//` on every sign, so the recursion is bit-identical across
+    engines (no float accumulation order to diverge)."""
+    pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+    out, acc = [], None
+    for v in pdf["v_c100"]:
+        v = int(v)
+        acc = v if acc is None else (3 * v + 7 * acc) // 10
+        out.append(acc)
+    pdf["ewma_c100"] = out
+    return pdf
+
+
+@register(
+    "ts_ewma",
+    oracle=(
+        "WITH RECURSIVE b AS ("
+        "SELECT user_id, date_trunc('hour', ts) AS bucket_ts, "
+        "SUM(CAST(round(value * 100, 0) AS BIGINT)) AS v_c100, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY date_trunc('hour', ts)) AS rn "
+        "FROM events GROUP BY 1, 2), "
+        "e AS ("
+        "SELECT user_id, bucket_ts, rn, v_c100, v_c100 AS y "
+        "FROM b WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT b.user_id, b.bucket_ts, b.rn, b.v_c100, "
+        "(3 * b.v_c100 + 7 * e.y) // 10 "
+        "FROM b JOIN e ON b.user_id = e.user_id AND b.rn = e.rn + 1) "
+        "SELECT user_id, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts, "
+        "v_c100, y AS ewma_c100 FROM e"
+    ),
+    doc=(
+        "Fixed-point EWMA (α = 3/10, integer cents, truncating "
+        "recursion) over per-user HOURLY buckets: the smoothing "
+        "primitive of the ts_ family, exact across engines because "
+        "the state is a BIGINT, not a float. Shape: one groupBy "
+        "(user, hour) bucket aggregate, then ONE shuffle keyed by "
+        "user into an Arrow-batched applyInPandas that runs the "
+        "linear recursion per user in time order — the recursion is "
+        "inherently sequential PER KEY, so per-key Python over a "
+        "pre-aggregated bucket table (≤ buckets, never raw events) "
+        "is the scale-right shape; 100 TB = same two stages, keys "
+        "spread across the cluster. Oracle = recursive-CTE replay of "
+        "the identical integer recursion."
+    ),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = (
+        raw.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_trunc("hour", _event_ts(raw)).alias("bucket_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "bucket_ts")
+        .agg(F.sum("v").alias("v_c100"))
+    )
+    return buckets.groupBy("user_id").applyInPandas(_ewma_pdf, _EWMA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# agg_reservoir_sample
+
+_RES_K = 10
+_RES_SALT = 17
+_RES_MULT = 2654435761  # Knuth multiplicative hash constant (2^32·φ)
+
+
+@register(
+    "agg_reservoir_sample",
+    oracle=(
+        "SELECT event_type, event_id, rn AS sample_rank FROM ("
+        "SELECT event_type, event_id, ROW_NUMBER() OVER ("
+        "PARTITION BY event_type ORDER BY "
+        f"(event_id * {_RES_MULT} + {_RES_SALT}) % 4294967296, event_id"
+        f") AS rn FROM events) WHERE rn <= {_RES_K}"
+    ),
+    doc=(
+        "Deterministic salted-hash reservoir: per event_type keep the "
+        f"{_RES_K} rows with the smallest keyed multiplicative hash "
+        "(Knuth constant, salt pinned) — a stable bounded sample per "
+        "group with no RNG state and no full sort: the rank-≤-k "
+        "predicate compiles to WindowGroupLimit, so every map task "
+        "keeps only its local top-k before the single per-group "
+        "shuffle (plan-pinned in tests/test_plan_shape.py). Re-running "
+        "over grown data keeps previously sampled rows stable modulo "
+        "hash displacement — the audit-sample property; a new salt is "
+        "a new independent sample. 100 TB: k rows per group of state, "
+        "never the stream."
+    ),
+)
+def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.pmod(
+        F.col("event_id") * F.lit(_RES_MULT) + F.lit(_RES_SALT),
+        F.lit(4294967296),
+    )
+    w = Window.partitionBy("event_type").orderBy(h, "event_id")
+    return (
+        events.select("event_type", F.col("event_id").cast("long").alias("event_id"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _RES_K)
+    )

@@ -452,3 +452,32 @@ def test_lm_doc_score_plan_pin(spark):
     assert n <= 3, f"txt_lm_doc_score: {n} exchanges > pinned 3"
     assert uses_broadcast_join(df)
     assert "CartesianProduct" not in physical_plan(df)
+
+
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # hash-rank + WindowGroupLimit: one per-group shuffle only
+        ("agg_reservoir_sample", 1),
+        # bucket agg + user-keyed applyInPandas: two exchanges
+        ("ts_ewma", 2),
+        # per-round joins run against localCheckpoints; the returned
+        # plan is the final label projection
+        ("graph_label_communities", 1),
+    ],
+)
+def test_r8_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r8 operators (scale contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """agg_reservoir_sample's rank-≤-k predicate must compile to
+    WindowGroupLimit so map tasks keep only local top-k rows before
+    the per-group shuffle — without it the whole stream sorts."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["agg_reservoir_sample"].fn(spark, SF_DIR)
+    assert "WindowGroupLimit" in physical_plan(df)
