@@ -15,11 +15,22 @@ hashes describe exactly the code the previous driver run executed:
 current tree (e.g. an operator rewritten after its last green row but
 before this script ever ran — VERDICT r3 flagged ext_dedup_exact and
 sim_ann_ivf_search exactly so).
+
+``--rebless-context-only`` is the SAFE alternative to ``--force``
+(ADVICE r7): alongside the full snapshot the script records each id's
+CORE hash (fn source + oracle text only, no module context / dep
+digest). In this mode an id is re-blessed iff its current core hash
+equals the recorded one — i.e. the edits since the last driver run
+provably did not touch that id's own implementation or oracle — and
+every id whose core DID change is left un-blessed and reported, with
+no hand-curated --drop list to get wrong.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
+import inspect
 import json
 import os
 import sys
@@ -29,6 +40,23 @@ sys.path.insert(0, _HERE)
 
 import __spark_entry__ as entrymod  # noqa: E402
 from duckdb_data_eng_proj_spark.queries import REGISTRY  # noqa: E402
+
+
+_CORE_SNAPSHOT_PATH = entrymod._SNAPSHOT_PATH.replace(
+    "verified_snapshot.json", "verified_snapshot_core.json"
+)
+
+
+def _core_hash(spec) -> str:
+    """Hash of ONLY the id's own implementation source + oracle text —
+    the components ``--rebless-context-only`` may not change."""
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):
+        src = getattr(spec.fn, "__qualname__", repr(spec.fn))
+    return hashlib.sha256(
+        "\x00".join([src, spec.oracle or ""]).encode()
+    ).hexdigest()
 
 
 def _edited_since_last_driver_run() -> list:
@@ -64,20 +92,51 @@ def main() -> None:
     ap.add_argument("--force", action="store_true",
                     help="regenerate even though query modules changed "
                          "since the last driver run (you must --drop every "
-                         "id whose implementation those edits touched)")
+                         "id whose implementation those edits touched; "
+                         "prefer --rebless-context-only, which needs no "
+                         "drop list)")
+    ap.add_argument("--rebless-context-only", action="store_true",
+                    help="re-bless only ids whose fn-source+oracle core "
+                         "hash matches the recorded core snapshot — safe "
+                         "after context/helper-only edits; changed-core "
+                         "ids stay un-blessed and are reported")
     args = ap.parse_args()
 
     edited = _edited_since_last_driver_run()
-    if edited and not args.force:
+    if edited and not (args.force or args.rebless_context_only):
         print("REFUSING: these modules changed after the last driver run:",
               file=sys.stderr)
         for path in edited:
             print(f"  {path}", file=sys.stderr)
-        print("Run at round start before editing, or pass --force with "
-              "--drop for every id those edits touched.", file=sys.stderr)
+        print("Run at round start before editing, pass "
+              "--rebless-context-only for a core-verified re-bless, or "
+              "--force with --drop for every id those edits touched.",
+              file=sys.stderr)
         sys.exit(1)
 
     green = entrymod._green_rows() - set(args.drop)
+
+    refused: list = []
+    if args.rebless_context_only:
+        try:
+            with open(_CORE_SNAPSHOT_PATH) as fh:
+                recorded_core = json.load(fh)
+        except (OSError, ValueError):
+            print("REFUSING --rebless-context-only: no recorded core "
+                  f"snapshot at {_CORE_SNAPSHOT_PATH} (run the script once "
+                  "in normal mode at a clean round start to seed it).",
+                  file=sys.stderr)
+            sys.exit(1)
+        keep = set()
+        for qid in green:
+            if qid not in REGISTRY:
+                continue
+            if recorded_core.get(qid) == _core_hash(REGISTRY[qid]):
+                keep.add(qid)
+            else:
+                refused.append(qid)
+        green = keep
+
     snapshot = {
         qid: entrymod._impl_hash(REGISTRY[qid])
         for qid in sorted(green)
@@ -86,10 +145,19 @@ def main() -> None:
     with open(entrymod._SNAPSHOT_PATH, "w") as fh:
         json.dump(snapshot, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # Record the matching core hashes so the next --rebless-context-only
+    # can verify against exactly what was blessed here.
+    core = {qid: _core_hash(REGISTRY[qid]) for qid in snapshot}
+    with open(_CORE_SNAPSHOT_PATH, "w") as fh:
+        json.dump(core, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(f"wrote {len(snapshot)} entries -> {entrymod._SNAPSHOT_PATH}")
     dropped = sorted(set(args.drop))
     if dropped:
         print(f"dropped (forced re-verify): {', '.join(dropped)}")
+    if refused:
+        print("core changed, NOT re-blessed (will re-enqueue): "
+              + ", ".join(sorted(refused)))
 
 
 if __name__ == "__main__":

@@ -46,10 +46,16 @@ def _gen_ts(n: int, seed: int) -> list:
                 hour=0, minute=0, second=0
             )
             base += dt.timedelta(seconds=rng.choice([-1, 0, 1]))
-        out.append(base.strftime("%Y-%m-%d %H:%M:%S"))
+        if rng.random() < 0.25:  # fractional-second instant
+            base = base.replace(microsecond=rng.randint(1, 999_999))
+            out.append(base.strftime("%Y-%m-%d %H:%M:%S.%f"))
+        else:
+            out.append(base.strftime("%Y-%m-%d %H:%M:%S"))
     out += [
         "1970-01-01 00:00:00",
         "2024-02-29 23:59:59",
+        "2024-02-29 23:59:59.999999",  # max-fraction boundary instant
+        "2023-12-31 23:59:59.000001",  # min-fraction boundary instant
         "2023-01-01 00:00:00",     # year/quarter/month/week all collide
         "2024-01-01 00:00:00",     # Monday: week == day == year
         "2023-12-31 23:59:59",
