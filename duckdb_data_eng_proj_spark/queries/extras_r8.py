@@ -251,3 +251,155 @@ def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= _RES_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes
+
+# Integer micro-unit natural log: rounding EACH ln(integer) to BIGINT
+# micro-units FIRST makes every downstream sum/argmax exact integer
+# arithmetic — cross-engine float noise can only surface if some
+# ln(x)·1e6 lands within ~1e-10 of a rounding boundary for one of the
+# few thousand distinct integer inputs the model ever feeds it
+# (probability ≈ 1e-7, vs ~5%/run if raw double log-likelihood sums
+# were compared at hash precision).
+_L_U = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+
+_NB_TOK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "ml_naive_bayes",
+    oracle=(
+        "WITH tt AS (SELECT doc_id, lang, unnest("
+        + _NB_TOK
+        + ") AS token FROM documents), "
+        "tr AS (SELECT * FROM tt WHERE doc_id % 5 <> 0), "
+        "te AS (SELECT doc_id, token FROM tt WHERE doc_id % 5 = 0), "
+        "c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c FROM tr "
+        "GROUP BY 1, 2), "
+        "tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY lang), "
+        "v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tr), "
+        "cls AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d "
+        "FROM tr GROUP BY lang), "
+        "dd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM tr), "
+        "vocab AS (SELECT DISTINCT token FROM tr), "
+        "model AS (SELECT cl.lang, vo.token, "
+        + _L_U.format(x="COALESCE(c.c, 0) + 1")
+        + " - "
+        + _L_U.format(x="tot.t + v.v")
+        + " AS w_u "
+        "FROM cls cl CROSS JOIN vocab vo CROSS JOIN v "
+        "JOIN tot ON tot.lang = cl.lang "
+        "LEFT JOIN c ON c.lang = cl.lang AND c.token = vo.token), "
+        "defs AS (SELECT tot.lang, -" + _L_U.format(x="tot.t + v.v")
+        + " AS def_u FROM tot CROSS JOIN v), "
+        "priors AS (SELECT cl.lang, " + _L_U.format(x="cl.d") + " - "
+        + _L_U.format(x="dd.d")
+        + " AS prior_u FROM cls cl CROSS JOIN dd), "
+        "ms AS (SELECT te.doc_id, mo.lang, CAST(SUM(mo.w_u) AS BIGINT) AS s "
+        "FROM te JOIN model mo ON mo.token = te.token GROUP BY 1, 2), "
+        "oov AS (SELECT te.doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM te "
+        "LEFT JOIN vocab vo ON vo.token = te.token "
+        "WHERE vo.token IS NULL GROUP BY te.doc_id), "
+        "docs AS (SELECT DISTINCT doc_id FROM te), "
+        "grid AS (SELECT d.doc_id, p.lang, "
+        "p.prior_u + COALESCE(ms.s, 0) + COALESCE(oov.n, 0) * defs.def_u "
+        "AS score_u "
+        "FROM docs d CROSS JOIN priors p "
+        "JOIN defs ON defs.lang = p.lang "
+        "LEFT JOIN ms ON ms.doc_id = d.doc_id AND ms.lang = p.lang "
+        "LEFT JOIN oov ON oov.doc_id = d.doc_id) "
+        "SELECT doc_id, lang AS pred_lang, CAST(score_u AS BIGINT) AS score_u "
+        "FROM (SELECT doc_id, lang, score_u, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY score_u DESC, lang) AS rn FROM grid) "
+        "WHERE rn = 1"
+    ),
+    doc=(
+        "Two-pass multinomial Naive Bayes over whitespace tokens — "
+        "the classifier sibling of ext_ngram_lm: TRAIN on doc_id%5≠0 "
+        "(per-(lang,token) Laplace-smoothed counts, per-lang totals, "
+        "doc-count priors), SCORE doc_id%5=0 and emit each test "
+        "doc's argmax language with its integer micro-unit "
+        "log-likelihood (ties to the smallest lang). All log values "
+        "are rounded to BIGINT micro-units per distinct integer input "
+        "BEFORE summation, so scoring and argmax are exact integer "
+        "arithmetic in both engines. Scale shape: the model "
+        "(vocab × n_langs) and priors broadcast; the corpus-side work "
+        "is one explode + one broadcast join + map-side-combinable "
+        "per-(doc,lang) sums; the doc×lang score grid is 5 rows per "
+        "doc. 100 TB: identical — model tables are vocab-bounded, "
+        "the corpus never shuffles except doc-keyed partial sums."
+    ),
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.operators.textops import tokens
+    from duckdb_data_eng_proj_spark.queries.registry import t
+
+    def L(col):
+        return F.round(F.log(col) * 1_000_000, 0).cast("long")
+
+    d = t(spark, sf_dir, "documents")
+    tt = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tr = tt.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    te = tt.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id", "token")
+
+    c = tr.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    tot = c.groupBy("lang").agg(F.sum("c").alias("t"))
+    v = tr.agg(F.countDistinct("token").alias("v"))
+    cls = tr.groupBy("lang").agg(F.countDistinct("doc_id").alias("d"))
+    dd = tr.agg(F.countDistinct("doc_id").alias("d_all"))
+    vocab = tr.select("token").distinct()
+
+    model = (
+        cls.crossJoin(vocab)
+        .crossJoin(F.broadcast(v))
+        .join(tot, "lang")
+        .join(c, ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            (L(F.coalesce(F.col("c"), F.lit(0)) + 1) - L(F.col("t") + F.col("v"))).alias("w_u"),
+        )
+    )
+    defs = tot.crossJoin(F.broadcast(v)).select(
+        "lang", (-L(F.col("t") + F.col("v"))).alias("def_u")
+    )
+    priors = cls.crossJoin(F.broadcast(dd)).select(
+        "lang", (L(F.col("d")) - L(F.col("d_all"))).alias("prior_u")
+    )
+
+    ms = (
+        te.join(F.broadcast(model), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w_u").alias("s"))
+    )
+    oov = (
+        te.join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_oov"))
+    )
+    docs = te.select("doc_id").distinct()
+    grid = (
+        docs.crossJoin(F.broadcast(priors))
+        .join(F.broadcast(defs), "lang")
+        .join(ms, ["doc_id", "lang"], "left")
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("prior_u")
+                + F.coalesce(F.col("s"), F.lit(0))
+                + F.coalesce(F.col("n_oov"), F.lit(0)) * F.col("def_u")
+            ).alias("score_u"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_u").desc(), "lang")
+    return (
+        grid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), F.col("score_u").cast("long").alias("score_u"))
+    )
