@@ -62,6 +62,14 @@ BENCH_QUERIES = [
     "ts_gap_fill",         # dense-grid resample + LOCF window fill
     "graph_clustering_coefficient",  # degree-ordered triangle census
     "evt_markov_transition",  # per-user lag seq -> transition matrix
+    # r8 additions: the round's new plan shapes (the fifth r8 op,
+    # ext_stream_watermark_late, is excluded — its fn() drives a
+    # Structured Streaming replay through temp-file waves, so its
+    # timing measures checkpoint/file churn, not a query plan)
+    "graph_label_communities",  # 3-round deterministic LPA (iterative)
+    "ts_ewma",             # bucket agg + per-user applyInPandas recursion
+    "agg_reservoir_sample",  # hash-rank WindowGroupLimit sample
+    "ml_naive_bayes",      # broadcast NB model + doc-keyed score sums
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -74,6 +82,7 @@ TIMED_BUILD = {
     "dedup_cluster_cc",
     "dedup_containment",
     "graph_clustering_coefficient",  # localCheckpoints the oriented edge set
+    "graph_label_communities",  # localCheckpoints labels each LPA round
 }
 
 
