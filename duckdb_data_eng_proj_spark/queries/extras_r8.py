@@ -144,14 +144,22 @@ _EWMA_SCHEMA = "user_id long, bucket_ts timestamp, v_c100 long, ewma_c100 long"
 
 def _ewma_pdf(pdf):
     """Per-user fixed-point EWMA: y_1 = v_1; y_t = (3·v_t + 7·y_{t-1})
-    // 10, all BIGINT cents — Python's floor `//` matches DuckDB's
-    floor `//` on every sign, so the recursion is bit-identical across
-    engines (no float accumulation order to diverge)."""
+    divided by 10 TRUNCATING TOWARD ZERO, all BIGINT cents. DuckDB's
+    `//` truncates on negatives (-6542 // 10 = -654) while Python's
+    floors (-655) — proven by tests/test_r8_laws.py — so the recursion
+    must spell out truncation to stay bit-identical across engines on
+    signed state (events.value is signed; testdata just happens never
+    to drive a bucket sum negative, which is why the divergence was
+    invisible to the sf0.01 driver row)."""
     pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
     out, acc = [], None
     for v in pdf["v_c100"]:
         v = int(v)
-        acc = v if acc is None else (3 * v + 7 * acc) // 10
+        if acc is not None:
+            num = 3 * v + 7 * acc
+            acc = -((-num) // 10) if num < 0 else num // 10
+        else:
+            acc = v
         out.append(acc)
     pdf["ewma_c100"] = out
     return pdf

@@ -1,0 +1,136 @@
+"""Law tests for the round-8 primitives (extras_r8.py).
+
+Three properties the oracle-parity sweep can't see because both engines
+could drift together or the law lives above any single dataset:
+
+- ts_ewma's integer recursion is a pure fold: `_ewma_pdf` must equal a
+  straight time-ordered fold regardless of incoming row order, and the
+  truncating `//` must agree with DuckDB's floor `//` on every sign
+  (negative sums happen — events.value is signed).
+- agg_reservoir_sample's audit property: growing the data can only
+  DISPLACE previously sampled rows, never resurrect an unsampled one —
+  for S ⊆ S', topk(S') ∩ S ⊆ topk(S). That's the claim the operator
+  docstring makes ("re-running over grown data keeps previously
+  sampled rows stable modulo hash displacement").
+- ml_naive_bayes' micro-unit log: `round(ln(x)·1e6)` must land on the
+  same BIGINT in Spark and DuckDB for every integer the model can feed
+  it (counts, totals, doc counts) — the rounding-boundary hazard the
+  implementation comment (extras_r8.py) estimates at ~1e-7; this
+  sweeps the actual input domain so the estimate is checked, not
+  trusted.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duckdb_data_eng_proj_spark.queries.extras_r8 import (
+    _RES_K,
+    _RES_MULT,
+    _RES_SALT,
+    _ewma_pdf,
+)
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma
+
+
+def _trunc_div10(num):
+    return -((-num) // 10) if num < 0 else num // 10
+
+
+def _fold(values):
+    acc, out = None, []
+    for v in values:
+        acc = v if acc is None else _trunc_div10(3 * v + 7 * acc)
+        out.append(acc)
+    return out
+
+
+def test_ewma_is_an_order_insensitive_fold():
+    rng = random.Random(81)
+    for _ in range(40):
+        n = rng.randint(1, 60)
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.sample(range(100_000), n), unit="h"
+        )
+        vals = [rng.randint(-10_000_00, 10_000_00) for _ in range(n)]
+        pdf = pd.DataFrame({"user_id": 1, "bucket_ts": ts, "v_c100": vals})
+        shuffled = pdf.sample(frac=1.0, random_state=rng.randint(0, 9999))
+        got = _ewma_pdf(shuffled)
+        ordered = pdf.sort_values("bucket_ts")
+        assert list(got["ewma_c100"]) == _fold(list(ordered["v_c100"]))
+        assert list(got["bucket_ts"]) == list(ordered["bucket_ts"])
+
+
+def test_ewma_div_matches_duckdb_on_every_sign(oracle_con):
+    # The recursion's one arithmetic op: (3v + 7y) // 10. DuckDB's //
+    # TRUNCATES toward zero on negatives (-6542 // 10 = -654) while
+    # Python's floors (-655) — the original floor-based _ewma_pdf
+    # diverged on negative state; this pins the truncating fix.
+    cases = [(v, y) for v in (-1007, -10, -3, -1, 0, 1, 3, 10, 997)
+             for y in (-503, -7, -1, 0, 1, 7, 509)]
+    rows = oracle_con.execute(
+        "SELECT (3 * v + 7 * y) // 10 FROM (SELECT "
+        "unnest(?) AS v, unnest(?) AS y)",
+        [[c[0] for c in cases], [c[1] for c in cases]],
+    ).fetchall()
+    for (v, y), (duck,) in zip(cases, rows):
+        assert duck == _trunc_div10(3 * v + 7 * y), (v, y)
+
+
+# ---------------------------------------------------------------------------
+# agg_reservoir_sample
+
+
+def _topk(ids, k=_RES_K):
+    return set(
+        sorted(ids, key=lambda i: ((i * _RES_MULT + _RES_SALT) % 2**32, i))[:k]
+    )
+
+
+def test_reservoir_grown_data_only_displaces():
+    rng = random.Random(82)
+    for _ in range(60):
+        base = {rng.randrange(10**9) for _ in range(rng.randint(1, 80))}
+        grown = base | {rng.randrange(10**9) for _ in range(rng.randint(0, 80))}
+        # every base row still sampled after growth was sampled before
+        assert _topk(grown) & base <= _topk(base)
+        # and the sample never exceeds k
+        assert len(_topk(grown)) == min(_RES_K, len(grown))
+
+
+# ---------------------------------------------------------------------------
+# ml_naive_bayes
+
+
+def test_log_microunits_agree_across_engines(spark, oracle_con):
+    # Domain: Laplace counts (1..~1e4), totals t+v (~1e3..1e7), doc
+    # counts. Sweep 1..20000 dense plus a log-spaced tail to 1e9.
+    xs = list(range(1, 20_001)) + [
+        int(1.17**k) for k in range(64, 134)
+    ]
+    duck = [
+        r[0]
+        for r in oracle_con.execute(
+            "SELECT CAST(round(ln(x) * 1000000, 0) AS BIGINT) "
+            "FROM (SELECT unnest(?) AS x) ORDER BY x",
+            [sorted(set(xs))],
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame([(x,) for x in sorted(set(xs))], "x long")
+    got = [
+        r[0]
+        for r in sdf.select(
+            F.round(F.log(F.col("x")) * 1_000_000, 0).cast("long")
+        ).collect()
+    ]
+    assert got == duck
