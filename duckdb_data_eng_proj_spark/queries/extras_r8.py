@@ -170,7 +170,7 @@ def _ewma_pdf(pdf):
     oracle=(
         "WITH RECURSIVE b AS ("
         "SELECT user_id, date_trunc('hour', ts) AS bucket_ts, "
-        "SUM(CAST(round(value * 100, 0) AS BIGINT)) AS v_c100, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c100, "
         "ROW_NUMBER() OVER (PARTITION BY user_id "
         "ORDER BY date_trunc('hour', ts)) AS rn "
         "FROM events GROUP BY 1, 2), "
@@ -182,7 +182,8 @@ def _ewma_pdf(pdf):
         "(3 * b.v_c100 + 7 * e.y) // 10 "
         "FROM b JOIN e ON b.user_id = e.user_id AND b.rn = e.rn + 1) "
         "SELECT user_id, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts, "
-        "v_c100, y AS ewma_c100 FROM e"
+        "CAST(v_c100 AS BIGINT) AS v_c100, "
+        "CAST(y AS BIGINT) AS ewma_c100 FROM e"
     ),
     doc=(
         "Fixed-point EWMA (α = 3/10, integer cents, truncating "
@@ -410,4 +411,152 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"), F.col("score_u").cast("long").alias("score_u"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_entropy
+
+# Token-distribution Shannon entropy in integer micro-nats:
+#   H_u = ln_u(N) - (Σ c_i · ln_u(c_i)) // N
+# with ln_u(x) = round(ln(x)·1e6) per DISTINCT INTEGER input (the same
+# micro-unit discipline as ml_naive_bayes above), so the per-doc sum and
+# division are exact integer arithmetic in both engines. All operands are
+# positive counts, so `//` truncation == floor on both sides.
+
+
+@register(
+    "txt_entropy",
+    oracle=(
+        "WITH tt AS (SELECT doc_id, unnest("
+        + _NB_TOK
+        + ") AS token FROM documents), "
+        "c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tt GROUP BY 1, 2), "
+        "d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+        "CAST(SUM(c * " + _L_U.format(x="c") + ") AS BIGINT) AS s_u "
+        "FROM c GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, n_distinct, "
+        "CAST(" + _L_U.format(x="n_tokens") + " - s_u // n_tokens "
+        "AS BIGINT) AS entropy_u FROM d"
+    ),
+    doc=(
+        "Per-document token-distribution Shannon entropy in integer "
+        "micro-nats — the repetition/diversity signal of the "
+        "txt_quality family (near-zero entropy = spam/boilerplate "
+        "loops, high entropy = diverse vocabulary): H_u = ln_u(N) - "
+        "(Σ c·ln_u(c)) // N over per-doc token counts, every log "
+        "rounded to BIGINT micro-units per distinct integer count "
+        "before summation (ml_naive_bayes' discipline; the ln_u "
+        "cross-engine sweep in tests/test_r8_laws.py covers the "
+        "domain). Scale shape: two map-side-combinable aggregates — "
+        "(doc,token) then doc — both keyed narrower than the corpus; "
+        "zero-token docs vanish identically on both engines (explode "
+        "vs unnest). 100 TB: identical two-stage shape, no state."
+    ),
+)
+def txt_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.operators.textops import tokens
+    from duckdb_data_eng_proj_spark.queries.registry import t
+
+    def L(col):
+        return F.round(F.log(col) * 1_000_000, 0).cast("long")
+
+    d = t(spark, sf_dir, "documents")
+    c = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("c") * L(F.col("c"))).alias("s_u"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (L(F.col("n_tokens")) - F.expr("s_u DIV n_tokens")).alias("entropy_u"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore
+
+_KCORE_K = 2       # peel threshold: survive iff degree >= k in the core
+_KCORE_ROUNDS = 3  # fixed peeling rounds — unrolled 1:1 in the oracle
+
+
+def _kcore_round_sql(i: int) -> str:
+    """One unrolled peeling round: degree census, keep >= k, restrict
+    edges to kept endpoints on both sides."""
+    return (
+        f"d{i} AS (SELECT src, COUNT(*) AS c FROM e{i - 1} GROUP BY src), "
+        f"k{i} AS (SELECT src FROM d{i} WHERE c >= {_KCORE_K}), "
+        f"e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e "
+        f"JOIN k{i} a ON a.src = e.src JOIN k{i} b ON b.src = e.dst)"
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=(
+        _LSH_PRELUDE
+        + ", "
+        + _PAIRS_SQL.format(thr=_LPC_THR)
+        + ", e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM ndpairs "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM ndpairs), "
+        + ", ".join(_kcore_round_sql(i) for i in range(1, _KCORE_ROUNDS + 1))
+        + f" SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg "
+        f"FROM e{_KCORE_ROUNDS} GROUP BY src"
+    ),
+    doc=(
+        f"Bounded k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} fixed "
+        "synchronous rounds) over the verified LSH near-dup pair "
+        "graph: each round computes the degree census, keeps vertices "
+        "with degree >= k, and restricts edges to kept endpoints — "
+        "the density-core extractor that separates tight near-dup "
+        "blocks from pendant chains (communities' structural "
+        "complement: LPA labels everything, the core keeps only the "
+        "dense part). Fixed rounds, not fixpoint, for the same two "
+        "reasons as graph_label_communities: the oracle unrolls "
+        "exactly, and the 100 TB job count is bounded by "
+        "construction (peeling converges geometrically on near-dup "
+        "graphs; round count is the knob). Scale shape per round: "
+        "one map-side-combinable degree agg + two semi-join "
+        "restrictions keyed by vertex — state-sized, never "
+        "corpus-sized; edges localCheckpoint'd between rounds like "
+        "dedup_cluster_cc (corpus.py:370)."
+    ),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _near_dup_pairs(spark, sf_dir, _LPC_THR)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    with _state_sized_shuffle(spark, edges.count()):
+        for _ in range(_KCORE_ROUNDS):
+            keep = (
+                edges.groupBy("src")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") >= _KCORE_K)
+                .select("src")
+            )
+            edges = (
+                edges.join(keep, "src", "semi")
+                .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+    return edges.groupBy("src").agg(F.count("*").alias("core_deg")).select(
+        F.col("src").alias("doc_id"), "core_deg"
     )
