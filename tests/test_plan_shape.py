@@ -481,3 +481,21 @@ def test_reservoir_sample_uses_window_group_limit(spark):
 
     df = REGISTRY["agg_reservoir_sample"].fn(spark, SF_DIR)
     assert "WindowGroupLimit" in physical_plan(df)
+
+
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # (doc,token) count + doc rollup: two map-side-combinable
+        # exchanges, nothing corpus-wide
+        ("txt_entropy", 2),
+        # per-round degree/semi-join work runs against localCheckpoints;
+        # the returned plan is the final degree census
+        ("graph_kcore", 1),
+    ],
+)
+def test_r8b_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the late-r8 operators (scale contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
