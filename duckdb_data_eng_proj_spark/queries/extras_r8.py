@@ -560,3 +560,123 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("src").agg(F.count("*").alias("core_deg")).select(
         F.col("src").alias("doc_id"), "core_deg"
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump
+
+# Integer-exact headroom: the score multiplies squared side totals by
+# 1e6, so BIGINT arithmetic is exact up to ~3e6 rows per stump. That is
+# the honest 100 TB shape anyway — a stump trained on the full corpus
+# is statistically identical to one trained on a bounded sample
+# (agg_reservoir_sample above is the companion primitive); past the
+# headroom you stump on the sample, not the stream.
+
+
+@register(
+    "ml_decision_stump",
+    oracle=(
+        "WITH base AS (SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q, "
+        "l_returnflag AS cls FROM lineitem), "
+        "cnt AS (SELECT q, cls, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM base GROUP BY 1, 2), "
+        "grid AS (SELECT qs.q, cs.cls FROM "
+        "(SELECT DISTINCT q FROM base) qs CROSS JOIN "
+        "(SELECT DISTINCT cls FROM base) cs), "
+        "cum AS (SELECT g.q, g.cls, CAST(SUM(COALESCE(cnt.c, 0)) OVER ("
+        "PARTITION BY g.cls ORDER BY g.q) AS BIGINT) AS cl "
+        "FROM grid g LEFT JOIN cnt ON cnt.q = g.q AND cnt.cls = g.cls), "
+        "tot AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS t "
+        "FROM base GROUP BY cls), "
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base), "
+        "th AS (SELECT cum.q, CAST(SUM(cum.cl) AS BIGINT) AS n_left, "
+        "CAST(SUM(cum.cl * cum.cl) AS BIGINT) AS sq_l, "
+        "CAST(SUM((tot.t - cum.cl) * (tot.t - cum.cl)) AS BIGINT) AS sq_r "
+        "FROM cum JOIN tot ON tot.cls = cum.cls GROUP BY cum.q), "
+        "sc AS (SELECT th.q AS threshold, th.n_left, "
+        "nn.n - th.n_left AS n_right, "
+        "(th.n_left * th.n_left - sq_l) * 1000000 // th.n_left + "
+        "((nn.n - th.n_left) * (nn.n - th.n_left) - sq_r) * 1000000 "
+        "// (nn.n - th.n_left) AS score_u "
+        "FROM th CROSS JOIN nn WHERE nn.n > th.n_left) "
+        "SELECT CAST(threshold AS BIGINT) AS threshold, "
+        "CAST(n_left AS BIGINT) AS n_left, "
+        "CAST(n_right AS BIGINT) AS n_right, "
+        "CAST(score_u AS BIGINT) AS score_u, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY score_u, threshold) AS BIGINT) "
+        "AS split_rank FROM sc"
+    ),
+    doc=(
+        "Single-feature decision stump: the full Gini split-score "
+        "table over l_quantity vs the 3-class l_returnflag label — "
+        "for every candidate threshold t, weighted impurity of the "
+        "(q <= t) / (q > t) partition in integer micro-units "
+        "(n_s² - Σ c_s,i²)·1e6 // n_s summed over both sides; "
+        "split_rank 1 is the stump (ties to the smallest threshold). "
+        "All counts, squares, and truncating divisions are BIGINT — "
+        "exact cross-engine (positive operands, so DuckDB // == Spark "
+        "DIV). Scale shape: one map-side-combinable (q, cls) count of "
+        "the fact table, then every later stage runs on the "
+        "|thresholds| × |classes| grid (50×3 here) — window cumsum, "
+        "impurity, rank all on grid-sized data; the fact table is "
+        "scanned ONCE and never shuffled wider than the count."
+    ),
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.registry import t
+
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.round("l_quantity", 0).cast("long").alias("q"),
+        F.col("l_returnflag").alias("cls"),
+    )
+    cnt = base.groupBy("q", "cls").agg(F.count("*").alias("c"))
+    grid = (
+        base.select("q").distinct()
+        .crossJoin(F.broadcast(base.select("cls").distinct()))
+    )
+    cum = (
+        grid.join(cnt, ["q", "cls"], "left")
+        .select(
+            "q",
+            "cls",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(Window.partitionBy("cls").orderBy("q"))
+            .alias("cl"),
+        )
+    )
+    tot = base.groupBy("cls").agg(F.count("*").alias("t"))
+    nn = base.agg(F.count("*").alias("n"))
+    th = (
+        cum.join(F.broadcast(tot), "cls")
+        .groupBy("q")
+        .agg(
+            F.sum("cl").alias("n_left"),
+            F.sum(F.col("cl") * F.col("cl")).alias("sq_l"),
+            F.sum((F.col("t") - F.col("cl")) * (F.col("t") - F.col("cl"))).alias("sq_r"),
+        )
+    )
+    sc = (
+        th.crossJoin(F.broadcast(nn))
+        .filter(F.col("n") > F.col("n_left"))
+        .select(
+            F.col("q").alias("threshold"),
+            "n_left",
+            (F.col("n") - F.col("n_left")).alias("n_right"),
+            (
+                F.expr("(n_left * n_left - sq_l) * 1000000 DIV n_left")
+                + F.expr(
+                    "((n - n_left) * (n - n_left) - sq_r) * 1000000 "
+                    "DIV (n - n_left)"
+                )
+            ).alias("score_u"),
+        )
+    )
+    w = Window.orderBy("score_u", "threshold")
+    return sc.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        "score_u",
+        F.row_number().over(w).cast("long").alias("split_rank"),
+    )

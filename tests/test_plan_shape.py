@@ -492,6 +492,9 @@ def test_reservoir_sample_uses_window_group_limit(spark):
         # per-round degree/semi-join work runs against localCheckpoints;
         # the returned plan is the final degree census
         ("graph_kcore", 1),
+        # one fact-sized exchange (the (q, cls) count); the other seven
+        # all move the |thresholds|×|classes| grid (~50–150 rows)
+        ("ml_decision_stump", 8),
     ],
 )
 def test_r8b_op_exchange_budget(spark, qid, budget):
