@@ -110,16 +110,26 @@ def test_priority_ids_enumerate_first_while_unverified():
 
 
 def test_verified_band_rotates_oldest_evidence_first():
-    # r7 contract (VERDICT r6 item 5): the verified band enumerates in
-    # ascending latest-green-round order so the driver's ~50-row
-    # window re-certifies the stalest evidence each round instead of
-    # re-proving the same head-of-registry ids forever.
+    # r7 contract (VERDICT r6 item 5), refined in r8 (VERDICT r7
+    # item 5): an explicit _RECERT_PRIORITY head lifts the verdict's
+    # named stragglers (the §2 ETL family, dedup anchors, scan block)
+    # over plain oldest-round order, which would crowd them out behind
+    # the ~54 r2+r3 ids; every steered id must itself be genuinely
+    # stale (evidence from r5 or older), and AFTER the steered head the
+    # band must enumerate in ascending latest-green-round order.
     ordered = list(entry.queries())
     verified = entry._verified_green()
     rounds = entry._latest_green_rounds()
     band3 = [q for q in ordered if q in verified]
-    seq = [rounds.get(q, 0) for q in band3]
-    assert seq == sorted(seq)
+    head = [q for q in band3 if q in entry._RECERT_PRIORITY]
+    assert head == [q for q in entry._RECERT_PRIORITY if q in verified]
+    assert band3[: len(head)] == head
+    assert all(rounds.get(q, 0) <= 5 for q in head), (
+        "a steered id has fresh (r6+) evidence — drop it from "
+        "_RECERT_PRIORITY so the slot re-certifies stale work instead"
+    )
+    tail_seq = [rounds.get(q, 0) for q in band3[len(head):]]
+    assert tail_seq == sorted(tail_seq)
     # and the verified band always sits AFTER every unverified id
     first_verified = next((i for i, q in enumerate(ordered) if q in verified), len(ordered))
     assert all(q in verified for q in ordered[first_verified:])
