@@ -565,12 +565,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ml_decision_stump
 
-# Integer-exact headroom: the score multiplies squared side totals by
-# 1e6, so BIGINT arithmetic is exact up to ~3e6 rows per stump. That is
-# the honest 100 TB shape anyway — a stump trained on the full corpus
-# is statistically identical to one trained on a bounded sample
-# (agg_reservoir_sample above is the companion primitive); past the
-# headroom you stump on the sample, not the stream.
+# Integer-exact headroom: the score is (a·10⁶)//n with a = n_s² - Σc²,
+# computed via the exact long-division split
+#   (a·10⁶)//n  ==  (a//n)·10⁶ + ((a%n)·10⁶)//n        (a, n > 0)
+# so no intermediate exceeds max(n², n·10⁶) — BIGINT-exact to
+# n ≈ 3×10⁹ rows per stump (the naive a·10⁶ form overflowed Spark's
+# ANSI long at ×8 bench volume, n ≈ 4.8e6 — caught by
+# scripts/stress_scale.py). Past 3e9 you stump on a bounded sample
+# (agg_reservoir_sample above is the companion primitive), which is
+# the honest 100 TB shape anyway.
 
 
 @register(
@@ -593,12 +596,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(cum.cl * cum.cl) AS BIGINT) AS sq_l, "
         "CAST(SUM((tot.t - cum.cl) * (tot.t - cum.cl)) AS BIGINT) AS sq_r "
         "FROM cum JOIN tot ON tot.cls = cum.cls GROUP BY cum.q), "
-        "sc AS (SELECT th.q AS threshold, th.n_left, "
-        "nn.n - th.n_left AS n_right, "
-        "(th.n_left * th.n_left - sq_l) * 1000000 // th.n_left + "
-        "((nn.n - th.n_left) * (nn.n - th.n_left) - sq_r) * 1000000 "
-        "// (nn.n - th.n_left) AS score_u "
-        "FROM th CROSS JOIN nn WHERE nn.n > th.n_left) "
+        "ab AS (SELECT th.q, th.n_left, nn.n - th.n_left AS n_right, "
+        "th.n_left * th.n_left - sq_l AS a_l, "
+        "(nn.n - th.n_left) * (nn.n - th.n_left) - sq_r AS a_r "
+        "FROM th CROSS JOIN nn WHERE nn.n > th.n_left), "
+        "sc AS (SELECT q AS threshold, n_left, n_right, "
+        "(a_l // n_left) * 1000000 + ((a_l % n_left) * 1000000) // n_left "
+        "+ (a_r // n_right) * 1000000 "
+        "+ ((a_r % n_right) * 1000000) // n_right AS score_u FROM ab) "
         "SELECT CAST(threshold AS BIGINT) AS threshold, "
         "CAST(n_left AS BIGINT) AS n_left, "
         "CAST(n_right AS BIGINT) AS n_right, "
@@ -615,7 +620,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split_rank 1 is the stump (ties to the smallest threshold). "
         "All counts, squares, and truncating divisions are BIGINT — "
         "exact cross-engine (positive operands, so DuckDB // == Spark "
-        "DIV). Scale shape: one map-side-combinable (q, cls) count of "
+        "DIV), with the ·1e6 scaling long-division-decomposed so "
+        "nothing overflows below ~3e9 rows (see module comment). "
+        "Scale shape: one map-side-combinable (q, cls) count of "
         "the fact table, then every later stage runs on the "
         "|thresholds| × |classes| grid (50×3 here) — window cumsum, "
         "impurity, rank all on grid-sized data; the fact table is "
@@ -663,12 +670,18 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").alias("threshold"),
             "n_left",
             (F.col("n") - F.col("n_left")).alias("n_right"),
+            F.expr("n_left * n_left - sq_l").alias("a_l"),
+            F.expr("(n - n_left) * (n - n_left) - sq_r").alias("a_r"),
+        )
+        .select(
+            "threshold",
+            "n_left",
+            "n_right",
             (
-                F.expr("(n_left * n_left - sq_l) * 1000000 DIV n_left")
-                + F.expr(
-                    "((n - n_left) * (n - n_left) - sq_r) * 1000000 "
-                    "DIV (n - n_left)"
-                )
+                F.expr("(a_l DIV n_left) * 1000000 "
+                       "+ ((a_l % n_left) * 1000000) DIV n_left")
+                + F.expr("(a_r DIV n_right) * 1000000 "
+                         "+ ((a_r % n_right) * 1000000) DIV n_right")
             ).alias("score_u"),
         )
     )
