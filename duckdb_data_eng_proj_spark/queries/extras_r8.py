@@ -693,3 +693,182 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_u",
         F.row_number().over(w).cast("long").alias("split_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_linear
+
+_HOLT_SCHEMA = (
+    "user_id long, bucket_ts timestamp, v_c100 long, "
+    "level_c100 long, trend_c100 long"
+)
+
+
+def _trunc_div10(num: int) -> int:
+    """Integer /10 truncating toward zero — DuckDB `//` semantics
+    (tests/test_r8_laws.py proves DuckDB truncates where Python
+    floors; the Holt TREND state goes negative on any decline, so
+    this is load-bearing here, not defensive)."""
+    return -((-num) // 10) if num < 0 else num // 10
+
+
+def _holt_pdf(pdf):
+    """Per-user fixed-point Holt linear smoothing, all BIGINT cents:
+    l_1 = v_1, b_1 = 0;
+    l_t = trunc((3·v_t + 7·(l + b)) / 10)      (α = 3/10)
+    b_t = trunc((2·(l_t - l_prev) + 8·b) / 10) (β = 2/10)."""
+    pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+    lv, tr = [], []
+    l = b = None
+    for v in pdf["v_c100"]:
+        v = int(v)
+        if l is None:
+            l, b = v, 0
+        else:
+            lp = l
+            l = _trunc_div10(3 * v + 7 * (l + b))
+            b = _trunc_div10(2 * (l - lp) + 8 * b)
+        lv.append(l)
+        tr.append(b)
+    pdf["level_c100"] = lv
+    pdf["trend_c100"] = tr
+    return pdf
+
+
+@register(
+    "ts_holt_linear",
+    oracle=(
+        "WITH RECURSIVE b AS ("
+        "SELECT user_id, date_trunc('hour', ts) AS bucket_ts, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c100, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY date_trunc('hour', ts)) AS rn "
+        "FROM events GROUP BY 1, 2), "
+        "h AS ("
+        "SELECT user_id, bucket_ts, rn, v_c100, "
+        "v_c100 AS l, CAST(0 AS BIGINT) AS t "
+        "FROM b WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT b.user_id, b.bucket_ts, b.rn, b.v_c100, "
+        "(3 * b.v_c100 + 7 * (h.l + h.t)) // 10, "
+        "(2 * ((3 * b.v_c100 + 7 * (h.l + h.t)) // 10 - h.l) + 8 * h.t) // 10 "
+        "FROM b JOIN h ON b.user_id = h.user_id AND b.rn = h.rn + 1) "
+        "SELECT user_id, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts, "
+        "CAST(v_c100 AS BIGINT) AS v_c100, CAST(l AS BIGINT) AS level_c100, "
+        "CAST(t AS BIGINT) AS trend_c100 FROM h"
+    ),
+    doc=(
+        "Fixed-point Holt double-exponential smoothing (level α = "
+        "3/10, trend β = 2/10, BIGINT cents, division TRUNCATING "
+        "toward zero) over per-user hourly buckets — ts_ewma's "
+        "trend-aware sibling. The trend state goes NEGATIVE on any "
+        "decline, so the cross-engine division semantics pinned by "
+        "tests/test_r8_laws.py (DuckDB // truncates, Python floors) "
+        "are load-bearing: _trunc_div10 spells out truncation on "
+        "both recursion terms. Same scale shape as ts_ewma: one "
+        "(user, hour) bucket aggregate, then ONE shuffle keyed by "
+        "user into an Arrow-batched applyInPandas linear recursion "
+        "over the bucket table (inherently sequential PER KEY, keys "
+        "spread across the cluster). Oracle = recursive-CTE replay "
+        "of the identical integer recursion."
+    ),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = (
+        raw.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_trunc("hour", _event_ts(raw)).alias("bucket_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "bucket_ts")
+        .agg(F.sum("v").cast("long").alias("v_c100"))
+    )
+    return buckets.groupBy("user_id").applyInPandas(_holt_pdf, _HOLT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# evt_rfm_scores
+
+
+@register(
+    "evt_rfm_scores",
+    oracle=(
+        "WITH u AS (SELECT user_id, "
+        "CAST(MAX(epoch(ts)) AS BIGINT) AS last_s, "
+        "CAST(COUNT(*) AS BIGINT) AS f_cnt, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS m_c100 FROM events GROUP BY user_id), "
+        "a AS (SELECT CAST(MAX(epoch(ts)) AS BIGINT) AS anchor_s "
+        "FROM events), "
+        "r AS (SELECT u.user_id, "
+        "(a.anchor_s - u.last_s) // 86400 AS r_days, u.f_cnt, u.m_c100 "
+        "FROM u CROSS JOIN a), "
+        "s AS (SELECT user_id, CAST(r_days AS BIGINT) AS r_days, "
+        "f_cnt, m_c100, "
+        "CAST(NTILE(5) OVER (ORDER BY r_days DESC, user_id) AS BIGINT) "
+        "AS r_score, "
+        "CAST(NTILE(5) OVER (ORDER BY f_cnt, user_id) AS BIGINT) "
+        "AS f_score, "
+        "CAST(NTILE(5) OVER (ORDER BY m_c100, user_id) AS BIGINT) "
+        "AS m_score FROM r) "
+        "SELECT user_id, r_days, f_cnt, m_c100, r_score, f_score, "
+        "m_score, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) "
+        "AS rfm_segment FROM s"
+    ),
+    doc=(
+        "Recency/frequency/monetary quintile segmentation per user — "
+        "the canonical events-table marketing/engagement operator: "
+        "recency in whole days against the dataset's max event time "
+        "(epoch-seconds BIGINT arithmetic, ts_gap_fill's convention, "
+        "so no engine-side date math), frequency = event count, "
+        "monetary = cent-unit value sum; each scored 1–5 by NTILE "
+        "over a fully deterministic total order (metric, then "
+        "user_id — NTILE bucket sizing is identical across engines "
+        "given the same order), 5 = most recent / most frequent / "
+        "highest value; rfm_segment = the familiar 3-digit code. "
+        "Scale shape: one map-side-combinable per-user aggregate of "
+        "the fact table, a 1-row broadcast anchor, then three window "
+        "rankings over the USER-level table — state-sized, never the "
+        "event stream; the single-partition NTILE windows are the "
+        "textbook candidate for a range-partitioned rank at 1e9+ "
+        "users, and user counts sit orders below event counts."
+    ),
+)
+def evt_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp(_event_ts(raw)).alias("ts_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c100"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max("ts_s").alias("last_s"),
+        F.count("*").alias("f_cnt"),
+        F.sum("v_c100").cast("long").alias("m_c100"),
+    )
+    anchor = ev.agg(F.max("ts_s").alias("anchor_s"))
+    r = u.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr("(anchor_s - last_s) DIV 86400").alias("r_days"),
+        "f_cnt",
+        "m_c100",
+    )
+    return r.select(
+        "user_id",
+        "r_days",
+        "f_cnt",
+        "m_c100",
+        F.ntile(5).over(Window.orderBy(F.col("r_days").desc(), "user_id")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("f_cnt", "user_id")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("m_c100", "user_id")).cast("long").alias("m_score"),
+    ).withColumn(
+        "rfm_segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("long"),
+    )

@@ -495,6 +495,11 @@ def test_reservoir_sample_uses_window_group_limit(spark):
         # one fact-sized exchange (the (q, cls) count); the other seven
         # all move the |thresholds|×|classes| grid (~50–150 rows)
         ("ml_decision_stump", 8),
+        # ts_ewma's shape: bucket agg + user-keyed applyInPandas
+        ("ts_holt_linear", 2),
+        # per-user agg, then the single-partition NTILE windows over
+        # the user-level table share one exchange pair
+        ("evt_rfm_scores", 3),
     ],
 )
 def test_r8b_op_exchange_budget(spark, qid, budget):

@@ -134,3 +134,46 @@ def test_log_microunits_agree_across_engines(spark, oracle_con):
         ).collect()
     ]
     assert got == duck
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_linear
+
+
+def test_holt_is_an_order_insensitive_fold_with_signed_trend():
+    from duckdb_data_eng_proj_spark.queries.extras_r8 import (
+        _holt_pdf,
+        _trunc_div10 as td10,
+    )
+
+    def fold(values):
+        l = b = None
+        out = []
+        for v in values:
+            if l is None:
+                l, b = v, 0
+            else:
+                lp = l
+                l = td10(3 * v + 7 * (l + b))
+                b = td10(2 * (l - lp) + 8 * b)
+            out.append((l, b))
+        return out
+
+    rng = random.Random(83)
+    saw_negative_trend = False
+    for _ in range(40):
+        n = rng.randint(1, 60)
+        ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.sample(range(100_000), n), unit="h"
+        )
+        vals = [rng.randint(-10_000_00, 10_000_00) for _ in range(n)]
+        pdf = pd.DataFrame({"user_id": 1, "bucket_ts": ts, "v_c100": vals})
+        shuffled = pdf.sample(frac=1.0, random_state=rng.randint(0, 9999))
+        got = _holt_pdf(shuffled)
+        ordered = pdf.sort_values("bucket_ts")
+        want = fold(list(ordered["v_c100"]))
+        assert list(zip(got["level_c100"], got["trend_c100"])) == want
+        saw_negative_trend |= any(b < 0 for _, b in want)
+    # the property the EWMA bug taught us to demand: the sweep must
+    # actually EXERCISE negative state, not just permit it
+    assert saw_negative_trend
