@@ -177,3 +177,66 @@ def test_holt_is_an_order_insensitive_fold_with_signed_trend():
     # the property the EWMA bug taught us to demand: the sweep must
     # actually EXERCISE negative state, not just permit it
     assert saw_negative_trend
+
+
+# ---------------------------------------------------------------------------
+# evt_rfm_scores — cross-engine NTILE + epoch parity
+
+
+def test_ntile_bucket_sizing_agrees_across_engines(spark, oracle_con):
+    # evt_rfm_scores' quintiles assume both engines size NTILE buckets
+    # identically given the same total order (equal buckets, remainder
+    # distributed to the FRONT tiles). Sweep awkward n (n < k, n = k,
+    # n % k != 0) with a deterministic order and compare tile columns.
+    for n in (1, 2, 4, 5, 6, 7, 11, 23, 100, 101, 104):
+        duck = oracle_con.execute(
+            f"SELECT i, NTILE(5) OVER (ORDER BY i) FROM range({n}) t(i) "
+            "ORDER BY i"
+        ).fetchall()
+        sdf = spark.range(n).select(F.col("id").alias("i"))
+        from pyspark.sql import Window as W
+
+        got = [
+            (r[0], r[1])
+            for r in sdf.select(
+                "i", F.ntile(5).over(W.orderBy("i")).alias("t")
+            ).orderBy("i").collect()
+        ]
+        assert got == [(a, b) for a, b in duck], n
+
+
+def test_epoch_seconds_agree_across_engines(spark, oracle_con):
+    # evt_rfm_scores' recency arithmetic: DuckDB epoch(ts) and Spark
+    # unix_timestamp(ts) must land on the same BIGINT for the same
+    # instant (both sides read the events parquet through their own
+    # timestamp normalization; a timezone skew here would shift every
+    # r_days by hours). Random instants across 1990–2035 incl. DST
+    # boundaries in common zones.
+    rng = random.Random(84)
+    stamps = [
+        "2024-03-10 02:30:00", "2024-11-03 01:30:00",  # US DST edges
+        "2024-03-31 02:30:00", "2024-10-27 02:30:00",  # EU DST edges
+        "1990-01-01 00:00:00", "2035-12-31 23:59:59",
+    ] + [
+        (
+            pd.Timestamp("1990-01-01")
+            + pd.Timedelta(seconds=rng.randint(0, 1_450_000_000))
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        for _ in range(200)
+    ]
+    duck = [
+        r[0]
+        for r in oracle_con.execute(
+            "SELECT CAST(epoch(CAST(s AS TIMESTAMP)) AS BIGINT) "
+            "FROM (SELECT unnest(?) AS s)",
+            [stamps],
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame([(s,) for s in stamps], "s string")
+    got = [
+        r[0]
+        for r in sdf.select(
+            F.unix_timestamp(F.col("s").cast("timestamp"))
+        ).collect()
+    ]
+    assert got == duck
