@@ -240,3 +240,39 @@ def test_epoch_seconds_agree_across_engines(spark, oracle_con):
         ).collect()
     ]
     assert got == duck
+
+
+# ---------------------------------------------------------------------------
+# round(double, 0) — the cent-unit conversion every fixed-point op uses
+
+
+def test_double_round_parity_across_engines(spark, oracle_con):
+    # ts_ewma / ts_holt_linear / evt_rfm_scores (and the older cent-
+    # unit operators) all enter integer arithmetic through
+    # round(value * 100, 0). Both engines see the SAME IEEE double
+    # product, so parity needs only that round() itself agrees —
+    # including on exactly-representable halves of either sign
+    # (Spark HALF_UP vs DuckDB round-half-away must coincide) and on
+    # near-half products like 1.005 * 100 = 100.49999....
+    rng = random.Random(85)
+    xs = [2.5, -2.5, 0.5, -0.5, 3.5, -3.5, 1e15 + 0.5, -(1e15 + 0.5)]
+    xs += [round(rng.uniform(-1e6, 1e6), 2) * 100 for _ in range(300)]
+    xs += [rng.uniform(-1e4, 1e4) for _ in range(300)]
+    xs += [v * 100 for v in (1.005, 2.675, -1.005, 0.615, -0.615)]
+    duck = [
+        r[0]
+        for r in oracle_con.execute(
+            "SELECT CAST(round(x, 0) AS BIGINT) "
+            "FROM (SELECT unnest(?) AS x)",
+            [xs],
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [
+        r[0]
+        for r in sdf.select(F.round(F.col("x"), 0).cast("long")).collect()
+    ]
+    mismatches = [
+        (x, d, g) for x, d, g in zip(xs, duck, got) if d != g
+    ]
+    assert not mismatches, mismatches[:10]
