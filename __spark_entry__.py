@@ -318,6 +318,20 @@ _RECERT_PRIORITY: tuple[str, ...] = (
     "snk_csv_quoted",
 )
 
+# The steering head SELF-EXPIRES (VERDICT r8 item 1): an id drops out
+# of the head the moment its latest green evidence is newer than the
+# round the steering was written against, so a driver run that
+# re-certifies the named stragglers cannot leave the list asserting a
+# stale fact. With every _RECERT_PRIORITY id re-certified in r8, the
+# filtered head is empty and plain oldest-evidence-first order rules.
+_RECERT_STALE_MAX = 5
+
+
+def _recert_head() -> list[str]:
+    """_RECERT_PRIORITY minus any id with fresh (> _RECERT_STALE_MAX) evidence."""
+    rounds = _latest_green_rounds()
+    return [q for q in _RECERT_PRIORITY if rounds.get(q, 0) <= _RECERT_STALE_MAX]
+
 
 @functools.lru_cache(maxsize=None)
 def _latest_green_rounds() -> dict[str, int]:
@@ -373,11 +387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (VERDICT r6 item 5: spend the window on re-certification).
     rounds = _latest_green_rounds()
     reg_ix = {qid: i for i, qid in enumerate(REGISTRY)}
-    recert_ix = {qid: i for i, qid in enumerate(_RECERT_PRIORITY)}
+    recert_ix = {qid: i for i, qid in enumerate(_recert_head())}
     band3 = sorted(
         (qid for qid in REGISTRY if qid in verified),
         key=lambda q: (
-            recert_ix.get(q, len(_RECERT_PRIORITY)),
+            recert_ix.get(q, len(recert_ix)),
             rounds.get(q, 0),
             reg_ix[q],
         ),

@@ -111,22 +111,27 @@ def test_priority_ids_enumerate_first_while_unverified():
 
 def test_verified_band_rotates_oldest_evidence_first():
     # r7 contract (VERDICT r6 item 5), refined in r8 (VERDICT r7
-    # item 5): an explicit _RECERT_PRIORITY head lifts the verdict's
-    # named stragglers (the §2 ETL family, dedup anchors, scan block)
-    # over plain oldest-round order, which would crowd them out behind
-    # the ~54 r2+r3 ids; every steered id must itself be genuinely
-    # stale (evidence from r5 or older), and AFTER the steered head the
+    # item 5) and made self-expiring in r9 (VERDICT r8 item 1): the
+    # steering head is _recert_head() — _RECERT_PRIORITY filtered to
+    # ids whose latest green evidence is still stale (≤ r5). An id
+    # that gains fresh evidence drops out of the head automatically,
+    # so a driver run that re-certifies the named stragglers can never
+    # turn this test red. AFTER the (possibly empty) steered head the
     # band must enumerate in ascending latest-green-round order.
     ordered = list(entry.queries())
     verified = entry._verified_green()
     rounds = entry._latest_green_rounds()
     band3 = [q for q in ordered if q in verified]
-    head = [q for q in band3 if q in entry._RECERT_PRIORITY]
-    assert head == [q for q in entry._RECERT_PRIORITY if q in verified]
+    head = [q for q in entry._recert_head() if q in verified]
     assert band3[: len(head)] == head
-    assert all(rounds.get(q, 0) <= 5 for q in head), (
-        "a steered id has fresh (r6+) evidence — drop it from "
-        "_RECERT_PRIORITY so the slot re-certifies stale work instead"
+    # self-expiry invariant: every id in the filtered head is stale by
+    # construction, and every _RECERT_PRIORITY id with fresh evidence
+    # has been dropped from it.
+    assert all(rounds.get(q, 0) <= entry._RECERT_STALE_MAX for q in head)
+    assert all(
+        q in entry._recert_head()
+        for q in entry._RECERT_PRIORITY
+        if rounds.get(q, 0) <= entry._RECERT_STALE_MAX
     )
     tail_seq = [rounds.get(q, 0) for q in band3[len(head):]]
     assert tail_seq == sorted(tail_seq)
