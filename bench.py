@@ -14,7 +14,10 @@ The payload is self-validating against box load (VERDICT r7 item 2):
 it records the pre-run 1-min loadavg and a 2-second vmstat CPU-idle
 sample, and stamps ``"loaded": true`` when idle < 90% or loadavg/core
 > 0.25 — so a run taken on a busy box carries its own disclaimer
-instead of needing a side-channel A/B investigation.
+instead of needing a side-channel A/B investigation. Before the timed
+laps the harness WAITS for the box to drain (VERDICT r8 item 3):
+bounded poll up to $SPARK_GRAFT_IDLE_WAIT_S seconds (default 600),
+then runs and stamps whatever is true ("idle_wait_s" records the wait).
 """
 
 from __future__ import annotations
@@ -126,16 +129,45 @@ def _box_load() -> dict:
     }
 
 
+def _wait_for_idle(max_wait_s: float) -> dict:
+    """Poll _box_load until the box reads unloaded, up to max_wait_s
+    (VERDICT r8 item 3: two rounds running the driver's artifact was
+    loaded-flagged and the binding numbers had to live in BASELINE.md —
+    waiting out transient load makes the artifact itself binding).
+    Returns the final _box_load dict, stamped with how long we waited;
+    if the deadline passes we run anyway and the "loaded" flag stays
+    true, so the artifact still self-documents.
+    """
+    deadline = time.monotonic() + max_wait_s
+    waited = 0.0
+    box = _box_load()
+    while box["loaded"] and time.monotonic() < deadline:
+        print(
+            "bench.py: box loaded (load1=%s idle=%s%%) — waiting 30s for idle"
+            % (box["load1"], box["cpu_idle_pct"]),
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited = max_wait_s - max(0.0, deadline - time.monotonic())
+        box = _box_load()
+    box["idle_wait_s"] = round(waited, 1)
+    return box
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    box = _box_load()
+    # Bounded wait-for-idle (default 10 min; override for CI/smoke runs
+    # via SPARK_GRAFT_IDLE_WAIT_S=0).
+    max_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "600"))
+    box = _wait_for_idle(max_wait)
     if box["loaded"]:
         print(
-            "bench.py: WARNING box is loaded (load1=%s idle=%s%%) — "
-            "timings will carry \"loaded\": true" % (box["load1"], box["cpu_idle_pct"]),
+            "bench.py: WARNING box still loaded after %.0fs wait (load1=%s "
+            "idle=%s%%) — timings will carry \"loaded\": true"
+            % (box["idle_wait_s"], box["load1"], box["cpu_idle_pct"]),
             file=sys.stderr,
         )
 
