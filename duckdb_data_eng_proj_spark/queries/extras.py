@@ -495,7 +495,10 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT user_id, event_id, "
         "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER ("
-        "PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT) "
+        # floor() matches Spark's cast(ts AS long) truncation; DuckDB's
+        # bare CAST(DOUBLE AS BIGINT) rounds to nearest, which shifts a
+        # ≥.5-fraction event by 1s and can move it across a frame edge.
+        "PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS cents_last_hour "
         "FROM events"

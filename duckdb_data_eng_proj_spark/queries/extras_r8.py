@@ -797,12 +797,17 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "evt_rfm_scores",
     oracle=(
+        # floor() before the BIGINT cast: DuckDB epoch() is DOUBLE and
+        # CAST rounds to NEAREST, while Spark unix_timestamp TRUNCATES
+        # to whole seconds — on fractional stamps (all of testdata) the
+        # two differ by 1s for fractions ≥ .5, and a 1s delta that
+        # crosses a day boundary flips r_days and the NTILE r_score.
         "WITH u AS (SELECT user_id, "
-        "CAST(MAX(epoch(ts)) AS BIGINT) AS last_s, "
+        "CAST(floor(MAX(epoch(ts))) AS BIGINT) AS last_s, "
         "CAST(COUNT(*) AS BIGINT) AS f_cnt, "
         "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) "
         "AS m_c100 FROM events GROUP BY user_id), "
-        "a AS (SELECT CAST(MAX(epoch(ts)) AS BIGINT) AS anchor_s "
+        "a AS (SELECT CAST(floor(MAX(epoch(ts))) AS BIGINT) AS anchor_s "
         "FROM events), "
         "r AS (SELECT u.user_id, "
         "(a.anchor_s - u.last_s) // 86400 AS r_days, u.f_cnt, u.m_c100 "

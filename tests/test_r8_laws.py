@@ -212,22 +212,31 @@ def test_epoch_seconds_agree_across_engines(spark, oracle_con):
     # timestamp normalization; a timezone skew here would shift every
     # r_days by hours). Random instants across 1990–2035 incl. DST
     # boundaries in common zones.
+    # Fractional seconds INCLUDED (ADVICE r8): DuckDB epoch() returns
+    # DOUBLE and bare CAST rounds to nearest, so a ≥.5s fraction lands
+    # 1s above Spark's truncating unix_timestamp — the oracles must
+    # spell floor(epoch(ts)), and this sweep holds them to it.
     rng = random.Random(84)
     stamps = [
         "2024-03-10 02:30:00", "2024-11-03 01:30:00",  # US DST edges
         "2024-03-31 02:30:00", "2024-10-27 02:30:00",  # EU DST edges
         "1990-01-01 00:00:00", "2035-12-31 23:59:59",
+        "2024-06-15 12:00:00.500000",  # exact half-second
+        "2024-06-15 12:00:00.499999", "2024-06-15 12:00:00.999999",
     ] + [
         (
             pd.Timestamp("1990-01-01")
-            + pd.Timedelta(seconds=rng.randint(0, 1_450_000_000))
-        ).strftime("%Y-%m-%d %H:%M:%S")
+            + pd.Timedelta(
+                seconds=rng.randint(0, 1_450_000_000),
+                microseconds=rng.randint(0, 999_999),
+            )
+        ).strftime("%Y-%m-%d %H:%M:%S.%f")
         for _ in range(200)
     ]
     duck = [
         r[0]
         for r in oracle_con.execute(
-            "SELECT CAST(epoch(CAST(s AS TIMESTAMP)) AS BIGINT) "
+            "SELECT CAST(floor(epoch(CAST(s AS TIMESTAMP))) AS BIGINT) "
             "FROM (SELECT unnest(?) AS s)",
             [stamps],
         ).fetchall()
