@@ -223,6 +223,15 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RES_K = 10
 _RES_SALT = 17
 _RES_MULT = 2654435761  # Knuth multiplicative hash constant (2^32·φ)
+# event_id * _RES_MULT overflows int64 at event_id ≈ 3.47e9, far below
+# the 100 TB id range — so the hash is computed by 16/16 long division
+# of the constant (the decision-stump decomposition discipline):
+#   a  = event_id mod 2^32
+#   h  = ((a·(M>>16) mod 2^16)·2^16 + a·(M&0xFFFF) + SALT) mod 2^32
+# Every intermediate stays < 2^48; for event_id < 2^32 the value (and
+# therefore the rank order of every existing sample) is bit-identical
+# to the naive (event_id·M + SALT) mod 2^32.
+_RES_MH, _RES_ML = _RES_MULT >> 16, _RES_MULT & 0xFFFF
 
 
 @register(
@@ -231,7 +240,9 @@ _RES_MULT = 2654435761  # Knuth multiplicative hash constant (2^32·φ)
         "SELECT event_type, event_id, rn AS sample_rank FROM ("
         "SELECT event_type, event_id, ROW_NUMBER() OVER ("
         "PARTITION BY event_type ORDER BY "
-        f"(event_id * {_RES_MULT} + {_RES_SALT}) % 4294967296, event_id"
+        f"(((event_id % 4294967296) * {_RES_MH} % 65536) * 65536 "
+        f"+ (event_id % 4294967296) * {_RES_ML} + {_RES_SALT}) "
+        "% 4294967296, event_id"
         f") AS rn FROM events) WHERE rn <= {_RES_K}"
     ),
     doc=(
@@ -250,8 +261,11 @@ _RES_MULT = 2654435761  # Knuth multiplicative hash constant (2^32·φ)
 )
 def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = F.pmod(F.col("event_id"), F.lit(4294967296))
     h = F.pmod(
-        F.col("event_id") * F.lit(_RES_MULT) + F.lit(_RES_SALT),
+        F.pmod(a * F.lit(_RES_MH), F.lit(65536)) * F.lit(65536)
+        + a * F.lit(_RES_ML)
+        + F.lit(_RES_SALT),
         F.lit(4294967296),
     )
     w = Window.partitionBy("event_type").orderBy(h, "event_id")

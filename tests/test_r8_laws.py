@@ -285,3 +285,44 @@ def test_double_round_parity_across_engines(spark, oracle_con):
         (x, d, g) for x, d, g in zip(xs, duck, got) if d != g
     ]
     assert not mismatches, mismatches[:10]
+
+
+# ---------------------------------------------------------------------------
+# agg_reservoir_sample — 16/16 long-division hash must survive 100 TB ids
+
+
+def test_reservoir_hash_decomposition_exact_and_overflow_free(spark, oracle_con):
+    # The naive event_id * 2654435761 overflows int64 at ~3.47e9 (ADVICE
+    # r8) — DuckDB raises, Spark wraps/throws by ANSI mode. The shipped
+    # 16/16 decomposition must (a) equal the naive value mod 2^32 for
+    # every id, (b) run on BOTH engines for ids up to int64 max without
+    # error, (c) keep the rank order of existing sub-2^32 ids unchanged.
+    from duckdb_data_eng_proj_spark.queries.extras_r8 import (
+        _RES_MH, _RES_ML, _RES_MULT, _RES_SALT,
+    )
+
+    rng = random.Random(86)
+    ids = [0, 1, 2**31, 2**32 - 1, 2**32, 3_470_000_000, 2**62, 2**63 - 1]
+    ids += [rng.randrange(0, 2**63) for _ in range(500)]
+    expect = [((i % 2**32) * _RES_MULT + _RES_SALT) % 2**32 for i in ids]
+
+    duck = [
+        r[0]
+        for r in oracle_con.execute(
+            f"SELECT (((i % 4294967296) * {_RES_MH} % 65536) * 65536 "
+            f"+ (i % 4294967296) * {_RES_ML} + {_RES_SALT}) % 4294967296 "
+            "FROM (SELECT unnest(?) AS i)",
+            [ids],
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame([(i,) for i in ids], "i long")
+    a = F.pmod(F.col("i"), F.lit(4294967296))
+    h = F.pmod(
+        F.pmod(a * F.lit(_RES_MH), F.lit(65536)) * F.lit(65536)
+        + a * F.lit(_RES_ML)
+        + F.lit(_RES_SALT),
+        F.lit(4294967296),
+    )
+    got = [r[0] for r in sdf.select(h).collect()]
+    assert duck == expect
+    assert got == expect
