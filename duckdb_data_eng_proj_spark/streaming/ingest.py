@@ -505,7 +505,18 @@ def stream_watermark_late_counts(
         ev.filter(F.col("__b") == wave).drop("__b").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stage)
-        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        parts = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        if not parts:
+            # An empty wave writes a parquet dir with no part file. The
+            # wave cutoffs are hardcoded 2024-01-11/21 boundaries, so a
+            # tiny scale factor or a differently-dated events table can
+            # produce one — fail with the cause, not an IndexError.
+            raise ValueError(
+                f"arrival wave {wave} is empty: the events table does not "
+                "span the hardcoded 2024-01-11/2024-01-21 wave boundaries "
+                f"(sf_dir={sf_dir})"
+            )
+        part = parts[0]
         dst = os.path.join(src_dir, f"b{wave}.parquet")
         shutil.copyfile(part, dst)
         # FileStreamSource orders files by modification time: pin one

@@ -47,15 +47,89 @@ _CORE_SNAPSHOT_PATH = entrymod._SNAPSHOT_PATH.replace(
 )
 
 
-def _core_hash(spec) -> str:
-    """Hash of ONLY the id's own implementation source + oracle text —
-    the components ``--rebless-context-only`` may not change."""
+# Bumped whenever the core-hash definition changes: a recorded core
+# snapshot from an older definition CANNOT be compared against hashes
+# from a newer one, so --rebless-context-only refuses until the file
+# is reseeded at a clean round start (ADVICE r8: v2 folds transitive
+# repo-helper sources into the core, closing the wrapper-fn loophole).
+_CORE_VERSION = 2
+_PKG = "duckdb_data_eng_proj_spark"
+
+
+def _referenced_objects(fn):
+    """(name, object) pairs a function's source references: module
+    globals reached by bare Name, plus in-body ``from pkg.mod import x``
+    targets (wrapper fns import their real implementation this way)."""
+    import ast
+    import importlib
+    import textwrap
+
     try:
-        src = inspect.getsource(spec.fn)
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError):
+        return []
+    mod = sys.modules.get(fn.__module__)
+    names: set = set()
+    imports: dict = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name):
+            names.add(node.id)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            for alias in node.names:
+                imports[alias.asname or alias.name] = (node.module, alias.name)
+    objs = []
+    for name in sorted(names):
+        if name in imports:
+            m, attr = imports[name]
+            if m == _PKG or m.startswith(_PKG + "."):
+                try:
+                    obj = getattr(importlib.import_module(m), attr, None)
+                except ImportError:
+                    obj = None
+                if obj is not None:
+                    objs.append((name, obj))
+        elif mod is not None and hasattr(mod, name):
+            objs.append((name, getattr(mod, name)))
+    return objs
+
+
+def _core_sources(fn, seen: set) -> list:
+    """fn's source plus, transitively, the source of every repo-package
+    function/class it references and the repr of every plain-value
+    constant it references — the full behavior surface of the id
+    (ADVICE r8: ts_ewma's recursion lives in _ewma_pdf, stream ids are
+    3-line wrappers over streaming/ingest.py; fn-body-only hashing
+    re-blessed ids whose actual implementation had changed)."""
+    try:
+        src = inspect.getsource(fn)
     except (OSError, TypeError):
-        src = getattr(spec.fn, "__qualname__", repr(spec.fn))
+        return [getattr(fn, "__qualname__", repr(fn))]
+    parts = [src]
+    for name, obj in _referenced_objects(fn):
+        if inspect.isfunction(obj) or inspect.isclass(obj):
+            modname = getattr(obj, "__module__", "") or ""
+            if modname != _PKG and not modname.startswith(_PKG + "."):
+                continue
+            key = (modname, getattr(obj, "__qualname__", name))
+            if key in seen:
+                continue
+            seen.add(key)
+            parts.extend(_core_sources(obj, seen))
+        elif isinstance(obj, (int, float, str, bytes, tuple, frozenset)):
+            parts.append(f"{name}={obj!r}")
+    return parts
+
+
+def _core_hash(spec) -> str:
+    """Hash of the id's full behavior surface — its own source, the
+    transitive repo helpers it calls, the constants it reads, and the
+    oracle text — the components ``--rebless-context-only`` may not
+    change."""
+    seen = {(spec.fn.__module__, getattr(spec.fn, "__qualname__", ""))}
+    parts = _core_sources(spec.fn, seen)
     return hashlib.sha256(
-        "\x00".join([src, spec.oracle or ""]).encode()
+        "\x00".join(parts + [spec.oracle or ""]).encode()
     ).hexdigest()
 
 
@@ -127,6 +201,13 @@ def main() -> None:
                   "in normal mode at a clean round start to seed it).",
                   file=sys.stderr)
             sys.exit(1)
+        if recorded_core.pop("__version__", 1) != _CORE_VERSION:
+            print("REFUSING --rebless-context-only: the recorded core "
+                  f"snapshot predates core-hash v{_CORE_VERSION} — its "
+                  "hashes are not comparable. Reseed by running the "
+                  "script in normal mode at a clean round start.",
+                  file=sys.stderr)
+            sys.exit(1)
         keep = set()
         for qid in green:
             if qid not in REGISTRY:
@@ -148,6 +229,7 @@ def main() -> None:
     # Record the matching core hashes so the next --rebless-context-only
     # can verify against exactly what was blessed here.
     core = {qid: _core_hash(REGISTRY[qid]) for qid in snapshot}
+    core["__version__"] = _CORE_VERSION
     with open(_CORE_SNAPSHOT_PATH, "w") as fh:
         json.dump(core, fh, indent=1, sort_keys=True)
         fh.write("\n")
