@@ -616,7 +616,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Embedding-cosine near-dup: pairs within the same label bucket "
         "with cosine ≥ 0.3. The label equi-join bounds the pair space "
         "(bucketed all-pairs, shuffle keyed by label) — the same plan "
-        "runs with LSH/IVF bucket ids when no natural bucket exists."
+        "runs with LSH/IVF bucket ids when no natural bucket exists. "
+        "BLOCKING-KEY ASSUMPTION (VERDICT r8): within-bucket work is "
+        "QUADRATIC in the bucket size — this operator is the exact-"
+        "verify primitive and presumes max per-key group size stays "
+        "~1e4 vectors (≤1e8 dot products per bucket); for unblocked or "
+        "skew-keyed corpora use sim_lsh_hyperplane / sim_ann_ivf, which "
+        "bound candidates independent of any natural key."
     ),
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
