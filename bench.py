@@ -138,19 +138,21 @@ def _wait_for_idle(max_wait_s: float) -> dict:
     if the deadline passes we run anyway and the "loaded" flag stays
     true, so the artifact still self-documents.
     """
-    deadline = time.monotonic() + max_wait_s
-    waited = 0.0
     box = _box_load()
+    t0 = time.monotonic()
+    deadline = t0 + max_wait_s
     while box["loaded"] and time.monotonic() < deadline:
         print(
-            "bench.py: box loaded (load1=%s idle=%s%%) — waiting 30s for idle"
+            "bench.py: box loaded (load1=%s idle=%s%%) — waiting for idle"
             % (box["load1"], box["cpu_idle_pct"]),
             file=sys.stderr,
         )
-        time.sleep(30)
-        waited = max_wait_s - max(0.0, deadline - time.monotonic())
+        # Sleep only what the deadline allows (ADVICE r9: a fixed 30s
+        # sleep overshoots a smaller remaining budget, and capping the
+        # report at max_wait_s under-states the actual wall wait).
+        time.sleep(min(30.0, max(0.0, deadline - time.monotonic())))
         box = _box_load()
-    box["idle_wait_s"] = round(waited, 1)
+    box["idle_wait_s"] = round(time.monotonic() - t0, 1)
     return box
 
 

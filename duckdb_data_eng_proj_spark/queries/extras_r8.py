@@ -237,11 +237,16 @@ _RES_MH, _RES_ML = _RES_MULT >> 16, _RES_MULT & 0xFFFF
 @register(
     "agg_reservoir_sample",
     oracle=(
+        # DuckDB % follows the dividend's sign while Spark pmod is
+        # always non-negative (ADVICE r9) — double-mod the id so a
+        # negative event_id hashes identically on both engines.
         "SELECT event_type, event_id, rn AS sample_rank FROM ("
         "SELECT event_type, event_id, ROW_NUMBER() OVER ("
         "PARTITION BY event_type ORDER BY "
-        f"(((event_id % 4294967296) * {_RES_MH} % 65536) * 65536 "
-        f"+ (event_id % 4294967296) * {_RES_ML} + {_RES_SALT}) "
+        "(((((event_id % 4294967296) + 4294967296) % 4294967296) "
+        f"* {_RES_MH} % 65536) * 65536 "
+        f"+ (((event_id % 4294967296) + 4294967296) % 4294967296) "
+        f"* {_RES_ML} + {_RES_SALT}) "
         "% 4294967296, event_id"
         f") AS rn FROM events) WHERE rn <= {_RES_K}"
     ),

@@ -51,18 +51,26 @@ _CORE_SNAPSHOT_PATH = entrymod._SNAPSHOT_PATH.replace(
 # snapshot from an older definition CANNOT be compared against hashes
 # from a newer one, so --rebless-context-only refuses until the file
 # is reseeded at a clean round start (ADVICE r8: v2 folds transitive
-# repo-helper sources into the core, closing the wrapper-fn loophole).
-_CORE_VERSION = 2
+# repo-helper sources into the core, closing the wrapper-fn loophole;
+# ADVICE r9: v3 adds list/dict/set module constants — sets via sorted
+# repr, raw set repr follows hash randomization — and dotted
+# ``mod.helper`` references whose base is a repo-package module).
+_CORE_VERSION = 3
 _PKG = "duckdb_data_eng_proj_spark"
 
 
 def _referenced_objects(fn):
     """(name, object) pairs a function's source references: module
-    globals reached by bare Name, plus in-body ``from pkg.mod import x``
-    targets (wrapper fns import their real implementation this way)."""
+    globals reached by bare Name, in-body ``from pkg.mod import x``
+    targets (wrapper fns import their real implementation this way),
+    and dotted ``mod.helper`` chains whose base resolves to a
+    repo-package module (ADVICE r9: attribute-style references were
+    invisible to the core hash, so behavior routed through them was
+    still re-blessable)."""
     import ast
     import importlib
     import textwrap
+    import types
 
     try:
         src = textwrap.dedent(inspect.getsource(fn))
@@ -71,26 +79,58 @@ def _referenced_objects(fn):
         return []
     mod = sys.modules.get(fn.__module__)
     names: set = set()
+    chains: set = set()
     imports: dict = {}
     for node in ast.walk(tree):
         if isinstance(node, ast.Name):
             names.add(node.id)
+        elif isinstance(node, ast.Attribute):
+            attrs = []
+            cur = node
+            while isinstance(cur, ast.Attribute):
+                attrs.append(cur.attr)
+                cur = cur.value
+            if isinstance(cur, ast.Name):
+                chains.add((cur.id, tuple(reversed(attrs))))
         elif isinstance(node, ast.ImportFrom) and node.module:
             for alias in node.names:
                 imports[alias.asname or alias.name] = (node.module, alias.name)
-    objs = []
-    for name in sorted(names):
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                imports[alias.asname or alias.name] = (alias.name, None)
+
+    def _resolve_base(name):
         if name in imports:
             m, attr = imports[name]
             if m == _PKG or m.startswith(_PKG + "."):
                 try:
-                    obj = getattr(importlib.import_module(m), attr, None)
+                    imported = importlib.import_module(m)
                 except ImportError:
-                    obj = None
-                if obj is not None:
-                    objs.append((name, obj))
-        elif mod is not None and hasattr(mod, name):
-            objs.append((name, getattr(mod, name)))
+                    return None
+                return imported if attr is None else getattr(imported, attr, None)
+            return None
+        if mod is not None and hasattr(mod, name):
+            return getattr(mod, name)
+        return None
+
+    objs = []
+    for name in sorted(names):
+        obj = _resolve_base(name)
+        if obj is not None:
+            objs.append((name, obj))
+    for base, attrs in sorted(chains):
+        obj = _resolve_base(base)
+        if not isinstance(obj, types.ModuleType):
+            continue
+        modname = getattr(obj, "__name__", "") or ""
+        if modname != _PKG and not modname.startswith(_PKG + "."):
+            continue
+        for attr in attrs:
+            obj = getattr(obj, attr, None)
+            if obj is None:
+                break
+        if obj is not None:
+            objs.append((".".join((base,) + attrs), obj))
     return objs
 
 
@@ -116,8 +156,16 @@ def _core_sources(fn, seen: set) -> list:
                 continue
             seen.add(key)
             parts.extend(_core_sources(obj, seen))
-        elif isinstance(obj, (int, float, str, bytes, tuple, frozenset)):
-            parts.append(f"{name}={obj!r}")
+        elif isinstance(obj, (int, float, str, bytes, tuple, frozenset,
+                              list, dict, set, bool, type(None))):
+            # list/dict/set folded too (ADVICE r9): repr is
+            # deterministic for literal module constants, and skipping
+            # them left behavior routed through e.g. a module-level
+            # config dict re-blessable.
+            if isinstance(obj, (set, frozenset)):
+                parts.append(f"{name}={sorted(map(repr, obj))!r}")
+            else:
+                parts.append(f"{name}={obj!r}")
     return parts
 
 

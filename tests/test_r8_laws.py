@@ -303,14 +303,21 @@ def test_reservoir_hash_decomposition_exact_and_overflow_free(spark, oracle_con)
 
     rng = random.Random(86)
     ids = [0, 1, 2**31, 2**32 - 1, 2**32, 3_470_000_000, 2**62, 2**63 - 1]
+    # Negative ids too (ADVICE r9): DuckDB % follows the dividend's
+    # sign where Spark pmod / Python % floor — the oracle's double-mod
+    # must land every engine on the same non-negative residue.
+    ids += [-1, -5, -(2**31), -(2**32), -(2**32) - 7, -(2**63)]
     ids += [rng.randrange(0, 2**63) for _ in range(500)]
+    ids += [-rng.randrange(1, 2**63) for _ in range(100)]
     expect = [((i % 2**32) * _RES_MULT + _RES_SALT) % 2**32 for i in ids]
 
     duck = [
         r[0]
         for r in oracle_con.execute(
-            f"SELECT (((i % 4294967296) * {_RES_MH} % 65536) * 65536 "
-            f"+ (i % 4294967296) * {_RES_ML} + {_RES_SALT}) % 4294967296 "
+            "SELECT (((((i % 4294967296) + 4294967296) % 4294967296) "
+            f"* {_RES_MH} % 65536) * 65536 "
+            f"+ (((i % 4294967296) + 4294967296) % 4294967296) "
+            f"* {_RES_ML} + {_RES_SALT}) % 4294967296 "
             "FROM (SELECT unnest(?) AS i)",
             [ids],
         ).fetchall()

@@ -125,19 +125,36 @@ def test_verified_band_rotates_oldest_evidence_first():
     head = [q for q in entry._recert_head() if q in verified]
     assert band3[: len(head)] == head
     # self-expiry invariant: every id in the filtered head is stale by
-    # construction, and every _RECERT_PRIORITY id with fresh evidence
-    # has been dropped from it.
+    # construction (the complementary direction is exercised against a
+    # synthetic rounds fixture below — asserting it here against the
+    # same _latest_green_rounds data would restate the definition,
+    # ADVICE r9).
     assert all(rounds.get(q, 0) <= entry._RECERT_STALE_MAX for q in head)
-    assert all(
-        q in entry._recert_head()
-        for q in entry._RECERT_PRIORITY
-        if rounds.get(q, 0) <= entry._RECERT_STALE_MAX
-    )
     tail_seq = [rounds.get(q, 0) for q in band3[len(head):]]
     assert tail_seq == sorted(tail_seq)
     # and the verified band always sits AFTER every unverified id
     first_verified = next((i for i, q in enumerate(ordered) if q in verified), len(ordered))
     assert all(q in verified for q in ordered[first_verified:])
+
+
+def test_recert_head_expiry_both_directions(monkeypatch):
+    # Controlled-data check of _recert_head's expiry (ADVICE r9): with
+    # a synthetic rounds fixture, a stale id stays in the head, a
+    # freshly re-certified id drops out, and an id with no evidence at
+    # all (rounds 0) counts as stale.
+    if not entry._RECERT_PRIORITY:
+        pytest.skip("steering head empty this round")
+    ids = list(entry._RECERT_PRIORITY)
+    stale, fresh = ids[0], ids[-1]
+    synthetic = {q: entry._RECERT_STALE_MAX for q in ids}
+    synthetic[fresh] = entry._RECERT_STALE_MAX + 1
+    synthetic.pop(stale, None)  # no evidence -> treated as round 0
+    monkeypatch.setattr(entry, "_latest_green_rounds", lambda: synthetic)
+    head = entry._recert_head()
+    assert stale in head
+    if fresh != stale:
+        assert fresh not in head
+    assert head == [q for q in ids if synthetic.get(q, 0) <= entry._RECERT_STALE_MAX]
 
 
 def test_snapshot_never_verifies_beyond_green_rows():
