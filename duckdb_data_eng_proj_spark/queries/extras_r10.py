@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.operators.textops import tokens
 from duckdb_data_eng_proj_spark.queries.registry import register, t
+from duckdb_data_eng_proj_spark.queries.training import _LSH_PRELUDE
 
 # ---------------------------------------------------------------------------
 # agg_sketch_hll
@@ -302,4 +303,320 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_false_positive"),
             "bits_set",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank
+
+_PR_ROUNDS = 3
+_PR_SCALE = 1_000_000  # micro-units of rank mass per node
+
+# Unrolled damped update in exact integers (d = 0.85):
+#   pr_{t+1}(v) = 150000 + (85 · Σ_{u→v} (pr_t(u) DIV deg(u))) DIV 100
+# Every operand is positive, so DuckDB // == Spark DIV == floor. The
+# symmetrized LSH graph has deg >= 1 for every node and every node
+# receives >= 1 edge, so there is no dangling mass and each iteration
+# covers exactly the node set. Overflow: Σ contributions <= n·10^6, so
+# 85·Σ fits BIGINT to n ≈ 10^11 nodes.
+_PR_EDGES_SQL = (
+    "prcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+    "FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket "
+    "AND x.doc_id < y.doc_id WHERE x.bucket IS NOT NULL), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM prcand "
+    "UNION SELECT doc_b, doc_a FROM prcand), "
+    "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)"
+)
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT e.dst AS node, "
+        f"150000 + (85 * CAST(SUM({prev}.pr // deg.d) AS BIGINT)) // 100 AS pr "
+        f"FROM edges e JOIN {prev} ON {prev}.node = e.src "
+        f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=(
+        "{prelude}, {edges}, "
+        "p0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS pr FROM deg), "
+        "{i1}, {i2}, {i3} "
+        "SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr_u, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT) AS pr_rank "
+        "FROM p3".format(
+            prelude=_LSH_PRELUDE,
+            edges=_PR_EDGES_SQL,
+            scale=_PR_SCALE,
+            i1=_pr_iter_sql("p0", "p1"),
+            i2=_pr_iter_sql("p1", "p2"),
+            i3=_pr_iter_sql("p2", "p3"),
+        )
+    ),
+    doc=(
+        "Damped PageRank over the symmetrized LSH near-dup graph — the "
+        "iterative centrality sibling of dedup_cluster_cc (components) "
+        "and graph_label_communities (communities): 3 synchronous "
+        f"rounds in exact {_PR_SCALE}-unit integers, pr <- 0.15 + "
+        "0.85·Σ pr(u)/deg(u) with every division truncating BIGINT "
+        "(positive operands, so DuckDB // == Spark DIV), no floating "
+        "state anywhere. Edges come from the same band-bucket candidate "
+        "join as ext_dedup_near (bounded, never all-pairs); the edge "
+        "and degree tables are localCheckpointed once and reused by all "
+        "rounds, so each iteration is ONE edge-keyed join + ONE "
+        "dst-keyed aggregate — the state-sized-shuffle shape "
+        "dedup_cluster_cc proved out; mass overflow at n ≈ 10^11 nodes, "
+        "far past 100 TB. Output: per-node rank mass and the dense "
+        "centrality ordering (pr_rank)."
+    ),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.training import _lsh_bands_df
+
+    bands = _lsh_bands_df(spark, sf_dir)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("src"), F.col("y.doc_id").alias("dst"))
+        .distinct()
+    )
+    edges = (
+        cand.unionAll(cand.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(eager=False)
+    pr = deg.select("src", F.lit(_PR_SCALE).cast("long").alias("pr")).withColumnRenamed(
+        "src", "node"
+    )
+    for _ in range(_PR_ROUNDS):
+        pr = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("pr DIV d").alias("share"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(150000).cast("long")
+                    + F.expr("85 * CAST(SUM(share) AS BIGINT) DIV 100")
+                ).alias("pr")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    w = Window.orderBy(F.col("pr").desc(), "node")
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("pr").cast("long").alias("pr_u"),
+        F.row_number().over(w).cast("long").alias("pr_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_anomaly_mad
+
+# Integer median via the dual-row_number order statistics: with rows
+# ranked rn = 1..n (ORDER BY v, bucket_ts for a total order), the sum
+# of the values at rn = (n+1)//2 and rn = (n+2)//2 is exactly 2·median
+# (odd n picks the same row twice). Running the same trick over the
+# doubled absolute deviations |2v - med2| yields 4·MAD. Everything
+# stays BIGINT; the 3-sigma-equivalent flag |v - med| > 3·MAD is then
+# the integer predicate 2·dev2 > 3·mad4. No quantile builtin is used
+# anywhere: DuckDB quantile_cont/Spark percentile interpolate in
+# DOUBLE and would not hash-match.
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle=(
+        "WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c100 "
+        "FROM events GROUP BY 1, 2), "
+        "rk AS (SELECT user_id, bucket_ts, v_c100, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v_c100, bucket_ts) "
+        "AS rn, COUNT(*) OVER (PARTITION BY user_id) AS n FROM b), "
+        "med AS (SELECT user_id, CAST(SUM("
+        "CASE WHEN rn = (n + 1) // 2 THEN v_c100 ELSE 0 END + "
+        "CASE WHEN rn = (n + 2) // 2 THEN v_c100 ELSE 0 END) AS BIGINT) "
+        "AS med2 FROM rk GROUP BY user_id), "
+        "dev AS (SELECT rk.user_id, rk.bucket_ts, rk.v_c100, med.med2, "
+        "abs(2 * rk.v_c100 - med.med2) AS dev2 "
+        "FROM rk JOIN med ON med.user_id = rk.user_id), "
+        "drk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY dev2, bucket_ts) AS rn, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS n FROM dev), "
+        "mad AS (SELECT user_id, CAST(SUM("
+        "CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END + "
+        "CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END) AS BIGINT) "
+        "AS mad4 FROM drk GROUP BY user_id) "
+        "SELECT dev.user_id, CAST(dev.bucket_ts AS TIMESTAMP) AS bucket_ts, "
+        "dev.v_c100, dev.med2, mad.mad4, "
+        "CAST(2 * dev.dev2 > 3 * mad.mad4 AS BIGINT) AS is_anomaly "
+        "FROM dev JOIN mad ON mad.user_id = dev.user_id"
+    ),
+    doc=(
+        "Median/MAD anomaly flags over per-user hourly cent-unit "
+        "buckets — the robust-outlier sibling of ts_ewma/ts_holt_linear "
+        "(mean-based smoothers move with the outlier; median/MAD does "
+        "not): median and MAD are computed as 2·median and 4·MAD via "
+        "dual-row_number order statistics so the entire pipeline is "
+        "BIGINT-exact, and a bucket flags when 2·dev2 > 3·mad4 (i.e. "
+        "|v - med| > 3·MAD, the standard robust cut). Scale shape: one "
+        "map-side-combinable bucket aggregate, then two user-keyed "
+        "window passes over the BUCKET table (<= one row per user-hour, "
+        "never raw events) — the ts_ewma partitioning argument; a "
+        "constant-series group has MAD = 0 and flags every deviation, "
+        "the documented MAD caveat, identically on both engines."
+    ),
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (
+        raw.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_trunc("hour", _event_ts(raw)).alias("bucket_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "bucket_ts")
+        .agg(F.sum("v").alias("v_c100"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("v_c100", "bucket_ts")
+    wn = Window.partitionBy("user_id")
+    rk = b.select(
+        "user_id",
+        "bucket_ts",
+        "v_c100",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = rk.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("v_c100")).otherwise(0)
+            + F.when(F.col("rn") == F.expr("(n + 2) DIV 2"), F.col("v_c100")).otherwise(0)
+        ).alias("med2")
+    )
+    dev = rk.join(med, "user_id").select(
+        "user_id",
+        "bucket_ts",
+        "v_c100",
+        "med2",
+        F.abs(2 * F.col("v_c100") - F.col("med2")).alias("dev2"),
+    )
+    wd = Window.partitionBy("user_id").orderBy("dev2", "bucket_ts")
+    drk = dev.select(
+        "*",
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mad = drk.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("dev2")).otherwise(0)
+            + F.when(F.col("rn") == F.expr("(n + 2) DIV 2"), F.col("dev2")).otherwise(0)
+        ).alias("mad4")
+    )
+    return dev.join(mad, "user_id").select(
+        "user_id",
+        "bucket_ts",
+        "v_c100",
+        "med2",
+        "mad4",
+        (2 * F.col("dev2") > 3 * F.col("mad4")).cast("long").alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# evt_funnel_steps
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "evt_funnel_steps",
+    oracle=(
+        "WITH u AS (SELECT DISTINCT user_id FROM events), "
+        f"s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+        f"WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id), "
+        f"s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        f"JOIN s1 ON s1.user_id = e.user_id "
+        f"WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t1 GROUP BY e.user_id), "
+        f"s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+        f"JOIN s2 ON s2.user_id = e.user_id "
+        f"WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t2 GROUP BY e.user_id), "
+        f"s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e "
+        f"JOIN s3 ON s3.user_id = e.user_id "
+        f"WHERE e.event_type = '{_FUNNEL[3]}' AND e.ts > s3.t3 GROUP BY e.user_id) "
+        "SELECT u.user_id, "
+        "CAST(s1.t1 AS TIMESTAMP) AS t1, CAST(s2.t2 AS TIMESTAMP) AS t2, "
+        "CAST(s3.t3 AS TIMESTAMP) AS t3, CAST(s4.t4 AS TIMESTAMP) AS t4, "
+        "CAST(CASE WHEN s4.t4 IS NOT NULL THEN 4 WHEN s3.t3 IS NOT NULL THEN 3 "
+        "WHEN s2.t2 IS NOT NULL THEN 2 WHEN s1.t1 IS NOT NULL THEN 1 "
+        "ELSE 0 END AS BIGINT) AS funnel_stage "
+        "FROM u LEFT JOIN s1 ON s1.user_id = u.user_id "
+        "LEFT JOIN s2 ON s2.user_id = u.user_id "
+        "LEFT JOIN s3 ON s3.user_id = u.user_id "
+        "LEFT JOIN s4 ON s4.user_id = u.user_id"
+    ),
+    doc=(
+        "Ordered conversion funnel (signup → view → click → purchase) "
+        "with strict temporal ordering: stage k's timestamp is the "
+        "EARLIEST event of type k strictly after the user's stage-k-1 "
+        "timestamp — the sequential-pattern primitive next to "
+        "evt_markov_transition (pairwise flow) and ext_sessionize "
+        "(gap-based grouping). Each stage is one filtered conditional "
+        "MIN joined against the previous stage's (user, ts) table — "
+        "per-user state only, so at 100 TB each stage is a "
+        "type-filtered scan (predicate pushed to parquet) joined to a "
+        "user-keyed aggregate no bigger than the user dimension; 4 "
+        "stages = 4 such passes, no window over raw events and no "
+        "per-user event array is ever materialized."
+    ),
+)
+def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        _event_ts(raw).alias("ts"),
+    )
+    u = ev.select("user_id").distinct()
+    prev = None
+    stages = []
+    for k, etype in enumerate(_FUNNEL, start=1):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            s = e.groupBy("user_id").agg(F.min("ts").alias(f"t{k}"))
+        else:
+            s = (
+                e.join(prev, "user_id")
+                .filter(F.col("ts") > F.col(f"t{k - 1}"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(f"t{k}"))
+            )
+        stages.append(s)
+        prev = s
+    out = u
+    for s in stages:
+        out = out.join(s, "user_id", "left")
+    stage = (
+        F.when(F.col("t4").isNotNull(), 4)
+        .when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return out.select(
+        "user_id", "t1", "t2", "t3", "t4", stage.alias("funnel_stage")
     )
