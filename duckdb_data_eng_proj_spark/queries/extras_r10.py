@@ -620,3 +620,234 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "t1", "t2", "t3", "t4", stage.alias("funnel_stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_round
+
+_KM_K = 8
+_KM_Q = 1000  # fixed-point quantization: q = round(x · 1000)
+
+# One Lloyd iteration in exact integers: embeddings quantized to
+# thousandths (|x| < ~10 → |q| <= 10^4; squared diffs <= 4·10^8, ×64
+# dims <= 2.6·10^10 — BIGINT-trivial), seeds = the _KM_K smallest
+# vec_ids (deterministic, no RNG), assignment = argmin of exact integer
+# squared L2 with ties to the smallest centroid id, update = per-dim
+# SUM DIV count (signed sums: DuckDB // and Spark DIV both truncate
+# toward zero — the r8 sign-parity law — so negative coordinates are
+# safe).
+
+
+@register(
+    "ml_kmeans_round",
+    oracle=(
+        "WITH q AS (SELECT vec_id, u.i AS d, u.q AS q FROM ("
+        "SELECT vec_id, unnest(list_transform(range(len(embedding)), "
+        f"i -> {{'i': i, 'q': CAST(round(embedding[i+1] * {_KM_Q}, 0) "
+        "AS BIGINT)})) AS u FROM embeddings)), "
+        f"seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}), "
+        "cent AS (SELECT q.vec_id AS cid, q.d, q.q AS cq FROM q "
+        "JOIN seeds ON seeds.vec_id = q.vec_id), "
+        "dist AS (SELECT q.vec_id, cent.cid, "
+        "CAST(SUM((q.q - cent.cq) * (q.q - cent.cq)) AS BIGINT) AS d2 "
+        "FROM q JOIN cent ON cent.d = q.d GROUP BY q.vec_id, cent.cid), "
+        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
+        "FROM dist) WHERE rn = 1) "
+        "SELECT a.cid, q.d, "
+        "CAST(MAX(c.cq) AS BIGINT) AS old_q, "
+        "CAST(SUM(q.q) // COUNT(*) AS BIGINT) AS new_q, "
+        "CAST(COUNT(*) AS BIGINT) AS cluster_n "
+        "FROM assign a JOIN q ON q.vec_id = a.vec_id "
+        "JOIN cent c ON c.cid = a.cid AND c.d = q.d "
+        "GROUP BY a.cid, q.d"
+    ),
+    doc=(
+        "One exact-integer Lloyd (k-means) iteration over the "
+        f"embeddings table: k = {_KM_K} deterministic seeds (the "
+        "smallest vec_ids), coordinates quantized to thousandths, "
+        "assignment by exact integer squared-L2 argmin (ties to the "
+        "smallest centroid id), and the centroid update as per-dim "
+        "truncating integer mean — the clustering sibling of "
+        "sim_ann_ivf's centroid machinery, with the arithmetic fully "
+        "hash-verifiable (float k-means never matches across engines). "
+        "Scale shape: centroids are k·dim rows (broadcast); the "
+        "assignment is a map-side broadcast join + per-vector argmin "
+        "(no shuffle of the embedding table beyond its one "
+        "posexplode-aggregate pass); the update is one (cid, dim)-keyed "
+        "map-side-combinable aggregate — k·dim output rows of state. "
+        "At 100 TB that is exactly distributed k-means' per-iteration "
+        "cost: one pass over the fact table, k·dim state, repeat."
+    ),
+)
+def ml_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("d", "x"),
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("x") * _KM_Q, 0).cast("long").alias("q"),
+    )
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(_KM_K)
+    cent = (
+        q.join(F.broadcast(seeds), "vec_id")
+        .select(F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        q.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d2")
+        )
+    )
+    assign = (
+        dist.select(
+            "vec_id",
+            "cid",
+            F.row_number()
+            .over(Window.partitionBy("vec_id").orderBy("d2", "cid"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    return (
+        assign.join(q, "vec_id")
+        .join(
+            F.broadcast(cent.withColumnRenamed("cq", "cq_old")),
+            ["cid", "d"],
+        )
+        .groupBy("cid", "d")
+        .agg(
+            F.max("cq_old").alias("old_q"),
+            F.expr("CAST(SUM(q) DIV COUNT(*) AS BIGINT)").alias("new_q"),
+            F.count("*").alias("cluster_n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_pmi_colloc
+
+_PMI_MIN_C = 5
+
+# PMI in integer micro-nats as an exact SUM OF ln_u TERMS — each ln_u
+# is taken on a BIGINT count (the ml_naive_bayes / txt_entropy
+# discipline), and the PMI is DEFINED as
+#   pmi_u = ln_u(c_ab) + 2·ln_u(N_uni) - ln_u(N_bi) - ln_u(c_a) - ln_u(c_b)
+# (identical formula both engines), which avoids ever forming the
+# c_ab·N² product that would overflow BIGINT at corpus scale.
+_PMI_LN_U = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+
+
+@register(
+    "txt_pmi_colloc",
+    oracle=(
+        "WITH toks AS (SELECT list_filter(string_split_regex(lower(trim(text)), "
+        "'\\s+'), x -> x <> '') AS tk FROM documents), "
+        "bg AS (SELECT u.a AS tok_a, u.b AS tok_b FROM (SELECT "
+        "unnest(list_transform(range(len(tk) - 1), "
+        "i -> {'a': tk[i+1], 'b': tk[i+2]})) AS u FROM toks WHERE len(tk) > 1)), "
+        "uni AS (SELECT unnest(tk) AS tok FROM toks), "
+        "ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok), "
+        "cab AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab "
+        f"FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_C}), "
+        "nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM uni), "
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bg), "
+        "p AS (SELECT cab.tok_a, cab.tok_b, cab.c_ab, "
+        + _PMI_LN_U.format(x="cab.c_ab")
+        + " + 2 * " + _PMI_LN_U.format(x="nu.n_uni")
+        + " - " + _PMI_LN_U.format(x="nb.n_bi")
+        + " - " + _PMI_LN_U.format(x="a.c")
+        + " - " + _PMI_LN_U.format(x="b.c")
+        + " AS pmi_u "
+        "FROM cab JOIN ca a ON a.tok = cab.tok_a "
+        "JOIN ca b ON b.tok = cab.tok_b CROSS JOIN nu CROSS JOIN nb) "
+        "SELECT tok_a, tok_b, c_ab, pmi_u, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY pmi_u DESC, tok_a, tok_b) AS BIGINT) "
+        "AS pmi_rank FROM p"
+    ),
+    doc=(
+        "Bigram collocation mining by pointwise mutual information in "
+        "integer micro-nats — the phrase-level sibling of txt_top_tokens "
+        "(unigram frequency) and txt_boilerplate_phrases (n-gram "
+        f"repetition): adjacent-token bigrams with count >= {_PMI_MIN_C} "
+        "scored by pmi_u = ln_u(c_ab) + 2·ln_u(N_uni) - ln_u(N_bi) - "
+        "ln_u(c_a) - ln_u(c_b), each ln_u a micro-nat log of a BIGINT "
+        "count (the ml_naive_bayes discipline; the summed form never "
+        "builds the c·N² product that would overflow at corpus scale). "
+        "High PMI = tokens that co-occur far above chance — the "
+        "collocation/named-entity signal used to build tokenizer merge "
+        "candidates and phrase vocabularies. Scale shape: bigrams via "
+        "an in-row array transform (no self-join on position), then two "
+        "map-side-combinable counts (bigram-keyed, token-keyed) and a "
+        "broadcast join of the vocab-sized count tables onto the "
+        "filtered bigram list."
+    ),
+)
+def txt_pmi_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+
+    def L(col):
+        return F.round(F.log(col) * 1_000_000, 0).cast("long")
+
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    tk = d.select(tokens(F.col("text")).alias("tk"))
+    bg = (
+        tk.filter(F.size("tk") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) as a, element_at(tk, i + 1) as b))"
+                )
+            ).alias("u")
+        )
+        .select(F.col("u.a").alias("tok_a"), F.col("u.b").alias("tok_b"))
+    )
+    uni = tk.select(F.explode("tk").alias("tok"))
+    ca = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    cab = (
+        bg.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_C)
+    )
+    nu = uni.agg(F.count("*").alias("n_uni"))
+    nb = bg.agg(F.count("*").alias("n_bi"))
+    p = (
+        cab.join(
+            F.broadcast(ca.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(ca.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            (
+                L(F.col("c_ab"))
+                + 2 * L(F.col("n_uni"))
+                - L(F.col("n_bi"))
+                - L(F.col("c_a"))
+                - L(F.col("c_b"))
+            ).alias("pmi_u"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi_u").desc(), "tok_a", "tok_b")
+    return p.select(
+        "tok_a",
+        "tok_b",
+        "c_ab",
+        "pmi_u",
+        F.row_number().over(w).cast("long").alias("pmi_rank"),
+    )
