@@ -537,6 +537,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evt_funnel_steps
 
 _FUNNEL = ("signup", "view", "click", "purchase")
+_FUNNEL_WINDOW_H = 24  # each step must convert within 24h of the last
 
 
 @register(
@@ -547,13 +548,16 @@ _FUNNEL = ("signup", "view", "click", "purchase")
         f"WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id), "
         f"s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
         f"JOIN s1 ON s1.user_id = e.user_id "
-        f"WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t1 GROUP BY e.user_id), "
+        f"WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t1 "
+        f"AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY e.user_id), "
         f"s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
         f"JOIN s2 ON s2.user_id = e.user_id "
-        f"WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t2 GROUP BY e.user_id), "
+        f"WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t2 "
+        f"AND e.ts <= s2.t2 + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY e.user_id), "
         f"s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e "
         f"JOIN s3 ON s3.user_id = e.user_id "
-        f"WHERE e.event_type = '{_FUNNEL[3]}' AND e.ts > s3.t3 GROUP BY e.user_id) "
+        f"WHERE e.event_type = '{_FUNNEL[3]}' AND e.ts > s3.t3 "
+        f"AND e.ts <= s3.t3 + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY e.user_id) "
         "SELECT u.user_id, "
         "CAST(s1.t1 AS TIMESTAMP) AS t1, CAST(s2.t2 AS TIMESTAMP) AS t2, "
         "CAST(s3.t3 AS TIMESTAMP) AS t3, CAST(s4.t4 AS TIMESTAMP) AS t4, "
@@ -567,9 +571,11 @@ _FUNNEL = ("signup", "view", "click", "purchase")
     ),
     doc=(
         "Ordered conversion funnel (signup → view → click → purchase) "
-        "with strict temporal ordering: stage k's timestamp is the "
-        "EARLIEST event of type k strictly after the user's stage-k-1 "
-        "timestamp — the sequential-pattern primitive next to "
+        "with strict temporal ordering and a conversion window: stage k's "
+        "timestamp is the EARLIEST event of type k strictly after the "
+        f"user's stage-k-1 timestamp and within {_FUNNEL_WINDOW_H}h of "
+        "it (without the window every tracked user eventually converts "
+        "and the funnel is vacuous) — the sequential-pattern primitive next to "
         "evt_markov_transition (pairwise flow) and ext_sessionize "
         "(gap-based grouping). Each stage is one filtered conditional "
         "MIN joined against the previous stage's (user, ts) table — "
@@ -600,7 +606,14 @@ def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             s = (
                 e.join(prev, "user_id")
-                .filter(F.col("ts") > F.col(f"t{k - 1}"))
+                .filter(
+                    (F.col("ts") > F.col(f"t{k - 1}"))
+                    & (
+                        F.col("ts")
+                        <= F.col(f"t{k - 1}")
+                        + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+                    )
+                )
                 .groupBy("user_id")
                 .agg(F.min("ts").alias(f"t{k}"))
             )

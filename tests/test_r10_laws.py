@@ -1,0 +1,276 @@
+"""Algorithmic laws for the round-9/round-10 operators.
+
+The oracle rows prove cross-engine equality; these tests prove the
+shared definition is the RIGHT one — each operator's output is checked
+against an independent pure-Python reimplementation (or a published
+invariant) on the sf0.001 tables, the same adversarial posture as
+tests/test_r8_laws.py:
+
+- txt_longest_common_substring: the gaps-and-islands diagonal-run
+  trick equals textbook O(n·m) dynamic programming on random pairs.
+- ml_gbdt_round: the integer AdaBoost reweight equalizes correct and
+  misclassified mass to within one truncation unit.
+- agg_sketch_hll: registers reproduce an independent md5 replay
+  exactly, and the estimate lands within published HLL error.
+- agg_bloom_filter: zero false negatives (a Bloom filter's one hard
+  guarantee), and the bit state reproduces an md5 replay.
+- graph_pagerank: exact replay of the 3-round integer recursion over
+  the operator's own edge set.
+- ts_anomaly_mad: med2/mad4 equal 2·median / 4·MAD computed by
+  statistics.median per user.
+- evt_funnel_steps: stage timestamps strictly increase and the stage
+  number is consistent with which timestamps exist.
+- ml_kmeans_round: every vector is assigned to a truly nearest
+  centroid, and each new centroid coordinate is the truncated mean of
+  its members (replayed in Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import statistics
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# txt_longest_common_substring — diagonal-run identity vs textbook DP
+
+
+def _lcs_dp(a: list, b: list) -> int:
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+def _lcs_diagonal(a: list, b: list) -> int:
+    # the operator's formulation: longest run of consecutive ia along
+    # one diagonal (ia - jb) of the position-match relation
+    runs: dict = defaultdict(list)
+    for ia, x in enumerate(a):
+        for jb, y in enumerate(b):
+            if x == y:
+                runs[ia - jb].append(ia)
+    best = 0
+    for ias in runs.values():  # every list is non-empty by construction
+        ias.sort()
+        streak = 1
+        best = max(best, 1)
+        for p, nxt in zip(ias, ias[1:]):
+            streak = streak + 1 if nxt == p + 1 else 1
+            best = max(best, streak)
+    return best
+
+
+def test_lcs_diagonal_equals_dp():
+    rng = random.Random(10)
+    vocab = list("abcdef")
+    for _ in range(300):
+        a = [rng.choice(vocab) for _ in range(rng.randint(0, 18))]
+        b = [rng.choice(vocab) for _ in range(rng.randint(0, 18))]
+        assert _lcs_diagonal(a, b) == _lcs_dp(a, b), (a, b)
+
+
+# ---------------------------------------------------------------------------
+# ml_gbdt_round — AdaBoost mass equalization within truncation
+
+
+def test_gbdt_reweight_equalizes_mass(spark, oracle_con):
+    rows = REGISTRY["ml_gbdt_round"].fn(spark, SF_DIR).collect()
+    assert rows
+    n = oracle_con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    r = rows[0]
+    n_corr = n - r["n_err1"]
+    if r["n_err1"] > 0:
+        # w_wrong = (n_corr·1000) // n_err ⇒ misclassified mass is
+        # within one truncation quantum (< n_err) of the correct mass
+        wrong_mass = r["w_wrong"] * r["n_err1"]
+        corr_mass = 1000 * n_corr
+        assert 0 <= corr_mass - wrong_mass < r["n_err1"]
+    # split_rank is a permutation and the boosted stump is rank 1
+    ranks = sorted(row["split_rank"] for row in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+# ---------------------------------------------------------------------------
+# agg_sketch_hll — md5 replay + published error bound
+
+
+def test_hll_registers_replay_and_error_bound(spark, oracle_con):
+    out = REGISTRY["agg_sketch_hll"].fn(spark, SF_DIR).collect()
+    assert len(out) == 64
+    toks = oracle_con.execute(
+        "SELECT DISTINCT unnest(list_filter(string_split_regex("
+        "lower(trim(text)), '\\s+'), x -> x <> '')) FROM documents"
+    ).fetchall()
+    reg = [0] * 64
+    for (tok,) in toks:
+        hv = int(hashlib.md5(f"hll-v1:{tok}".encode()).hexdigest()[:15], 16)
+        rest = hv // 64
+        rho = 55 if rest == 0 else 55 - rest.bit_length()
+        b = hv % 64
+        reg[b] = max(reg[b], rho)
+    got = {r["bucket"]: r["rho_max"] for r in out}
+    assert got == {b: reg[b] for b in range(64)}
+    true_distinct = out[0]["true_distinct"]
+    assert true_distinct == len(toks)
+    # 1.04/sqrt(64) = 13% standard error; 3σ gate
+    assert abs(out[0]["err_pml"]) < 390
+
+
+# ---------------------------------------------------------------------------
+# agg_bloom_filter — no false negatives, exact bit replay
+
+
+def test_bloom_no_false_negatives_and_bit_replay(spark, oracle_con):
+    out = REGISTRY["agg_bloom_filter"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        if r["is_member"]:
+            assert r["in_bloom"] == 1, r  # the Bloom guarantee
+        assert r["is_false_positive"] == int(bool(r["in_bloom"]) and not r["is_member"])
+    members = oracle_con.execute(
+        "SELECT DISTINCT p_brand, CAST(p_size AS VARCHAR) FROM part"
+    ).fetchall()
+    bits = defaultdict(set)
+    for brand, sz in members:
+        for j in range(3):
+            pos = int(hashlib.md5(f"bloom-{j}:{sz}".encode()).hexdigest()[:8], 16) % 512
+            bits[brand].add(pos)
+    for r in out:
+        assert r["bits_set"] == len(bits[r["p_brand"]])
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank — exact integer replay over the operator's edge set
+
+
+def test_pagerank_replays_integer_recursion(spark):
+    from duckdb_data_eng_proj_spark.queries.training import _lsh_bands_df
+
+    bands = _lsh_bands_df(spark, SF_DIR).collect()
+    buckets = defaultdict(list)
+    for r in bands:
+        if r["bucket"] is not None:
+            buckets[(r["band"], r["bucket"])].append(r["doc_id"])
+    edges = set()
+    for docs in buckets.values():
+        docs = sorted(set(docs))
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                edges.add((a, b))
+                edges.add((b, a))
+    out_n = defaultdict(list)
+    deg = Counter(src for src, _ in edges)
+    for src, dst in edges:
+        out_n[src].append(dst)
+    pr = {v: 1_000_000 for v in deg}
+    for _ in range(3):
+        recv = defaultdict(int)
+        for u, nbrs in out_n.items():
+            share = pr[u] // deg[u]
+            for v in nbrs:
+                recv[v] += share
+        pr = {v: 150_000 + (85 * s) // 100 for v, s in recv.items()}
+    got = {
+        r["doc_id"]: r["pr_u"]
+        for r in REGISTRY["graph_pagerank"].fn(spark, SF_DIR).collect()
+    }
+    assert got == pr
+    assert all(v > 0 for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# ts_anomaly_mad — 2·median / 4·MAD replay
+
+
+def test_mad_matches_statistics_median(spark):
+    rows = REGISTRY["ts_anomaly_mad"].fn(spark, SF_DIR).collect()
+    assert rows
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    for user, rs in per_user.items():
+        vals = [r["v_c100"] for r in rs]
+        med2 = rs[0]["med2"]
+        assert med2 == int(2 * statistics.median(vals)), user
+        devs = [abs(2 * v - med2) for v in vals]
+        assert rs[0]["mad4"] == int(2 * statistics.median(devs)), user
+        for r in rs:
+            assert r["med2"] == med2 and r["mad4"] == rs[0]["mad4"]
+            expect_flag = int(2 * abs(2 * r["v_c100"] - med2) > 3 * r["mad4"])
+            assert r["is_anomaly"] == expect_flag
+
+
+# ---------------------------------------------------------------------------
+# evt_funnel_steps — ordering and stage consistency
+
+
+def test_funnel_stage_consistency(spark):
+    rows = REGISTRY["evt_funnel_steps"].fn(spark, SF_DIR).collect()
+    assert rows
+    reached = set()
+    for r in rows:
+        ts = [r["t1"], r["t2"], r["t3"], r["t4"]]
+        # prefix property: tk present implies t1..t(k-1) present
+        present = [t is not None for t in ts]
+        assert present == sorted(present, reverse=True), r
+        stage = sum(present)
+        assert r["funnel_stage"] == stage, r
+        reached.add(stage)
+        filled = [t for t in ts if t is not None]
+        assert filled == sorted(filled) and len(set(filled)) == len(filled), r
+    # the funnel must discriminate at sf0.001 — not everyone converts
+    assert len(reached) > 1
+
+
+# ---------------------------------------------------------------------------
+# ml_kmeans_round — nearest-centroid assignment + truncated-mean update
+
+
+def test_kmeans_assignment_and_update_replay(spark, oracle_con):
+    vecs = {
+        vid: emb
+        for vid, emb in oracle_con.execute(
+            "SELECT vec_id, embedding FROM embeddings"
+        ).fetchall()
+    }
+    q = {
+        vid: [int(round(x * 1000)) for x in emb] for vid, emb in vecs.items()
+    }
+    seeds = sorted(q)[:8]
+    cent = {cid: q[cid] for cid in seeds}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    assign = {}
+    for vid, vq in q.items():
+        assign[vid] = min(cent, key=lambda c: (d2(vq, cent[c]), c))
+    members = defaultdict(list)
+    for vid, cid in assign.items():
+        members[cid].append(vid)
+    out = REGISTRY["ml_kmeans_round"].fn(spark, SF_DIR).collect()
+    got = {(r["cid"], r["d"]): r for r in out}
+    for cid, vids in members.items():
+        n = len(vids)
+        for d in range(64):
+            s = sum(q[v][d] for v in vids)
+            new_q = abs(s) // n * (1 if s >= 0 else -1)  # trunc toward 0
+            r = got[(cid, d)]
+            assert r["cluster_n"] == n, (cid, d)
+            assert r["old_q"] == cent[cid][d], (cid, d)
+            assert r["new_q"] == new_q, (cid, d, s, n)
+    assert len(out) == sum(1 for _ in members) * 64
