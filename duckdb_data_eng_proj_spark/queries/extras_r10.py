@@ -113,8 +113,13 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
 
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    # lazy-checkpointed: the register build AND the true-count branch
+    # both read this vocab-sized set, so the corpus explode+distinct
+    # runs once, not once per branch.
     items = (
-        d.select(F.explode(tokens(F.col("text"))).alias("token")).distinct()
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     hv = F.conv(
         F.substring(F.md5(F.concat(F.lit("hll-v1:"), F.col("token"))), 1, 15),
@@ -248,34 +253,51 @@ def _bloom_pos_sql(j: int, item: str) -> str:
 )
 def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
-    pb = part.select(
-        "p_brand", F.col("p_size").cast("string").alias("sz")
-    ).distinct()
+    # ONE scan of part: every later table (cells, probe axes, member
+    # lookup) derives from this deduped dim-sized set — at 100 TB the
+    # fact-scale work is exactly the map-side distinct below.
+    pb = (
+        part.select("p_brand", F.col("p_size").cast("string").alias("sz"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    jcol = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
 
-    def pos(j: int, item):
+    # j as a COLUMN inside the hash string ('bloom-0:12' etc.), so one
+    # explode replaces K unioned branches re-deriving the build side.
+    def pos(item):
         return (
             F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"bloom-{j}:"), item)), 1, 8),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bloom-"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            item,
+                        )
+                    ),
+                    1,
+                    8,
+                ),
                 16,
                 10,
             ).cast("long")
             % _BLOOM_BITS
         )
 
-    cells = None
-    for j in range(_BLOOM_K):
-        c = pb.select("p_brand", pos(j, F.col("sz")).alias("pos"))
-        cells = c if cells is None else cells.unionAll(c)
-    cells = cells.distinct()
-    gr = part.select("p_brand").distinct()
-    it = part.select(F.col("p_size").cast("string").alias("sz")).distinct()
-    probe = None
-    for j in range(_BLOOM_K):
-        p = (
-            gr.crossJoin(F.broadcast(it))
-            .select("p_brand", "sz", pos(j, F.col("sz")).alias("pos"))
-        )
-        probe = p if probe is None else probe.unionAll(p)
+    cells = (
+        pb.select("p_brand", "sz", jcol)
+        .select("p_brand", pos(F.col("sz")).alias("pos"))
+        .distinct()
+    )
+    gr = pb.select("p_brand").distinct()
+    it = pb.select("sz").distinct()
+    probe = (
+        gr.crossJoin(F.broadcast(it))
+        .select("p_brand", "sz", jcol)
+        .select("p_brand", "sz", pos(F.col("sz")).alias("pos"))
+    )
     hits = (
         probe.join(
             F.broadcast(cells.withColumn("hit", F.lit(1))),
@@ -824,14 +846,20 @@ def txt_pmi_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u.a").alias("tok_a"), F.col("u.b").alias("tok_b"))
     )
     uni = tk.select(F.explode("tk").alias("tok"))
-    ca = uni.groupBy("tok").agg(F.count("*").alias("c"))
-    cab = (
+    # N_uni / N_bi derive from the vocab-sized COUNT tables (Σ c), not
+    # from extra corpus passes — two fact-scale aggregates total, both
+    # map-side-combinable; everything after is vocab-sized.
+    ca = (
+        uni.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
+    )
+    cab_all = (
         bg.groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("c_ab"))
-        .filter(F.col("c_ab") >= _PMI_MIN_C)
+        .localCheckpoint(eager=False)
     )
-    nu = uni.agg(F.count("*").alias("n_uni"))
-    nb = bg.agg(F.count("*").alias("n_bi"))
+    cab = cab_all.filter(F.col("c_ab") >= _PMI_MIN_C)
+    nu = ca.agg(F.sum("c").alias("n_uni"))
+    nb = cab_all.agg(F.sum("c_ab").alias("n_bi"))
     p = (
         cab.join(
             F.broadcast(ca.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))),

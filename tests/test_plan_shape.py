@@ -507,3 +507,46 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
     df = REGISTRY[qid].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # corpus explode+distinct (checkpointed, shared by register
+        # build and true-count) + the 64-bucket rollup
+        ("agg_sketch_hll", 2),
+        # one scan of part into the checkpointed (brand, size) set;
+        # cells/probe/member all derive from it
+        ("agg_bloom_filter", 5),
+        # two fact-scale counts (unigram, bigram — checkpointed); the
+        # N totals are Σ over those tables, not extra corpus passes
+        ("txt_pmi_colloc", 3),
+        # broadcast-centroid assignment + (cid, dim) update rollup
+        ("ml_kmeans_round", 5),
+        # one bucket aggregate + two user-keyed window/median passes
+        ("ts_anomaly_mad", 7),
+        # 4 type-filtered stage aggregates + the user-dim assembly
+        ("evt_funnel_steps", 8),
+        # 3 unrolled state-sized iterations over checkpointed edges/deg
+        ("graph_pagerank", 11),
+        # LSH candidate join + semi-pruned position joins + run rollups
+        ("txt_longest_common_substring", 13),
+    ],
+)
+def test_r10_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r9/r10 operators (scale contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+def test_gbdt_round_fact_scan_bounded(spark):
+    """ml_gbdt_round touches the fact table exactly once: the (q, cls)
+    count is eagerly localCheckpointed, so the physical plan must not
+    contain a lineitem scan at all — the ~100 remaining exchanges all
+    move the |thresholds|×|classes| grid (constant class, the
+    ml_naive_bayes argument; flat under ×8 in README's scale table)."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["ml_gbdt_round"].fn(spark, SF_DIR)
+    assert "lineitem" not in physical_plan(df)
