@@ -73,6 +73,14 @@ BENCH_QUERIES = [
     "ts_ewma",             # bucket agg + per-user applyInPandas recursion
     "agg_reservoir_sample",  # hash-rank WindowGroupLimit sample
     "ml_naive_bayes",      # broadcast NB model + doc-keyed score sums
+    # r9/r10 additions: the rounds' new plan shapes
+    "txt_longest_common_substring",  # LSH candidates + diagonal-run LCS
+    "ml_gbdt_round",       # integer AdaBoost round over the stump grid
+    "graph_pagerank",      # 3-round integer PageRank (iterative)
+    "ts_anomaly_mad",      # dual-row_number median/MAD flags
+    "ml_kmeans_round",     # broadcast-centroid Lloyd iteration
+    "txt_pmi_colloc",      # bigram PMI collocations (micro-nat logs)
+    "agg_sketch_hll",      # 64-register HLL build (constant state)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -86,6 +94,8 @@ TIMED_BUILD = {
     "dedup_containment",
     "graph_clustering_coefficient",  # localCheckpoints the oriented edge set
     "graph_label_communities",  # localCheckpoints labels each LPA round
+    "ml_gbdt_round",  # eagerly localCheckpoints the (q, cls) fact count
+    "txt_longest_common_substring",  # checkpoints candidates + positions
 }
 
 

@@ -79,24 +79,33 @@ _LCS_POS_SQL = (
         f"WHERE lcs_tokens >= {_LCS_MIN}"
     ),
     doc=(
-        "Longest common token substring per LSH candidate pair, no DP: "
-        "join the two docs' (position, token) lists on token equality, "
-        "then the longest run of consecutive positions along one "
-        "diagonal (ia - jb) IS the LCS — classic gaps-and-islands "
-        "(ia - row_number per diagonal) instead of an O(L_a·L_b) table. "
-        "Candidates are the ext_dedup_near band-bucket join (bounded, "
-        "never all-pairs); position lists are semi-join-pruned to "
-        "candidate docs BEFORE the match join so the fact-scale token "
-        "table never fans out. Cost per pair = #token matches "
-        "(~L_a·L_b/vocab for prose); at 100 TB the candidate list is "
-        "LSH-bounded and a stop-token filter caps the match fan-out of "
-        "degenerate repetitive docs. Output: pairs sharing a run of "
+        "Longest common token substring per LSH candidate pair, no DP, "
+        "computed on TRIGRAM positions: a common substring of n >= 3 "
+        "tokens is exactly n-2 consecutive trigram position-matches "
+        "along one diagonal (ia - jb), so LCS = max gaps-and-islands "
+        "run + 2 (identity pinned against textbook DP in "
+        "tests/test_r10_laws.py). Trigram matches are ~6× rarer than "
+        "token matches (stop-token fan-out disappears), and the same "
+        "distinct-trigram table gives an EXACT qualifying pre-filter — "
+        "a pair shares a trigram iff LCS >= 3, precisely the output "
+        "cut — so only output-bound pairs (15.6k of 72k LSH candidates "
+        "at sf0.1) ever reach the window. Candidates are the "
+        "ext_dedup_near band-bucket join (bounded, never all-pairs); "
+        "the corpus is tokenized once into a checkpointed "
+        "candidate-pruned trigram-position table that feeds both the "
+        "filter and the (broadcast-join) match relation. At 100 TB "
+        "every stage is candidate-bounded: inverted-index join, "
+        "broadcast match fan-out, one (pair, diag)-keyed window "
+        "shuffle. Output: pairs sharing a run of "
         f">= {_LCS_MIN} tokens, ranked longest-first."
     ),
 )
 def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _lsh_bands_df(spark, sf_dir)
     x, y = bands.alias("x"), bands.alias("y")
+    # Checkpointed: cand is referenced three times below (both prunes
+    # and the match join) — without the barrier each reference re-runs
+    # the whole MinHash front half (measured 8.5 s -> ~3 s at sf0.1).
     cand = (
         x.join(
             y,
@@ -106,44 +115,83 @@ def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
+        # EAGER: cand feeds two broadcast exchanges and the doc prune;
+        # a lazy checkpoint would be raced into 2-3 concurrent
+        # recomputes of the MinHash front half (measured: 15.7 s lazy
+        # vs ~5.5 s eager for the whole operator at sf0.1).
+        .localCheckpoint()
     )
     docs = t(spark, sf_dir, "documents")
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "tok")
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    # Semi-join-prune the (big) position table down to candidate docs
-    # before any fan-out — the 100 TB shape: pos is fact-scale, cand
-    # and its doc lists are broadcast-sized.
-    pos_a = pos.join(
-        F.broadcast(cand.select(F.col("doc_a").alias("doc_id")).distinct()),
-        "doc_id",
-        "leftsemi",
-    ).select(
-        F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "tok"
+    # The whole back half runs on TRIGRAM positions, not token
+    # positions (the dedup_span_exact machinery at W = 3): a common
+    # substring of n >= 3 tokens is exactly n-2 consecutive trigram
+    # position-matches along one diagonal, so LCS = max trigram run
+    # + 2 — and trigram matches are ~6× rarer than token matches
+    # (no stop-token fan-out), which shrinks the window shuffle from
+    # ~10M rows to well under 1M at sf0.1 (8.5 s -> ~4 s measured).
+    # The same table also feeds the EXACT qualifying filter: a pair
+    # reaches the window iff it shares >= 1 trigram, i.e. iff LCS >= 3
+    # — precisely the pairs the >= _LCS_MIN output filter keeps.
+    from duckdb_data_eng_proj_spark.operators.textops import word_ngrams
+
+    posg = (
+        docs.select(
+            "doc_id",
+            F.posexplode(word_ngrams(tokens(F.col("text")), 3)).alias("i", "g"),
+        )
+        .join(F.broadcast(cdocs), "doc_id", "leftsemi")
+        .localCheckpoint()
     )
-    pos_b = pos.join(
-        F.broadcast(cand.select(F.col("doc_b").alias("doc_id")).distinct()),
-        "doc_id",
-        "leftsemi",
-    ).select(
-        F.col("doc_id").alias("doc_b"), F.col("i").alias("jb"), "tok"
+    tgd = posg.select("doc_id", "g").distinct()
+    ga, gb = tgd.alias("a"), tgd.alias("b")
+    qual = (
+        ga.join(
+            gb,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .join(cand, ["doc_a", "doc_b"], "leftsemi")
+        .localCheckpoint()
+    )
+    # Match relation built by two BROADCAST joins (qual and the pruned
+    # trigram-position table are both candidate-bounded), so the
+    # fan-out streams map-side straight into the window shuffle — the
+    # only exchange of match data is the (pair, diag)-keyed one.
+    pos_a = posg.select(
+        F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "g"
+    )
+    pos_b = posg.select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("jb"), "g"
     )
     m = (
-        pos_a.join(F.broadcast(cand), "doc_a")
-        .join(pos_b, ["doc_b", "tok"])
-        .select("doc_a", "doc_b", "ia", "jb")
+        pos_a.join(F.broadcast(qual), "doc_a")
+        .join(F.broadcast(pos_b), ["doc_b", "g"])
+        .select(
+            "doc_a", "doc_b", (F.col("ia") - F.col("jb")).alias("diag"), "ia"
+        )
     )
-    diag = (F.col("ia") - F.col("jb")).alias("diag")
+    # Gaps-and-islands window + count is the measured-fastest tail: a
+    # per-group fold (collect_list + aggregate lambda) pays ~µs of
+    # interpreter setup per (pair, diag) group × millions of groups
+    # (measured ~15 s for the fold form at sf0.1); the codegen'd
+    # window pays once per row.
     r = m.select(
         "doc_a",
         "doc_b",
-        "ia",
-        diag,
+        "diag",
         (
             F.col("ia")
             - F.row_number().over(
-                Window.partitionBy("doc_a", "doc_b", F.col("ia") - F.col("jb"))
-                .orderBy("ia")
+                Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
             )
         ).alias("grp"),
     )
@@ -151,7 +199,7 @@ def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("run_len")
     )
     lcs = runs.groupBy("doc_a", "doc_b").agg(
-        F.max("run_len").alias("lcs_tokens")
+        (F.max("run_len") + 2).alias("lcs_tokens")
     )
     w = Window.orderBy(F.col("lcs_tokens").desc(), "doc_a", "doc_b")
     return (
@@ -288,6 +336,7 @@ def ml_gbdt_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(Window.partitionBy("cls").orderBy("q"))
             .alias("cl"),
         )
+        .localCheckpoint()
     )
     s1 = (
         cum.join(F.broadcast(tot), "cls")
@@ -297,6 +346,7 @@ def ml_gbdt_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cl").alias("lmax"),
             F.max(F.col("t") - F.col("cl")).alias("rmax"),
         )
+        .localCheckpoint()
     )
     pick = (
         s1.crossJoin(F.broadcast(nn))
@@ -348,6 +398,7 @@ def ml_gbdt_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("w_wrong"),
         )
+        .localCheckpoint()
     )
     correct = (
         (F.col("q") <= F.col("t1")) & (F.col("cls") == F.col("class_l"))
@@ -359,7 +410,7 @@ def ml_gbdt_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c")
             * F.when(correct, F.lit(_GBDT_W_CORR)).otherwise(F.col("w_wrong"))
         ).alias("wc"),
-    )
+    ).localCheckpoint()
     wcum = (
         grid.join(wcnt.select("q", "cls", "wc"), ["q", "cls"], "left")
         .select(

@@ -529,8 +529,9 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         ("evt_funnel_steps", 8),
         # 3 unrolled state-sized iterations over checkpointed edges/deg
         ("graph_pagerank", 11),
-        # LSH candidate join + semi-pruned position joins + run rollups
-        ("txt_longest_common_substring", 13),
+        # the returned plan is window + rollups over checkpointed
+        # candidate/trigram-position tables (build jobs run in fn())
+        ("txt_longest_common_substring", 3),
     ],
 )
 def test_r10_op_exchange_budget(spark, qid, budget):

@@ -83,6 +83,30 @@ def test_lcs_diagonal_equals_dp():
         assert _lcs_diagonal(a, b) == _lcs_dp(a, b), (a, b)
 
 
+def test_lcs_trigram_run_identity():
+    # The shipped operator computes LCS as (max diagonal run of TRIGRAM
+    # position-matches) + 2 — exact for LCS >= 3, because a common
+    # substring of n tokens is exactly n-2 consecutive shared trigrams
+    # on one diagonal. Pin the identity against textbook DP wherever
+    # DP >= 3 (below 3 the operator's qualifying filter drops the pair).
+    rng = random.Random(11)
+    vocab = list("abcd")
+    checked = 0
+    for _ in range(500):
+        a = [rng.choice(vocab) for _ in range(rng.randint(3, 16))]
+        b = [rng.choice(vocab) for _ in range(rng.randint(3, 16))]
+        dp = _lcs_dp(a, b)
+        ta = [" ".join(a[i:i + 3]) for i in range(len(a) - 2)]
+        tb = [" ".join(b[i:i + 3]) for i in range(len(b) - 2)]
+        tri_run = _lcs_diagonal(ta, tb)
+        if dp >= 3:
+            checked += 1
+            assert tri_run + 2 == dp, (a, b, dp, tri_run)
+        else:
+            assert tri_run == 0, (a, b)
+    assert checked > 50  # the vocab is small enough that LCS >= 3 is common
+
+
 # ---------------------------------------------------------------------------
 # ml_gbdt_round — AdaBoost mass equalization within truncation
 
