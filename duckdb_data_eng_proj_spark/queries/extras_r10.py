@@ -511,6 +511,10 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket_ts")
         .agg(F.sum("v").alias("v_c100"))
     )
+    # Both medians as WINDOW sums over the same user partitioning (no
+    # groupBy + join back): every pass after the bucket aggregate
+    # re-uses the single user-keyed exchange (2 exchanges total vs 7).
+    # Same-session A/B at sf0.1: 0.58 s vs 0.85 s for the join shape.
     wv = Window.partitionBy("user_id").orderBy("v_c100", "bucket_ts")
     wn = Window.partitionBy("user_id")
     rk = b.select(
@@ -520,13 +524,12 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wv).alias("rn"),
         F.count("*").over(wn).alias("n"),
     )
-    med = rk.groupBy("user_id").agg(
-        F.sum(
-            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("v_c100")).otherwise(0)
-            + F.when(F.col("rn") == F.expr("(n + 2) DIV 2"), F.col("v_c100")).otherwise(0)
-        ).alias("med2")
-    )
-    dev = rk.join(med, "user_id").select(
+    med_term = F.when(
+        F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("v_c100")
+    ).otherwise(0) + F.when(
+        F.col("rn") == F.expr("(n + 2) DIV 2"), F.col("v_c100")
+    ).otherwise(0)
+    dev = rk.withColumn("med2", F.sum(med_term).over(wn)).select(
         "user_id",
         "bucket_ts",
         "v_c100",
@@ -539,19 +542,21 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wd).alias("rn"),
         F.count("*").over(wn).alias("n"),
     )
-    mad = drk.groupBy("user_id").agg(
-        F.sum(
-            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("dev2")).otherwise(0)
-            + F.when(F.col("rn") == F.expr("(n + 2) DIV 2"), F.col("dev2")).otherwise(0)
-        ).alias("mad4")
-    )
-    return dev.join(mad, "user_id").select(
-        "user_id",
-        "bucket_ts",
-        "v_c100",
-        "med2",
-        "mad4",
-        (2 * F.col("dev2") > 3 * F.col("mad4")).cast("long").alias("is_anomaly"),
+    mad_term = F.when(
+        F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("dev2")
+    ).otherwise(0) + F.when(
+        F.col("rn") == F.expr("(n + 2) DIV 2"), F.col("dev2")
+    ).otherwise(0)
+    return (
+        drk.withColumn("mad4", F.sum(mad_term).over(wn))
+        .select(
+            "user_id",
+            "bucket_ts",
+            "v_c100",
+            "med2",
+            "mad4",
+            (2 * F.col("dev2") > 3 * F.col("mad4")).cast("long").alias("is_anomaly"),
+        )
     )
 
 

@@ -523,8 +523,9 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         ("txt_pmi_colloc", 3),
         # broadcast-centroid assignment + (cid, dim) update rollup
         ("ml_kmeans_round", 5),
-        # one bucket aggregate + two user-keyed window/median passes
-        ("ts_anomaly_mad", 7),
+        # one bucket aggregate + ONE user-keyed exchange reused by all
+        # four window passes (medians are window sums, not join-backs)
+        ("ts_anomaly_mad", 2),
         # 4 type-filtered stage aggregates + the user-dim assembly
         ("evt_funnel_steps", 8),
         # 3 unrolled state-sized iterations over checkpointed edges/deg
