@@ -897,3 +897,88 @@ def txt_pmi_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmi_u",
         F.row_number().over(w).cast("long").alias("pmi_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# evt_retention_cohorts
+
+_WEEK_S = 604800  # both engines' date_trunc('week', ..) is Monday-aligned,
+# so week deltas are exact multiples of 604800 s (naive timestamps, no DST)
+
+
+@register(
+    "evt_retention_cohorts",
+    oracle=(
+        "WITH fe AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw "
+        "FROM events GROUP BY user_id), "
+        "act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w "
+        "FROM events), "
+        "cs AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size "
+        "FROM fe GROUP BY cw), "
+        "j AS (SELECT fe.cw, "
+        "(CAST(floor(epoch(act.w)) AS BIGINT) "
+        f"- CAST(floor(epoch(fe.cw)) AS BIGINT)) // {_WEEK_S} AS week_offset, "
+        "act.user_id FROM act JOIN fe ON fe.user_id = act.user_id) "
+        "SELECT CAST(j.cw AS TIMESTAMP) AS cohort_week, "
+        "CAST(j.week_offset AS BIGINT) AS week_offset, "
+        "CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS active_users, "
+        "cs.cohort_size, "
+        "CAST(round(COUNT(DISTINCT j.user_id) * 1000.0 / cs.cohort_size, 0) "
+        "AS BIGINT) AS retention_pml "
+        "FROM j JOIN cs ON cs.cw = j.cw "
+        "GROUP BY j.cw, j.week_offset, cs.cohort_size"
+    ),
+    doc=(
+        "Weekly cohort retention matrix — the cohort staple of the "
+        "events family next to evt_funnel_steps (conversion) and "
+        "evt_rfm_scores (segmentation): cohort = the user's "
+        "first-event week (Monday-truncated identically on both "
+        "engines), and each (cohort, week_offset) cell counts the "
+        "cohort's users active that week, with per-mille retention "
+        "against the cohort size. Week offsets are exact integer "
+        "divisions of epoch deltas (floor(epoch()) per the r8 "
+        "truncation contract; week-aligned stamps make 604800 divide "
+        "exactly). Scale shape: first-event and active-week tables "
+        "are both user-keyed map-side-combinable aggregates; the "
+        "cohort join is user-key-partitioned (co-partitioned with "
+        "both inputs at 1e9 users); the output is cohorts × offsets — "
+        "dashboard-sized. No window over raw events anywhere."
+    ),
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _event_ts(raw).alias("ts"),
+    )
+    fe = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cs = fe.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    j = act.join(fe, "user_id").select(
+        "cw",
+        (
+            (F.col("w").cast("long") - F.col("cw").cast("long")) / _WEEK_S
+        )
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    return (
+        j.groupBy("cw", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(F.broadcast(cs), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") * 1000.0 / F.col("cohort_size"), 0)
+            .cast("long")
+            .alias("retention_pml"),
+        )
+    )
