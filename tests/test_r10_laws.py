@@ -298,3 +298,23 @@ def test_kmeans_assignment_and_update_replay(spark, oracle_con):
             assert r["old_q"] == cent[cid][d], (cid, d)
             assert r["new_q"] == new_q, (cid, d, s, n)
     assert len(out) == sum(1 for _ in members) * 64
+
+
+# ---------------------------------------------------------------------------
+# evt_retention_cohorts — week-0 is always 1000‰ and cells never exceed
+# their cohort
+
+
+def test_retention_cohort_invariants(spark):
+    rows = REGISTRY["evt_retention_cohorts"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = defaultdict(dict)
+    for r in rows:
+        assert 0 <= r["active_users"] <= r["cohort_size"], r
+        assert r["week_offset"] >= 0, r
+        by_cohort[r["cohort_week"]][r["week_offset"]] = r
+    for cw, cells in by_cohort.items():
+        # every cohort user is active in their own first week
+        assert 0 in cells, cw
+        assert cells[0]["active_users"] == cells[0]["cohort_size"], cw
+        assert cells[0]["retention_pml"] == 1000, cw
