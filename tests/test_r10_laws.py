@@ -318,3 +318,73 @@ def test_retention_cohort_invariants(spark):
         assert 0 in cells, cw
         assert cells[0]["active_users"] == cells[0]["cohort_size"], cw
         assert cells[0]["retention_pml"] == 1000, cw
+
+
+# ---------------------------------------------------------------------------
+# cross-engine primitive sweeps for the r10 operator surface
+
+
+def test_week_trunc_and_interval_agree_across_engines(spark, oracle_con):
+    # evt_retention_cohorts keys cohorts on date_trunc('week', ts)
+    # (Monday alignment) and evt_funnel_steps bounds stages with
+    # ts + INTERVAL 24 HOUR — both must agree across engines on
+    # arbitrary instants, including year boundaries and ISO-week
+    # edge days (Jan 1 falling mid-week, leap days).
+    import datetime as dt
+
+    rng = random.Random(12)
+    stamps = [
+        dt.datetime(2000, 1, 1) + dt.timedelta(seconds=rng.randrange(0, 60 * 365 * 86400))
+        for _ in range(300)
+    ]
+    stamps += [
+        dt.datetime(y, m, d, h)
+        for y in (1999, 2000, 2020, 2024)
+        for m, d in ((1, 1), (12, 31), (2, 28), (3, 1))
+        for h in (0, 23)
+    ]
+    duck = oracle_con.execute(
+        "SELECT date_trunc('week', t), t + INTERVAL 24 HOUR "
+        "FROM (SELECT unnest(?::TIMESTAMP[]) AS t)",
+        [stamps],
+    ).fetchall()
+    sdf = spark.createDataFrame([(s,) for s in stamps], "t timestamp")
+    got = sdf.select(
+        F.date_trunc("week", "t"), F.expr("t + INTERVAL 24 HOURS")
+    ).collect()
+    for s, (dw, di), row in zip(stamps, duck, got):
+        # DuckDB date_trunc('week', TIMESTAMP) narrows to DATE; the
+        # operator CASTs back to TIMESTAMP, so compare the instant
+        # (midnight) — the value is what both engines must agree on.
+        if isinstance(dw, dt.date) and not isinstance(dw, dt.datetime):
+            dw = dt.datetime(dw.year, dw.month, dw.day)
+        assert row[0].replace(tzinfo=None) == dw, (s, dw, row[0])
+        assert row[1].replace(tzinfo=None) == di, (s, di, row[1])
+        assert row[0].weekday() == 0  # Monday alignment on both
+
+
+def test_hex_parse_agrees_across_engines(spark, oracle_con):
+    # agg_sketch_hll / agg_bloom_filter parse md5 prefixes as integers
+    # via CAST('0x'||hex AS BIGINT) (DuckDB) and conv(hex, 16, 10)
+    # (Spark). Sweep random 8- and 15-digit hex strings, including
+    # all-f extremes (15 hex digits = 60 bits, no sign risk).
+    rng = random.Random(13)
+    hexes = ["f" * 15, "f" * 8, "0" * 15, "8" + "0" * 14]
+    hexes += ["%015x" % rng.randrange(0, 2**60) for _ in range(200)]
+    hexes += ["%08x" % rng.randrange(0, 2**32) for _ in range(200)]
+    expect = [int(h, 16) for h in hexes]
+    duck = [
+        r[0]
+        for r in oracle_con.execute(
+            "SELECT CAST('0x' || h AS BIGINT) FROM (SELECT unnest(?) AS h)",
+            [hexes],
+        ).fetchall()
+    ]
+    got = [
+        r[0]
+        for r in spark.createDataFrame([(h,) for h in hexes], "h string")
+        .select(F.conv("h", 16, 10).cast("long"))
+        .collect()
+    ]
+    assert duck == expect
+    assert got == expect
