@@ -982,3 +982,123 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retention_pml"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# txt_zipf_fit
+
+# Zipf's-law diagnostic: regress ln(count) on ln(rank) over the full
+# token frequency table. x = ln_u(rank), y = ln_u(count) in BIGINT
+# micro-nats (the ml_naive_bayes ln_u discipline); per-row products
+# x·y <= ~2e14 stay BIGINT, the SUMS go through DECIMAL(38,0) (exact,
+# associative — BIGINT would overflow at ~5e18 with a 1e5 vocab), and
+# the closed-form slope/intercept/r² are then a FIXED sequence of
+# IEEE double ops over exactly-converted operands — bit-stable across
+# engines (decimal→double conversion swept in tests/test_r10_laws.py).
+_ZIPF_LN_U = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+
+
+@register(
+    "txt_zipf_fit",
+    oracle=(
+        "WITH tt AS (SELECT unnest(list_filter(string_split_regex("
+        "lower(trim(text)), '\\s+'), x -> x <> '')) AS token FROM documents), "
+        "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM tt GROUP BY token), "
+        "rk AS (SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank, "
+        "cnt FROM c), "
+        "pt AS (SELECT " + _ZIPF_LN_U.format(x="rank") + " AS x, "
+        + _ZIPF_LN_U.format(x="cnt") + " AS y FROM rk), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx, "
+        "CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy, "
+        "CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy, "
+        "CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx, "
+        "CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy "
+        "FROM pt) "
+        "SELECT n AS n_vocab, "
+        "CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000, 0) "
+        "AS BIGINT) AS slope_ppm, "
+        "CAST(round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) "
+        "* CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) "
+        "* CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 0) AS BIGINT) "
+        "AS intercept_u, "
+        "CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "* (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+        "/ ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000, 0) "
+        "AS BIGINT) AS r2_pml FROM s"
+    ),
+    doc=(
+        "Zipf's-law fit over the token frequency table — the "
+        "corpus-health diagnostic next to txt_entropy (natural prose "
+        "fits ln(count) ≈ a - s·ln(rank) with s near 1; templated or "
+        "machine-generated corpora bend the curve): least-squares "
+        "slope (ppm), intercept (micro-nats) and r² (per-mille) over "
+        "(ln_u(rank), ln_u(count)) points, every log a BIGINT "
+        "micro-nat, every sum DECIMAL(38,0)-exact, and the closed "
+        "form a fixed IEEE-double sequence over exactly-converted "
+        "operands — the determinism ladder int→decimal→double, each "
+        "rung swept cross-engine in the law tests. Scale shape: one "
+        "map-side-combinable corpus count; the regression runs on the "
+        "VOCAB table (the rank window is vocab-sized — at a 1e9-token "
+        "vocab swap in the two-pass range-partitioned rank, the "
+        "evt_rfm_scores note). Output: one row."
+    ),
+)
+def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+
+    def L(col):
+        return F.round(F.log(col) * 1_000_000, 0).cast("long")
+
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    c = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rk = c.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "token"))
+        .alias("rank"),
+        "cnt",
+    )
+    pt = rk.select(L(F.col("rank")).alias("x"), L(F.col("cnt")).alias("y"))
+    dec = "decimal(38,0)"
+    s = pt.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast(dec).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd, syyd = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    numer = nd * sxyd - sxd * syd
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    slope = numer / denx
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope * 1_000_000, 0).cast("long").alias("slope_ppm"),
+        F.round((syd - slope * sxd) / nd, 0).cast("long").alias("intercept_u"),
+        F.round(numer * numer / (denx * deny) * 1000, 0)
+        .cast("long")
+        .alias("r2_pml"),
+    )

@@ -388,3 +388,34 @@ def test_hex_parse_agrees_across_engines(spark, oracle_con):
     ]
     assert duck == expect
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# txt_zipf_fit — slope/r² sanity + exact replay of the closed form
+
+
+def test_zipf_fit_replays_closed_form(spark, oracle_con):
+    rows = REGISTRY["txt_zipf_fit"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    counts = oracle_con.execute(
+        "SELECT COUNT(*) AS c FROM (SELECT unnest(list_filter("
+        "string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) "
+        "AS token FROM documents) GROUP BY token ORDER BY c DESC, token"
+    ).fetchall()
+    assert r["n_vocab"] == len(counts)
+    # counts are rank-sorted desc, so rank i+1 pairs with counts[i]
+    xs = [round(__import__("math").log(i + 1) * 1e6) for i in range(len(counts))]
+    ys = [round(__import__("math").log(c[0]) * 1e6) for c in counts]
+    n = float(len(xs))
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx = float(sum(x * x for x in xs))
+    syy = float(sum(y * y for y in ys))
+    numer, denx, deny = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    slope = numer / denx
+    assert r["slope_ppm"] == round(slope * 1e6)
+    assert r["intercept_u"] == round((sy - slope * sx) / n)
+    assert r["r2_pml"] == round(numer * numer / (denx * deny) * 1000)
+    assert r["slope_ppm"] <= 0  # frequency never increases with rank
+    assert 0 <= r["r2_pml"] <= 1000
