@@ -533,6 +533,11 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         # the returned plan is window + rollups over checkpointed
         # candidate/trigram-position tables (build jobs run in fn())
         ("txt_longest_common_substring", 3),
+        # first-event + active-week user-keyed aggregates, cohort join,
+        # dashboard-sized cells
+        ("evt_retention_cohorts", 6),
+        # one corpus count, vocab-sized rank window + one-row closed form
+        ("txt_zipf_fit", 3),
     ],
 )
 def test_r10_op_exchange_budget(spark, qid, budget):
