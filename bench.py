@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "ml_kmeans_round",     # broadcast-centroid Lloyd iteration
     "txt_pmi_colloc",      # bigram PMI collocations (micro-nat logs)
     "agg_sketch_hll",      # 64-register HLL build (constant state)
+    "evt_retention_cohorts",  # weekly cohort matrix (user-keyed aggs)
+    "txt_zipf_fit",        # rank-frequency regression (decimal sums)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
