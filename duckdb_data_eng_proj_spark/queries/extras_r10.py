@@ -378,9 +378,15 @@ def _pr_iter_sql(prev: str, out: str) -> str:
         )
     ),
     doc=(
-        "Damped PageRank over the symmetrized LSH near-dup graph — the "
-        "iterative centrality sibling of dedup_cluster_cc (components) "
-        "and graph_label_communities (communities): 3 synchronous "
+        "Damped PageRank over the symmetrized RAW LSH candidate graph "
+        "— deliberately distinct from ml_pagerank_2iter (corpus.py), "
+        "which ranks canonicals inside VERIFIED (Jaccard >= 0.05) "
+        "duplicate clusters: this runs on the unverified band-bucket "
+        "graph, where high rank marks hub documents sitting in many "
+        "LSH buckets — the boilerplate/bucket-quality diagnostic you "
+        "read BEFORE paying for pair verification — and emits the "
+        "dense centrality ordering (pr_rank) the 2iter variant lacks. "
+        "3 synchronous "
         f"rounds in exact {_PR_SCALE}-unit integers, pr <- 0.15 + "
         "0.85·Σ pr(u)/deg(u) with every division truncating BIGINT "
         "(positive operands, so DuckDB // == Spark DIV), no floating "
