@@ -78,10 +78,8 @@ BENCH_QUERIES = [
     "ml_gbdt_round",       # integer AdaBoost round over the stump grid
     "graph_pagerank",      # 3-round integer PageRank (iterative)
     "ts_anomaly_mad",      # dual-row_number median/MAD flags
-    "ml_kmeans_round",     # broadcast-centroid Lloyd iteration
     "txt_pmi_colloc",      # bigram PMI collocations (micro-nat logs)
     "agg_sketch_hll",      # 64-register HLL build (constant state)
-    "evt_retention_cohorts",  # weekly cohort matrix (user-keyed aggs)
     "txt_zipf_fit",        # rank-frequency regression (decimal sums)
 ]
 

@@ -1,8 +1,8 @@
 """Round-10 operators: sketch-family completion, iterative PageRank,
 MAD anomaly flags, ordered funnel, one k-means round, PMI collocations.
 
-Seven additions inside the r10 new-id budget (SURVEY §9 round-10
-queue), each completing an existing family:
+Additions inside the r10 new-id budget (SURVEY §9 round-10 queue),
+each completing an existing family:
 
 - agg_sketch_hll / agg_bloom_filter — next to agg_sketch_cms and
   ext_sketch_kmv: cardinality (HyperLogLog) and membership (Bloom)
@@ -14,14 +14,15 @@ queue), each completing an existing family:
 - ts_anomaly_mad — median/MAD outlier flags via the dual-row_number
   integer median (no quantile builtin: interpolating implementations
   never hash-match across engines; 2·median and 4·MAD stay BIGINT).
-- evt_funnel_steps — ordered signup→view→click→purchase funnel via
-  stage-chained conditional mins; completes the events family next to
-  evt_markov_transition / evt_rfm_scores.
-- ml_kmeans_round — one Lloyd iteration over int-quantized embeddings
-  with deterministic seeds; the clustering sibling of ml_naive_bayes /
-  ml_decision_stump / ml_gbdt_round.
 - txt_pmi_colloc — bigram collocations by integer micro-nat PMI,
   reusing the ln_u discipline of ml_naive_bayes / txt_entropy.
+- txt_zipf_fit — rank-frequency regression via DECIMAL(38)-exact sums.
+
+Three r10 candidates were built, verified green, and then REMOVED on
+registry audit: evt_funnel_steps (≈ ext_funnel_steps, extras_r5),
+evt_retention_cohorts (≈ evt_cohort_retention, extras_r6b) and
+ml_kmeans_round (≈ ml_kmeans_2iter/_converged, ml_iter) already cover
+those analyses — near-duplicate ids are registry bloat, not coverage.
 
 Reference parity: the reference (a DuckDB ETL take-home, pipeline.py)
 has none of these — they extend the training-pipeline families per
@@ -567,217 +568,6 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# evt_funnel_steps
-
-_FUNNEL = ("signup", "view", "click", "purchase")
-_FUNNEL_WINDOW_H = 24  # each step must convert within 24h of the last
-
-
-@register(
-    "evt_funnel_steps",
-    oracle=(
-        "WITH u AS (SELECT DISTINCT user_id FROM events), "
-        f"s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
-        f"WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id), "
-        f"s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
-        f"JOIN s1 ON s1.user_id = e.user_id "
-        f"WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t1 "
-        f"AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY e.user_id), "
-        f"s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
-        f"JOIN s2 ON s2.user_id = e.user_id "
-        f"WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t2 "
-        f"AND e.ts <= s2.t2 + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY e.user_id), "
-        f"s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e "
-        f"JOIN s3 ON s3.user_id = e.user_id "
-        f"WHERE e.event_type = '{_FUNNEL[3]}' AND e.ts > s3.t3 "
-        f"AND e.ts <= s3.t3 + INTERVAL {_FUNNEL_WINDOW_H} HOUR GROUP BY e.user_id) "
-        "SELECT u.user_id, "
-        "CAST(s1.t1 AS TIMESTAMP) AS t1, CAST(s2.t2 AS TIMESTAMP) AS t2, "
-        "CAST(s3.t3 AS TIMESTAMP) AS t3, CAST(s4.t4 AS TIMESTAMP) AS t4, "
-        "CAST(CASE WHEN s4.t4 IS NOT NULL THEN 4 WHEN s3.t3 IS NOT NULL THEN 3 "
-        "WHEN s2.t2 IS NOT NULL THEN 2 WHEN s1.t1 IS NOT NULL THEN 1 "
-        "ELSE 0 END AS BIGINT) AS funnel_stage "
-        "FROM u LEFT JOIN s1 ON s1.user_id = u.user_id "
-        "LEFT JOIN s2 ON s2.user_id = u.user_id "
-        "LEFT JOIN s3 ON s3.user_id = u.user_id "
-        "LEFT JOIN s4 ON s4.user_id = u.user_id"
-    ),
-    doc=(
-        "Ordered conversion funnel (signup → view → click → purchase) "
-        "with strict temporal ordering and a conversion window: stage k's "
-        "timestamp is the EARLIEST event of type k strictly after the "
-        f"user's stage-k-1 timestamp and within {_FUNNEL_WINDOW_H}h of "
-        "it (without the window every tracked user eventually converts "
-        "and the funnel is vacuous) — the sequential-pattern primitive next to "
-        "evt_markov_transition (pairwise flow) and ext_sessionize "
-        "(gap-based grouping). Each stage is one filtered conditional "
-        "MIN joined against the previous stage's (user, ts) table — "
-        "per-user state only, so at 100 TB each stage is a "
-        "type-filtered scan (predicate pushed to parquet) joined to a "
-        "user-keyed aggregate no bigger than the user dimension; 4 "
-        "stages = 4 such passes, no window over raw events and no "
-        "per-user event array is ever materialized."
-    ),
-)
-def evt_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = raw.select(
-        F.col("user_id").cast("long").alias("user_id"),
-        F.col("event_type"),
-        _event_ts(raw).alias("ts"),
-    )
-    u = ev.select("user_id").distinct()
-    prev = None
-    stages = []
-    for k, etype in enumerate(_FUNNEL, start=1):
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is None:
-            s = e.groupBy("user_id").agg(F.min("ts").alias(f"t{k}"))
-        else:
-            s = (
-                e.join(prev, "user_id")
-                .filter(
-                    (F.col("ts") > F.col(f"t{k - 1}"))
-                    & (
-                        F.col("ts")
-                        <= F.col(f"t{k - 1}")
-                        + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
-                    )
-                )
-                .groupBy("user_id")
-                .agg(F.min("ts").alias(f"t{k}"))
-            )
-        stages.append(s)
-        prev = s
-    out = u
-    for s in stages:
-        out = out.join(s, "user_id", "left")
-    stage = (
-        F.when(F.col("t4").isNotNull(), 4)
-        .when(F.col("t3").isNotNull(), 3)
-        .when(F.col("t2").isNotNull(), 2)
-        .when(F.col("t1").isNotNull(), 1)
-        .otherwise(0)
-        .cast("long")
-    )
-    return out.select(
-        "user_id", "t1", "t2", "t3", "t4", stage.alias("funnel_stage")
-    )
-
-
-# ---------------------------------------------------------------------------
-# ml_kmeans_round
-
-_KM_K = 8
-_KM_Q = 1000  # fixed-point quantization: q = round(x · 1000)
-
-# One Lloyd iteration in exact integers: embeddings quantized to
-# thousandths (|x| < ~10 → |q| <= 10^4; squared diffs <= 4·10^8, ×64
-# dims <= 2.6·10^10 — BIGINT-trivial), seeds = the _KM_K smallest
-# vec_ids (deterministic, no RNG), assignment = argmin of exact integer
-# squared L2 with ties to the smallest centroid id, update = per-dim
-# SUM DIV count (signed sums: DuckDB // and Spark DIV both truncate
-# toward zero — the r8 sign-parity law — so negative coordinates are
-# safe).
-
-
-@register(
-    "ml_kmeans_round",
-    oracle=(
-        "WITH q AS (SELECT vec_id, u.i AS d, u.q AS q FROM ("
-        "SELECT vec_id, unnest(list_transform(range(len(embedding)), "
-        f"i -> {{'i': i, 'q': CAST(round(embedding[i+1] * {_KM_Q}, 0) "
-        "AS BIGINT)})) AS u FROM embeddings)), "
-        f"seeds AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}), "
-        "cent AS (SELECT q.vec_id AS cid, q.d, q.q AS cq FROM q "
-        "JOIN seeds ON seeds.vec_id = q.vec_id), "
-        "dist AS (SELECT q.vec_id, cent.cid, "
-        "CAST(SUM((q.q - cent.cq) * (q.q - cent.cq)) AS BIGINT) AS d2 "
-        "FROM q JOIN cent ON cent.d = q.d GROUP BY q.vec_id, cent.cid), "
-        "assign AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
-        "FROM dist) WHERE rn = 1) "
-        "SELECT a.cid, q.d, "
-        "CAST(MAX(c.cq) AS BIGINT) AS old_q, "
-        "CAST(SUM(q.q) // COUNT(*) AS BIGINT) AS new_q, "
-        "CAST(COUNT(*) AS BIGINT) AS cluster_n "
-        "FROM assign a JOIN q ON q.vec_id = a.vec_id "
-        "JOIN cent c ON c.cid = a.cid AND c.d = q.d "
-        "GROUP BY a.cid, q.d"
-    ),
-    doc=(
-        "One exact-integer Lloyd (k-means) iteration over the "
-        f"embeddings table: k = {_KM_K} deterministic seeds (the "
-        "smallest vec_ids), coordinates quantized to thousandths, "
-        "assignment by exact integer squared-L2 argmin (ties to the "
-        "smallest centroid id), and the centroid update as per-dim "
-        "truncating integer mean — the clustering sibling of "
-        "sim_ann_ivf's centroid machinery, with the arithmetic fully "
-        "hash-verifiable (float k-means never matches across engines). "
-        "Scale shape: centroids are k·dim rows (broadcast); the "
-        "assignment is a map-side broadcast join + per-vector argmin "
-        "(no shuffle of the embedding table beyond its one "
-        "posexplode-aggregate pass); the update is one (cid, dim)-keyed "
-        "map-side-combinable aggregate — k·dim output rows of state. "
-        "At 100 TB that is exactly distributed k-means' per-iteration "
-        "cost: one pass over the fact table, k·dim state, repeat."
-    ),
-)
-def ml_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
-
-    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    q = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding")).alias("d", "x"),
-    ).select(
-        "vec_id",
-        "d",
-        F.round(F.col("x") * _KM_Q, 0).cast("long").alias("q"),
-    )
-    seeds = emb.select("vec_id").orderBy("vec_id").limit(_KM_K)
-    cent = (
-        q.join(F.broadcast(seeds), "vec_id")
-        .select(F.col("vec_id").alias("cid"), "d", F.col("q").alias("cq"))
-        .localCheckpoint(eager=False)
-    )
-    dist = (
-        q.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "cid")
-        .agg(
-            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq"))).alias("d2")
-        )
-    )
-    assign = (
-        dist.select(
-            "vec_id",
-            "cid",
-            F.row_number()
-            .over(Window.partitionBy("vec_id").orderBy("d2", "cid"))
-            .alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    return (
-        assign.join(q, "vec_id")
-        .join(
-            F.broadcast(cent.withColumnRenamed("cq", "cq_old")),
-            ["cid", "d"],
-        )
-        .groupBy("cid", "d")
-        .agg(
-            F.max("cq_old").alias("old_q"),
-            F.expr("CAST(SUM(q) DIV COUNT(*) AS BIGINT)").alias("new_q"),
-            F.count("*").alias("cluster_n"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # txt_pmi_colloc
 
 _PMI_MIN_C = 5
@@ -902,91 +692,6 @@ def txt_pmi_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_ab",
         "pmi_u",
         F.row_number().over(w).cast("long").alias("pmi_rank"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# evt_retention_cohorts
-
-_WEEK_S = 604800  # both engines' date_trunc('week', ..) is Monday-aligned,
-# so week deltas are exact multiples of 604800 s (naive timestamps, no DST)
-
-
-@register(
-    "evt_retention_cohorts",
-    oracle=(
-        "WITH fe AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw "
-        "FROM events GROUP BY user_id), "
-        "act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w "
-        "FROM events), "
-        "cs AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS cohort_size "
-        "FROM fe GROUP BY cw), "
-        "j AS (SELECT fe.cw, "
-        "(CAST(floor(epoch(act.w)) AS BIGINT) "
-        f"- CAST(floor(epoch(fe.cw)) AS BIGINT)) // {_WEEK_S} AS week_offset, "
-        "act.user_id FROM act JOIN fe ON fe.user_id = act.user_id) "
-        "SELECT CAST(j.cw AS TIMESTAMP) AS cohort_week, "
-        "CAST(j.week_offset AS BIGINT) AS week_offset, "
-        "CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS active_users, "
-        "cs.cohort_size, "
-        "CAST(round(COUNT(DISTINCT j.user_id) * 1000.0 / cs.cohort_size, 0) "
-        "AS BIGINT) AS retention_pml "
-        "FROM j JOIN cs ON cs.cw = j.cw "
-        "GROUP BY j.cw, j.week_offset, cs.cohort_size"
-    ),
-    doc=(
-        "Weekly cohort retention matrix — the cohort staple of the "
-        "events family next to evt_funnel_steps (conversion) and "
-        "evt_rfm_scores (segmentation): cohort = the user's "
-        "first-event week (Monday-truncated identically on both "
-        "engines), and each (cohort, week_offset) cell counts the "
-        "cohort's users active that week, with per-mille retention "
-        "against the cohort size. Week offsets are exact integer "
-        "divisions of epoch deltas (floor(epoch()) per the r8 "
-        "truncation contract; week-aligned stamps make 604800 divide "
-        "exactly). Scale shape: first-event and active-week tables "
-        "are both user-keyed map-side-combinable aggregates; the "
-        "cohort join is user-key-partitioned (co-partitioned with "
-        "both inputs at 1e9 users); the output is cohorts × offsets — "
-        "dashboard-sized. No window over raw events anywhere."
-    ),
-)
-def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = raw.select(
-        F.col("user_id").cast("long").alias("user_id"),
-        _event_ts(raw).alias("ts"),
-    )
-    fe = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cw"))
-    act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
-    ).distinct()
-    cs = fe.groupBy("cw").agg(F.count("*").alias("cohort_size"))
-    j = act.join(fe, "user_id").select(
-        "cw",
-        (
-            (F.col("w").cast("long") - F.col("cw").cast("long")) / _WEEK_S
-        )
-        .cast("long")
-        .alias("week_offset"),
-        "user_id",
-    )
-    return (
-        j.groupBy("cw", "week_offset")
-        .agg(F.countDistinct("user_id").alias("active_users"))
-        .join(F.broadcast(cs), "cw")
-        .select(
-            F.col("cw").alias("cohort_week"),
-            "week_offset",
-            "active_users",
-            "cohort_size",
-            F.round(F.col("active_users") * 1000.0 / F.col("cohort_size"), 0)
-            .cast("long")
-            .alias("retention_pml"),
-        )
     )
 
 

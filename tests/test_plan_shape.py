@@ -521,21 +521,14 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         # two fact-scale counts (unigram, bigram — checkpointed); the
         # N totals are Σ over those tables, not extra corpus passes
         ("txt_pmi_colloc", 3),
-        # broadcast-centroid assignment + (cid, dim) update rollup
-        ("ml_kmeans_round", 5),
         # one bucket aggregate + ONE user-keyed exchange reused by all
         # four window passes (medians are window sums, not join-backs)
         ("ts_anomaly_mad", 2),
-        # 4 type-filtered stage aggregates + the user-dim assembly
-        ("evt_funnel_steps", 8),
         # 3 unrolled state-sized iterations over checkpointed edges/deg
         ("graph_pagerank", 11),
         # the returned plan is window + rollups over checkpointed
         # candidate/trigram-position tables (build jobs run in fn())
         ("txt_longest_common_substring", 3),
-        # first-event + active-week user-keyed aggregates, cohort join,
-        # dashboard-sized cells
-        ("evt_retention_cohorts", 6),
         # one corpus count, vocab-sized rank window + one-row closed form
         ("txt_zipf_fit", 3),
     ],

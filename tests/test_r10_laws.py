@@ -18,11 +18,6 @@ tests/test_r8_laws.py:
   the operator's own edge set.
 - ts_anomaly_mad: med2/mad4 equal 2·median / 4·MAD computed by
   statistics.median per user.
-- evt_funnel_steps: stage timestamps strictly increase and the stage
-  number is consistent with which timestamps exist.
-- ml_kmeans_round: every vector is assigned to a truly nearest
-  centroid, and each new centroid coordinate is the truncated mean of
-  its members (replayed in Python).
 """
 
 from __future__ import annotations
@@ -239,97 +234,16 @@ def test_mad_matches_statistics_median(spark):
 
 
 # ---------------------------------------------------------------------------
-# evt_funnel_steps — ordering and stage consistency
-
-
-def test_funnel_stage_consistency(spark):
-    rows = REGISTRY["evt_funnel_steps"].fn(spark, SF_DIR).collect()
-    assert rows
-    reached = set()
-    for r in rows:
-        ts = [r["t1"], r["t2"], r["t3"], r["t4"]]
-        # prefix property: tk present implies t1..t(k-1) present
-        present = [t is not None for t in ts]
-        assert present == sorted(present, reverse=True), r
-        stage = sum(present)
-        assert r["funnel_stage"] == stage, r
-        reached.add(stage)
-        filled = [t for t in ts if t is not None]
-        assert filled == sorted(filled) and len(set(filled)) == len(filled), r
-    # the funnel must discriminate at sf0.001 — not everyone converts
-    assert len(reached) > 1
-
-
-# ---------------------------------------------------------------------------
-# ml_kmeans_round — nearest-centroid assignment + truncated-mean update
-
-
-def test_kmeans_assignment_and_update_replay(spark, oracle_con):
-    vecs = {
-        vid: emb
-        for vid, emb in oracle_con.execute(
-            "SELECT vec_id, embedding FROM embeddings"
-        ).fetchall()
-    }
-    q = {
-        vid: [int(round(x * 1000)) for x in emb] for vid, emb in vecs.items()
-    }
-    seeds = sorted(q)[:8]
-    cent = {cid: q[cid] for cid in seeds}
-
-    def d2(a, b):
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    assign = {}
-    for vid, vq in q.items():
-        assign[vid] = min(cent, key=lambda c: (d2(vq, cent[c]), c))
-    members = defaultdict(list)
-    for vid, cid in assign.items():
-        members[cid].append(vid)
-    out = REGISTRY["ml_kmeans_round"].fn(spark, SF_DIR).collect()
-    got = {(r["cid"], r["d"]): r for r in out}
-    for cid, vids in members.items():
-        n = len(vids)
-        for d in range(64):
-            s = sum(q[v][d] for v in vids)
-            new_q = abs(s) // n * (1 if s >= 0 else -1)  # trunc toward 0
-            r = got[(cid, d)]
-            assert r["cluster_n"] == n, (cid, d)
-            assert r["old_q"] == cent[cid][d], (cid, d)
-            assert r["new_q"] == new_q, (cid, d, s, n)
-    assert len(out) == sum(1 for _ in members) * 64
-
-
-# ---------------------------------------------------------------------------
-# evt_retention_cohorts — week-0 is always 1000‰ and cells never exceed
-# their cohort
-
-
-def test_retention_cohort_invariants(spark):
-    rows = REGISTRY["evt_retention_cohorts"].fn(spark, SF_DIR).collect()
-    assert rows
-    by_cohort = defaultdict(dict)
-    for r in rows:
-        assert 0 <= r["active_users"] <= r["cohort_size"], r
-        assert r["week_offset"] >= 0, r
-        by_cohort[r["cohort_week"]][r["week_offset"]] = r
-    for cw, cells in by_cohort.items():
-        # every cohort user is active in their own first week
-        assert 0 in cells, cw
-        assert cells[0]["active_users"] == cells[0]["cohort_size"], cw
-        assert cells[0]["retention_pml"] == 1000, cw
-
-
-# ---------------------------------------------------------------------------
 # cross-engine primitive sweeps for the r10 operator surface
 
 
 def test_week_trunc_and_interval_agree_across_engines(spark, oracle_con):
-    # evt_retention_cohorts keys cohorts on date_trunc('week', ts)
-    # (Monday alignment) and evt_funnel_steps bounds stages with
-    # ts + INTERVAL 24 HOUR — both must agree across engines on
-    # arbitrary instants, including year boundaries and ISO-week
-    # edge days (Jan 1 falling mid-week, leap days).
+    # Cross-engine contracts for calendar primitives the event ops
+    # lean on (ext_funnel_steps' conversion window, evt_cohort_retention's
+    # day buckets, and any future week-grained cohort op): week
+    # truncation (Monday alignment) and fixed-interval addition must
+    # agree on arbitrary instants, including year boundaries and
+    # ISO-week edge days (Jan 1 falling mid-week, leap days).
     import datetime as dt
 
     rng = random.Random(12)
