@@ -78,7 +78,6 @@ BENCH_QUERIES = [
     "ml_gbdt_round",       # integer AdaBoost round over the stump grid
     "graph_pagerank",      # 3-round integer PageRank (iterative)
     "ts_anomaly_mad",      # dual-row_number median/MAD flags
-    "txt_pmi_colloc",      # bigram PMI collocations (micro-nat logs)
     "agg_sketch_hll",      # 64-register HLL build (constant state)
     "txt_zipf_fit",        # rank-frequency regression (decimal sums)
 ]

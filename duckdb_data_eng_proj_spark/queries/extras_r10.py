@@ -14,15 +14,15 @@ each completing an existing family:
 - ts_anomaly_mad — median/MAD outlier flags via the dual-row_number
   integer median (no quantile builtin: interpolating implementations
   never hash-match across engines; 2·median and 4·MAD stay BIGINT).
-- txt_pmi_colloc — bigram collocations by integer micro-nat PMI,
-  reusing the ln_u discipline of ml_naive_bayes / txt_entropy.
 - txt_zipf_fit — rank-frequency regression via DECIMAL(38)-exact sums.
 
-Three r10 candidates were built, verified green, and then REMOVED on
+Four r10 candidates were built, verified green, and then REMOVED on
 registry audit: evt_funnel_steps (≈ ext_funnel_steps, extras_r5),
-evt_retention_cohorts (≈ evt_cohort_retention, extras_r6b) and
-ml_kmeans_round (≈ ml_kmeans_2iter/_converged, ml_iter) already cover
-those analyses — near-duplicate ids are registry bloat, not coverage.
+evt_retention_cohorts (≈ evt_cohort_retention, extras_r6b),
+ml_kmeans_round (≈ ml_kmeans_2iter/_converged, ml_iter) and
+txt_pmi_colloc (≈ ext_ngram_collocations, extras_r6b — lift vs
+log-PMI is a monotone transform, same ranking) already cover those
+analyses — near-duplicate ids are registry bloat, not coverage.
 
 Reference parity: the reference (a DuckDB ETL take-home, pipeline.py)
 has none of these — they extend the training-pipeline families per
@@ -237,7 +237,9 @@ def _bloom_pos_sql(j: int, item: str) -> str:
         "Bloom-filter membership sketch with exact false-positive "
         "accounting — completes the sketch family (ext_sketch_kmv = "
         "cardinality, agg_sketch_cms = frequency, agg_sketch_hll = "
-        "cardinality-by-registers, this = membership): per p_brand a "
+        "cardinality-by-registers, this = membership; join_bloom_prefilter "
+        "applies the same structure as JOIN infrastructure, this one is "
+        "the sketch itself with exact false-positive accounting): per p_brand a "
         f"{_BLOOM_BITS}-bit filter of its p_size set via {_BLOOM_K} "
         "md5-derived hash positions; every (brand, size) pair in the "
         "full cross is then probed — in_bloom iff all k bits are set — "
@@ -492,6 +494,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Median/MAD anomaly flags over per-user hourly cent-unit "
         "buckets — the robust-outlier sibling of ts_ewma/ts_holt_linear "
+        "and the per-user VALUE counterpart of evt_anomaly_zscore (which "
+        "z-scores per-type COUNTS; a mean/stddev detector moves with the "
+        "outlier it is scoring, the median/MAD cut does not) "
         "(mean-based smoothers move with the outlier; median/MAD does "
         "not): median and MAD are computed as 2·median and 4·MAD via "
         "dual-row_number order statistics so the entire pipeline is "
@@ -564,134 +569,6 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad4",
             (2 * F.col("dev2") > 3 * F.col("mad4")).cast("long").alias("is_anomaly"),
         )
-    )
-
-
-# ---------------------------------------------------------------------------
-# txt_pmi_colloc
-
-_PMI_MIN_C = 5
-
-# PMI in integer micro-nats as an exact SUM OF ln_u TERMS — each ln_u
-# is taken on a BIGINT count (the ml_naive_bayes / txt_entropy
-# discipline), and the PMI is DEFINED as
-#   pmi_u = ln_u(c_ab) + 2·ln_u(N_uni) - ln_u(N_bi) - ln_u(c_a) - ln_u(c_b)
-# (identical formula both engines), which avoids ever forming the
-# c_ab·N² product that would overflow BIGINT at corpus scale.
-_PMI_LN_U = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
-
-
-@register(
-    "txt_pmi_colloc",
-    oracle=(
-        "WITH toks AS (SELECT list_filter(string_split_regex(lower(trim(text)), "
-        "'\\s+'), x -> x <> '') AS tk FROM documents), "
-        "bg AS (SELECT u.a AS tok_a, u.b AS tok_b FROM (SELECT "
-        "unnest(list_transform(range(len(tk) - 1), "
-        "i -> {'a': tk[i+1], 'b': tk[i+2]})) AS u FROM toks WHERE len(tk) > 1)), "
-        "uni AS (SELECT unnest(tk) AS tok FROM toks), "
-        "ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok), "
-        "cab AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab "
-        f"FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_C}), "
-        "nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni FROM uni), "
-        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bg), "
-        "p AS (SELECT cab.tok_a, cab.tok_b, cab.c_ab, "
-        + _PMI_LN_U.format(x="cab.c_ab")
-        + " + 2 * " + _PMI_LN_U.format(x="nu.n_uni")
-        + " - " + _PMI_LN_U.format(x="nb.n_bi")
-        + " - " + _PMI_LN_U.format(x="a.c")
-        + " - " + _PMI_LN_U.format(x="b.c")
-        + " AS pmi_u "
-        "FROM cab JOIN ca a ON a.tok = cab.tok_a "
-        "JOIN ca b ON b.tok = cab.tok_b CROSS JOIN nu CROSS JOIN nb) "
-        "SELECT tok_a, tok_b, c_ab, pmi_u, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY pmi_u DESC, tok_a, tok_b) AS BIGINT) "
-        "AS pmi_rank FROM p"
-    ),
-    doc=(
-        "Bigram collocation mining by pointwise mutual information in "
-        "integer micro-nats — the phrase-level sibling of txt_top_tokens "
-        "(unigram frequency) and txt_boilerplate_phrases (n-gram "
-        f"repetition): adjacent-token bigrams with count >= {_PMI_MIN_C} "
-        "scored by pmi_u = ln_u(c_ab) + 2·ln_u(N_uni) - ln_u(N_bi) - "
-        "ln_u(c_a) - ln_u(c_b), each ln_u a micro-nat log of a BIGINT "
-        "count (the ml_naive_bayes discipline; the summed form never "
-        "builds the c·N² product that would overflow at corpus scale). "
-        "High PMI = tokens that co-occur far above chance — the "
-        "collocation/named-entity signal used to build tokenizer merge "
-        "candidates and phrase vocabularies. Scale shape: bigrams via "
-        "an in-row array transform (no self-join on position), then two "
-        "map-side-combinable counts (bigram-keyed, token-keyed) and a "
-        "broadcast join of the vocab-sized count tables onto the "
-        "filtered bigram list."
-    ),
-)
-def txt_pmi_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
-
-    def L(col):
-        return F.round(F.log(col) * 1_000_000, 0).cast("long")
-
-    d = ensure_parallelism(t(spark, sf_dir, "documents"))
-    tk = d.select(tokens(F.col("text")).alias("tk"))
-    bg = (
-        tk.filter(F.size("tk") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tk) - 1), "
-                    "i -> struct(element_at(tk, i) as a, element_at(tk, i + 1) as b))"
-                )
-            ).alias("u")
-        )
-        .select(F.col("u.a").alias("tok_a"), F.col("u.b").alias("tok_b"))
-    )
-    uni = tk.select(F.explode("tk").alias("tok"))
-    # N_uni / N_bi derive from the vocab-sized COUNT tables (Σ c), not
-    # from extra corpus passes — two fact-scale aggregates total, both
-    # map-side-combinable; everything after is vocab-sized.
-    ca = (
-        uni.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=False)
-    )
-    cab_all = (
-        bg.groupBy("tok_a", "tok_b")
-        .agg(F.count("*").alias("c_ab"))
-        .localCheckpoint(eager=False)
-    )
-    cab = cab_all.filter(F.col("c_ab") >= _PMI_MIN_C)
-    nu = ca.agg(F.sum("c").alias("n_uni"))
-    nb = cab_all.agg(F.sum("c_ab").alias("n_bi"))
-    p = (
-        cab.join(
-            F.broadcast(ca.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))),
-            "tok_a",
-        )
-        .join(
-            F.broadcast(ca.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))),
-            "tok_b",
-        )
-        .crossJoin(F.broadcast(nu))
-        .crossJoin(F.broadcast(nb))
-        .select(
-            "tok_a",
-            "tok_b",
-            "c_ab",
-            (
-                L(F.col("c_ab"))
-                + 2 * L(F.col("n_uni"))
-                - L(F.col("n_bi"))
-                - L(F.col("c_a"))
-                - L(F.col("c_b"))
-            ).alias("pmi_u"),
-        )
-    )
-    w = Window.orderBy(F.col("pmi_u").desc(), "tok_a", "tok_b")
-    return p.select(
-        "tok_a",
-        "tok_b",
-        "c_ab",
-        "pmi_u",
-        F.row_number().over(w).cast("long").alias("pmi_rank"),
     )
 
 

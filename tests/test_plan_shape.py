@@ -518,9 +518,6 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         # one scan of part into the checkpointed (brand, size) set;
         # cells/probe/member all derive from it
         ("agg_bloom_filter", 5),
-        # two fact-scale counts (unigram, bigram — checkpointed); the
-        # N totals are Σ over those tables, not extra corpus passes
-        ("txt_pmi_colloc", 3),
         # one bucket aggregate + ONE user-keyed exchange reused by all
         # four window passes (medians are window sums, not join-backs)
         ("ts_anomaly_mad", 2),
