@@ -627,8 +627,11 @@ _ZIPF_LN_U = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
         "AS BIGINT) AS r2_pml FROM s"
     ),
     doc=(
-        "Zipf's-law fit over the token frequency table — the "
-        "corpus-health diagnostic next to txt_entropy (natural prose "
+        "Zipf's-law fit over the token frequency table (the "
+        "agg_regr_linear moment-sum machinery pointed at the "
+        "rank-frequency curve, plus r² — not a generic regression but "
+        "a corpus diagnostic) — the corpus-health signal next to "
+        "txt_entropy (natural prose "
         "fits ln(count) ≈ a - s·ln(rank) with s near 1; templated or "
         "machine-generated corpora bend the curve): least-squares "
         "slope (ppm), intercept (micro-nats) and r² (per-mille) over "
