@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "ts_anomaly_mad",      # dual-row_number median/MAD flags
     "agg_sketch_hll",      # 64-register HLL build (constant state)
     "txt_zipf_fit",        # rank-frequency regression (decimal sums)
+    "ts_changepoint_cusum",  # closed-form CUSUM drift windows
+    "graph_jaccard_neighbors",  # per-edge structural similarity
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -95,6 +97,7 @@ TIMED_BUILD = {
     "graph_label_communities",  # localCheckpoints labels each LPA round
     "ml_gbdt_round",  # eagerly localCheckpoints the (q, cls) fact count
     "txt_longest_common_substring",  # checkpoints candidates + positions
+    "graph_jaccard_neighbors",  # checkpoints the candidate edge table
 }
 
 

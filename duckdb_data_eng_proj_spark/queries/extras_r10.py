@@ -693,3 +693,243 @@ def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_pml"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_changepoint_cusum
+
+# CUSUM drift detection WITHOUT the recursive form: the textbook
+# reset-at-zero recursion s_t = max(0, s_{t-1} + (v_t - mu - k)) has
+# the closed form s_t = cums_t - min(0, cums_1..t) over the prefix
+# sums of the adjusted deltas — two window passes, no applyInPandas,
+# no recursive CTE (contrast ts_ewma, whose recursion has no prefix
+# closed form). All integer: mu = SUM DIV n (truncating; signed sums
+# safe under the r8 DIV parity law), slack k = max(1, |mu| DIV 10),
+# threshold h = 5k.
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle=(
+        "WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts, "
+        "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c100 "
+        "FROM events GROUP BY 1, 2), "
+        "m AS (SELECT user_id, CAST(SUM(v_c100) AS BIGINT) AS sv, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY user_id), "
+        "p AS (SELECT b.user_id, b.bucket_ts, b.v_c100, "
+        "sv // n AS mu, GREATEST(1, abs(sv // n) // 10) AS k "
+        "FROM b JOIN m ON m.user_id = b.user_id), "
+        "c AS (SELECT user_id, bucket_ts, v_c100, mu, k, "
+        "CAST(SUM(v_c100 - mu - k) OVER w AS BIGINT) AS cpos, "
+        "CAST(SUM(v_c100 - mu + k) OVER w AS BIGINT) AS cneg "
+        "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        "s AS (SELECT user_id, bucket_ts, v_c100, k, "
+        "cpos - LEAST(0, MIN(cpos) OVER w) AS s_pos, "
+        "GREATEST(0, MAX(cneg) OVER w) - cneg AS s_neg "
+        "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        "SELECT user_id, CAST(bucket_ts AS TIMESTAMP) AS bucket_ts, "
+        "v_c100, CAST(s_pos AS BIGINT) AS s_pos, "
+        "CAST(s_neg AS BIGINT) AS s_neg, "
+        "CAST(s_pos > 5 * k OR s_neg > 5 * k AS BIGINT) AS drift_flag "
+        "FROM s"
+    ),
+    doc=(
+        "CUSUM changepoint/drift detection over per-user hourly "
+        "cent-unit buckets — the DRIFT detector of the ts_ family "
+        "(ts_anomaly_mad flags single outlier buckets; CUSUM "
+        "accumulates small sustained shifts until the evidence "
+        "crosses 5k): the reset-at-zero recursion is computed in "
+        "CLOSED FORM as prefix-sum minus running-minimum (s_t = "
+        "cums_t - min(0, min prefix)), so what is sequential-looking "
+        "becomes two stacked window passes over ONE user-keyed "
+        "exchange — fully declarative, no Arrow recursion (contrast "
+        "ts_ewma, whose geometric decay has no prefix closed form), "
+        "and BIGINT-exact end to end with truncating integer mean "
+        "and slack. Both one-sided statistics (upward s_pos, downward "
+        "s_neg) and the 5k drift flag are emitted per bucket. 100 TB: "
+        "the ts_ewma partitioning argument — bucket table, never raw "
+        "events; windows stay per-user."
+    ),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.streaming.ingest import _event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = (
+        raw.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_trunc("hour", _event_ts(raw)).alias("bucket_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("user_id", "bucket_ts")
+        .agg(F.sum("v").alias("v_c100"))
+    )
+    m = b.groupBy("user_id").agg(
+        F.sum("v_c100").alias("sv"), F.count("*").alias("n")
+    )
+    p = b.join(m, "user_id").select(
+        "user_id",
+        "bucket_ts",
+        "v_c100",
+        F.expr("sv DIV n").alias("mu"),
+        F.greatest(F.lit(1).cast("long"), F.expr("abs(sv DIV n) DIV 10")).alias("k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = p.select(
+        "user_id",
+        "bucket_ts",
+        "v_c100",
+        "k",
+        F.sum(F.col("v_c100") - F.col("mu") - F.col("k")).over(w).alias("cpos"),
+        F.sum(F.col("v_c100") - F.col("mu") + F.col("k")).over(w).alias("cneg"),
+    )
+    s = c.select(
+        "user_id",
+        "bucket_ts",
+        "v_c100",
+        "k",
+        (F.col("cpos") - F.least(F.lit(0).cast("long"), F.min("cpos").over(w))).alias(
+            "s_pos"
+        ),
+        (F.greatest(F.lit(0).cast("long"), F.max("cneg").over(w)) - F.col("cneg")).alias(
+            "s_neg"
+        ),
+    )
+    return s.select(
+        "user_id",
+        "bucket_ts",
+        "v_c100",
+        "s_pos",
+        "s_neg",
+        ((F.col("s_pos") > 5 * F.col("k")) | (F.col("s_neg") > 5 * F.col("k")))
+        .cast("long")
+        .alias("drift_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_neighbors
+
+# Per-EDGE structural similarity over the symmetrized LSH candidate
+# graph: J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| in integer per-mille.
+# The intersection count is the wedge join (edges ⋈ edges on the
+# shared endpoint) restricted to candidate edges — the
+# clustering-coefficient machinery pointed at edge scoring instead of
+# a per-node census. Content Jaccard (dedup_ngram_jaccard) says "the
+# TEXTS overlap"; this says "the neighborHOODS overlap" — structural
+# equivalence for link prediction and cluster validation.
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=(
+        "{prelude}, "
+        "jcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM bands x JOIN bands y ON x.band = y.band "
+        "AND x.bucket = y.bucket AND x.doc_id < y.doc_id "
+        "WHERE x.bucket IS NOT NULL), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM jcand "
+        "UNION SELECT doc_b, doc_a FROM jcand), "
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM edges GROUP BY src), "
+        "inter AS (SELECT c.doc_a, c.doc_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_common FROM jcand c "
+        "JOIN edges ea ON ea.src = c.doc_a "
+        "JOIN edges eb ON eb.src = c.doc_b AND eb.dst = ea.dst "
+        "GROUP BY c.doc_a, c.doc_b), "
+        "j AS (SELECT c.doc_a, c.doc_b, "
+        "COALESCE(i.n_common, 0) AS n_common, "
+        "da.d + db.d - COALESCE(i.n_common, 0) AS n_union "
+        "FROM jcand c JOIN deg da ON da.src = c.doc_a "
+        "JOIN deg db ON db.src = c.doc_b "
+        "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b) "
+        "SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, "
+        "CAST(n_union AS BIGINT) AS n_union, "
+        "CAST((n_common * 1000) // n_union AS BIGINT) AS jacc_pml "
+        "FROM j".format(prelude=_LSH_PRELUDE)
+    ),
+    doc=(
+        "Neighbor-set Jaccard per candidate edge over the symmetrized "
+        "LSH graph — structural-equivalence scoring (two docs whose "
+        "neighborHOODS coincide sit in the same duplicate cluster even "
+        "if this particular pair was bucketed by chance), the per-edge "
+        "sibling of graph_clustering_coefficient's per-node triangle "
+        "census and the topology counterpart of dedup_ngram_jaccard's "
+        "content Jaccard. n_common is the wedge join (edges ⋈ edges on "
+        "the shared endpoint) restricted to candidate edges, n_union = "
+        "deg(a) + deg(b) - n_common, score = integer per-mille with "
+        "truncating division (positive operands). Scale shape: the "
+        "wedge join is Σ-deg-bounded like the triangle census (never "
+        "all-pairs — only candidate edges are scored), degrees are one "
+        "combinable count, and the whole plan reuses the checkpointed "
+        "edge table. 100 TB: identical to the clustering-coefficient "
+        "sizing in DEPLOYMENT.md; cap hub wedges the same way."
+    ),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_data_eng_proj_spark.queries.training import _lsh_bands_df
+
+    bands = _lsh_bands_df(spark, sf_dir)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        cand.unionAll(
+            cand.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ea = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("nb"))
+    eb = edges.select(F.col("src").alias("doc_b"), F.col("dst").alias("nb"))
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "nb"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        cand.join(
+            F.broadcast(deg.select(F.col("src").alias("doc_a"), F.col("d").alias("da"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("doc_b"), F.col("d").alias("db"))),
+            "doc_b",
+        )
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            (
+                F.col("da") + F.col("db")
+                - F.coalesce(F.col("n_common"), F.lit(0))
+            ).cast("long").alias("n_union"),
+        )
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "n_union",
+        F.expr("(n_common * 1000) DIV n_union").alias("jacc_pml"),
+    )

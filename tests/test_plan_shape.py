@@ -528,6 +528,11 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         ("txt_longest_common_substring", 3),
         # one corpus count, vocab-sized rank window + one-row closed form
         ("txt_zipf_fit", 3),
+        # bucket agg + per-user mean join + stacked windows on ONE
+        # user-keyed exchange (the closed-form CUSUM, no recursion)
+        ("ts_changepoint_cusum", 4),
+        # wedge join + degree rollup over the checkpointed edge table
+        ("graph_jaccard_neighbors", 8),
     ],
 )
 def test_r10_op_exchange_budget(spark, qid, budget):

@@ -333,3 +333,68 @@ def test_zipf_fit_replays_closed_form(spark, oracle_con):
     assert r["r2_pml"] == round(numer * numer / (denx * deny) * 1000)
     assert r["slope_ppm"] <= 0  # frequency never increases with rank
     assert 0 <= r["r2_pml"] <= 1000
+
+
+# ---------------------------------------------------------------------------
+# ts_changepoint_cusum — the prefix closed form equals the textbook
+# reset-at-zero recursion
+
+
+def test_cusum_closed_form_replays_recursion(spark):
+    rows = REGISTRY["ts_changepoint_cusum"].fn(spark, SF_DIR).collect()
+    assert rows
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    flagged = 0
+    for user, rs in per_user.items():
+        rs.sort(key=lambda r: r["bucket_ts"])
+        vals = [r["v_c100"] for r in rs]
+        n = len(vals)
+        sv = sum(vals)
+        mu = abs(sv) // n * (1 if sv >= 0 else -1)  # trunc toward zero
+        k = max(1, abs(mu) // 10)
+        sp = sn = 0
+        for v, r in zip(vals, rs):
+            sp = max(0, sp + (v - mu - k))
+            sn = max(0, sn - (v - mu + k))
+            assert r["s_pos"] == sp, (user, r)
+            assert r["s_neg"] == sn, (user, r)
+            expect_flag = int(sp > 5 * k or sn > 5 * k)
+            assert r["drift_flag"] == expect_flag, (user, r)
+            flagged += expect_flag
+    # the detector must neither be silent nor fire everywhere
+    total = sum(len(v) for v in per_user.values())
+    assert 0 < flagged < total
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_neighbors — Python replay over the operator's own graph
+
+
+def test_neighbor_jaccard_replay(spark):
+    from duckdb_data_eng_proj_spark.queries.training import _lsh_bands_df
+
+    bands = _lsh_bands_df(spark, SF_DIR).collect()
+    buckets = defaultdict(set)
+    for r in bands:
+        if r["bucket"] is not None:
+            buckets[(r["band"], r["bucket"])].add(r["doc_id"])
+    cand = set()
+    nbrs = defaultdict(set)
+    for docs in buckets.values():
+        docs = sorted(docs)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                cand.add((a, b))
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    out = REGISTRY["graph_jaccard_neighbors"].fn(spark, SF_DIR).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == cand
+    for r in out:
+        a, b = r["doc_a"], r["doc_b"]
+        inter = len(nbrs[a] & nbrs[b])
+        union = len(nbrs[a] | nbrs[b])
+        assert r["n_common"] == inter, (a, b)
+        assert r["n_union"] == union, (a, b)
+        assert r["jacc_pml"] == (inter * 1000) // union, (a, b)
