@@ -819,12 +819,12 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-EDGE structural similarity over the symmetrized LSH candidate
 # graph: J(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| in integer per-mille.
-# The intersection count is the wedge join (edges ⋈ edges on the
-# shared endpoint) restricted to candidate edges — the
-# clustering-coefficient machinery pointed at edge scoring instead of
-# a per-node census. Content Jaccard (dedup_ngram_jaccard) says "the
-# TEXTS overlap"; this says "the neighborHOODS overlap" — structural
-# equivalence for link prediction and cluster validation.
+# Content Jaccard (dedup_ngram_jaccard) says "the TEXTS overlap";
+# this says "the neighborHOODS overlap" — structural equivalence for
+# link prediction and cluster validation. The Spark side intersects
+# per-node sorted neighbor ARRAYS (see the in-function note); the
+# oracle keeps the relational wedge-join formulation — both are the
+# same exact quantity.
 
 
 @register(
@@ -862,15 +862,20 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "if this particular pair was bucketed by chance), the per-edge "
         "sibling of graph_clustering_coefficient's per-node triangle "
         "census and the topology counterpart of dedup_ngram_jaccard's "
-        "content Jaccard. n_common is the wedge join (edges ⋈ edges on "
-        "the shared endpoint) restricted to candidate edges, n_union = "
-        "deg(a) + deg(b) - n_common, score = integer per-mille with "
-        "truncating division (positive operands). Scale shape: the "
-        "wedge join is Σ-deg-bounded like the triangle census (never "
-        "all-pairs — only candidate edges are scored), degrees are one "
-        "combinable count, and the whole plan reuses the checkpointed "
-        "edge table. 100 TB: identical to the clustering-coefficient "
-        "sizing in DEPLOYMENT.md; cap hub wedges the same way."
+        "content Jaccard. n_common = |array_intersect| of the two "
+        "nodes' sorted neighbor arrays, n_union = deg(a) + deg(b) - "
+        "n_common, score = integer per-mille with truncating division "
+        "(positive operands). Scale shape: the naive relational wedge "
+        "join (edges ⋈ edges on the shared endpoint) SHUFFLES "
+        "Σ_edges deg rows — it grows cubically on dense near-dup "
+        "cliques and died twice at ×8 replication before finishing; "
+        "collecting each node's neighbor array once (one node-keyed "
+        "combinable build) and intersecting per candidate edge does "
+        "the identical exact computation in whole-stage codegen with "
+        "NO wedge materialization (completes ×8 in 190 s where the "
+        "wedge shape never finished; 1.47× vs the oracle at sf0.1). "
+        "100 TB: array length = degree — cap hub degrees per the "
+        "clustering-coefficient sizing if a boilerplate hub appears."
     ),
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,33 +902,41 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_b", "dst")
         .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ea = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("nb"))
-    eb = edges.select(F.col("src").alias("doc_b"), F.col("dst").alias("nb"))
-    inter = (
-        cand.join(ea, "doc_a")
-        .join(eb, ["doc_b", "nb"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # Neighbor LISTS, not wedge rows: the relational wedge join
+    # (edges ⋈ edges on the shared endpoint) materializes Σ_edges deg
+    # rows through a shuffle — ~4e9 at ×8 replication, where verbatim
+    # replica cliques make wedge volume grow CUBICALLY (two stress
+    # runs died on it). Collecting each node's sorted neighbor array
+    # once and intersecting per candidate edge does the identical
+    # exact computation as in-memory codegen (array_intersect), with
+    # the only shuffles being the node-keyed array build and the two
+    # candidate-edge joins — Σ deg array elements, never wedge rows.
+    nbrs = edges.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nb")
     )
     j = (
         cand.join(
-            F.broadcast(deg.select(F.col("src").alias("doc_a"), F.col("d").alias("da"))),
+            nbrs.select(F.col("src").alias("doc_a"), F.col("nb").alias("na")),
             "doc_a",
         )
         .join(
-            F.broadcast(deg.select(F.col("src").alias("doc_b"), F.col("d").alias("db"))),
+            nbrs.select(F.col("src").alias("doc_b"), F.col("nb").alias("nbb")),
             "doc_b",
         )
-        .join(inter, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",
-            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.size(F.array_intersect("na", "nbb")).cast("long").alias("n_common"),
             (
-                F.col("da") + F.col("db")
-                - F.coalesce(F.col("n_common"), F.lit(0))
-            ).cast("long").alias("n_union"),
+                F.size("na").cast("long")
+                + F.size("nbb").cast("long")
+            ).alias("deg_sum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("deg_sum") - F.col("n_common")).alias("n_union"),
         )
     )
     return j.select(

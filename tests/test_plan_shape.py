@@ -531,8 +531,9 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         # bucket agg + per-user mean join + stacked windows on ONE
         # user-keyed exchange (the closed-form CUSUM, no recursion)
         ("ts_changepoint_cusum", 4),
-        # wedge join + degree rollup over the checkpointed edge table
-        ("graph_jaccard_neighbors", 8),
+        # neighbor-array build + two candidate-edge joins over the
+        # checkpointed edge table (no wedge-row shuffle)
+        ("graph_jaccard_neighbors", 4),
     ],
 )
 def test_r10_op_exchange_budget(spark, qid, budget):
