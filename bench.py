@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "txt_zipf_fit",        # rank-frequency regression (decimal sums)
     "ts_changepoint_cusum",  # closed-form CUSUM drift windows
     "graph_jaccard_neighbors",  # per-edge structural similarity
+    "ts_seasonal_profile", # weekday seasonal index (2-exchange profile)
+    "ext_compact_plan",    # next-fit file-compaction planner
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

@@ -27,5 +27,6 @@ from duckdb_data_eng_proj_spark.queries import extras_r7  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras_r8  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras_r9  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras_r10  # noqa: E402,F401
+from duckdb_data_eng_proj_spark.queries import extras_r10b  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "t"]

@@ -534,6 +534,12 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         # neighbor-array build + two candidate-edge joins over the
         # checkpointed edge table (no wedge-row shuffle)
         ("graph_jaccard_neighbors", 4),
+        # (type, date) partial agg + ONE event_type repartition shared
+        # by the dow re-agg and the per-type window, + result sort
+        ("ts_seasonal_profile", 3),
+        # (source, file_id) inventory agg + one source exchange reused
+        # by pack and group-stats windows, + result sort
+        ("ext_compact_plan", 3),
     ],
 )
 def test_r10_op_exchange_budget(spark, qid, budget):
