@@ -605,17 +605,31 @@ _ZIPF_LN_U = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
         "CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy "
         "FROM pt) "
         "SELECT n AS n_vocab, "
+        # Degenerate-corpus guards (ADVICE r10): CASE on the exact
+        # denominators, mirrored operand-for-operand in the Spark plan.
+        "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 "
+        "THEN CAST(0 AS BIGINT) ELSE "
         "CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
         "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
         "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
         "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000, 0) "
-        "AS BIGINT) AS slope_ppm, "
+        "AS BIGINT) END AS slope_ppm, "
+        "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 "
+        "THEN CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 0) "
+        "AS BIGINT) ELSE "
         "CAST(round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) "
         "* CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
         "/ (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
         "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) "
-        "* CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 0) AS BIGINT) "
+        "* CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 0) AS BIGINT) END "
         "AS intercept_u, "
+        "CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0 "
+        "THEN CAST(0 AS BIGINT) ELSE "
         "CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
         "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
         "* (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
@@ -624,7 +638,7 @@ _ZIPF_LN_U = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
         "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
         "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
         "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000, 0) "
-        "AS BIGINT) AS r2_pml FROM s"
+        "AS BIGINT) END AS r2_pml FROM s"
     ),
     doc=(
         "Zipf's-law fit over the token frequency table (the "
@@ -685,12 +699,24 @@ def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     denx = nd * sxxd - sxd * sxd
     deny = nd * syyd - syd * syd
     slope = numer / denx
+    # Degenerate-corpus guards (ADVICE r10): denx = 0 only when n = 1
+    # (ranks are distinct so the x's collapse only then); deny = 0
+    # whenever every token count is identical. Unguarded, the division
+    # yields inf/NaN, which DuckDB errors on at the BIGINT cast and
+    # Spark nulls — a cross-engine divergence on pathological input.
+    # Both engines emit 0 for the affected statistic, via the same
+    # CASE-on-the-denominator shape.
+    zero = F.lit(0).cast("long")
     return s.select(
         F.col("n").alias("n_vocab"),
-        F.round(slope * 1_000_000, 0).cast("long").alias("slope_ppm"),
-        F.round((syd - slope * sxd) / nd, 0).cast("long").alias("intercept_u"),
-        F.round(numer * numer / (denx * deny) * 1000, 0)
-        .cast("long")
+        F.when(denx == 0.0, zero)
+        .otherwise(F.round(slope * 1_000_000, 0).cast("long"))
+        .alias("slope_ppm"),
+        F.when(denx == 0.0, F.round(syd / nd, 0).cast("long"))
+        .otherwise(F.round((syd - slope * sxd) / nd, 0).cast("long"))
+        .alias("intercept_u"),
+        F.when((denx * deny) == 0.0, zero)
+        .otherwise(F.round(numer * numer / (denx * deny) * 1000, 0).cast("long"))
         .alias("r2_pml"),
     )
 

@@ -143,9 +143,9 @@ _COMPACT_TARGET = 2400  # bytes per compaction group: ~3-4 files
         "CAST(512 + SUM(n_chars) AS BIGINT) AS file_bytes "
         "FROM documents GROUP BY 1, 2), "
         "packed AS (SELECT source, file_id, file_bytes, "
-        "(SUM(file_bytes) OVER (PARTITION BY source ORDER BY file_id "
+        "CAST((SUM(file_bytes) OVER (PARTITION BY source ORDER BY file_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - file_bytes) "
-        f"// {_COMPACT_TARGET} AS grp FROM files) "
+        f"// {_COMPACT_TARGET} AS BIGINT) AS grp FROM files) "
         "SELECT source, file_id, file_bytes, grp, "
         "CAST(COUNT(*) OVER (PARTITION BY source, grp) AS BIGINT) AS grp_files, "
         "CAST(SUM(file_bytes) OVER (PARTITION BY source, grp) AS BIGINT) "
@@ -155,15 +155,18 @@ _COMPACT_TARGET = 2400  # bytes per compaction group: ~3-4 files
     doc=(
         "Small-file compaction planner: per table partition (source), "
         "files ordered by file_id are packed sequentially into "
-        "compaction groups by next-fit on cumulative bytes — grp = "
-        "exclusive-cumsum DIV target — then each file row carries its "
-        "group's file count and total bytes. Next-fit (vs first-fit "
-        "bin packing) is the deterministic, single-window-pass policy "
-        "real compactors (Iceberg binpack, Delta OPTIMIZE) use for "
-        "ordered manifests; exclusive cumsum means a group keeps "
-        "accepting files until it crosses target, so every group but "
-        "a partition's last is >= target-ish and no group splits "
-        "needlessly. All-BIGINT arithmetic, truncating DIV. Scale "
+        "compaction groups by FIXED CUMULATIVE-BYTE-BOUNDARY BINNING — "
+        "grp = exclusive-cumsum DIV target, i.e. group boundaries sit "
+        "at absolute multiples of the target byte count, with no "
+        "capacity reset when a group closes. This is deliberately NOT "
+        "next-fit/first-fit bin packing (those reset capacity at each "
+        "group close; after a file overshoots a boundary the next "
+        "boundary-binned group is capacity-truncated, which true "
+        "next-fit would keep packing) — the boundary form is the "
+        "single-window-pass, resume-safe policy: any file's group is "
+        "a pure function of the exclusive prefix sum, so the plan is "
+        "stable under manifest re-reads and incremental extension. "
+        "All-BIGINT arithmetic, truncating DIV. Scale "
         "shape: one (source, file_id) partial-agg exchange builds the "
         "inventory (in production the manifest replaces this and the "
         "whole plan is metadata-scale), one exchange to source for "

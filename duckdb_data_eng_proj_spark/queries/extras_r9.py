@@ -4,12 +4,17 @@ Two additions inside the r9 new-id budget (VERDICT r8 items 5 + 6):
 
 - txt_longest_common_substring — per candidate near-dup pair, the
   length (in tokens) of the longest common token SUBSTRING, computed
-  without dynamic programming: a common substring of length n is n
-  consecutive position-matches along one diagonal of the match matrix,
-  so LCS = the longest gaps-and-islands run per (pair, diagonal).
-  Candidates come from the SAME LSH band-bucket join as ext_dedup_near
-  (never all-pairs), which is what keeps both the Spark plan and the
-  DuckDB oracle cheap. Completes the near-dup diagnostic family:
+  without dynamic programming on TRIGRAM positions (r10 rebuild): a
+  common token substring of length n ≥ 3 contains exactly n-2
+  consecutive trigram position-matches along one diagonal of the
+  trigram match matrix, so LCS = (longest gaps-and-islands trigram
+  run per (pair, diagonal)) + 2, and sharing a trigram is an EXACT
+  qualifying filter for the operator's LCS ≥ 3 output floor — pairs
+  with no shared trigram have LCS < 3 and are correctly excluded
+  before the window ever sees them. Candidates come
+  from the SAME LSH band-bucket join as ext_dedup_near (never
+  all-pairs), which is what keeps both the Spark plan and the DuckDB
+  oracle cheap. Completes the near-dup diagnostic family:
   dedup_span_exact finds shared fixed-W windows, ext_dedup_near scores
   set overlap — this ranks pairs by their longest CONTIGUOUS overlap.
 - ml_gbdt_round — one discrete boosting round on top of

@@ -54,8 +54,21 @@ _CORE_SNAPSHOT_PATH = entrymod._SNAPSHOT_PATH.replace(
 # repo-helper sources into the core, closing the wrapper-fn loophole;
 # ADVICE r9: v3 adds list/dict/set module constants — sets via sorted
 # repr, raw set repr follows hash randomization — and dotted
-# ``mod.helper`` references whose base is a repo-package module).
-_CORE_VERSION = 3
+# ``mod.helper`` references whose base is a repo-package module;
+# round 11: v4 makes constant folding DETERMINISTIC — v3 folded
+# containers via raw repr(), and REGISTRY (reached through
+# register()'s own source) holds QuerySpec objects whose default
+# reprs embed 0x memory addresses, so every id's v3 hash was
+# process-random and --rebless-context-only refused the whole
+# registry every time it was actually tried. v4 folds literal-leaved
+# containers by canonical repr, callable leaves by qualified name
+# PLUS transitive source (dispatch-dict routing and implementation
+# changes both still invalidate), and object-leaved state like
+# REGISTRY as an opaque type token only — decoration-populated
+# registries are state, not behavior config, and folding their
+# contents made every unrelated id's hash change whenever any op
+# was registered).
+_CORE_VERSION = 4
 _PKG = "duckdb_data_eng_proj_spark"
 
 
@@ -98,6 +111,15 @@ def _referenced_objects(fn):
         elif isinstance(node, ast.Import):
             for alias in node.names:
                 imports[alias.asname or alias.name] = (alias.name, None)
+                if alias.asname is None and "." in alias.name:
+                    # ``import pkg.sub.mod`` binds ``pkg``, not the
+                    # dotted path — key the binding name too, else
+                    # attribute chains rooted at ``pkg`` bypass the
+                    # imports table and the referenced object can stay
+                    # out of the core hash (ADVICE r10: the same
+                    # loophole class v3 closed for dotted references).
+                    base = alias.name.split(".")[0]
+                    imports.setdefault(base, (base, None))
 
     def _resolve_base(name):
         if name in imports:
@@ -134,6 +156,51 @@ def _referenced_objects(fn):
     return objs
 
 
+_PLAIN_SCALARS = (int, float, str, bytes, bool, type(None))
+
+
+def _const_fold(obj, out_callables: list) -> str:
+    """Canonical, process-stable token for a module-level constant.
+
+    Literal scalars/containers fold by value (sets sorted — raw set
+    repr follows hash randomization). Function/class leaves fold by
+    qualified name and are APPENDED to ``out_callables`` so the caller
+    folds their transitive source too: both re-routing a dispatch dict
+    to a different callable and editing the routed callable's body
+    invalidate the hash. Any other object (class instances — e.g. the
+    QuerySpec values inside REGISTRY) marks the WHOLE container
+    non-literal: it folds as a bare type token with no contents or
+    length, because decoration-populated registries are mutable state
+    whose default reprs embed 0x addresses (process-random) and whose
+    contents grow with unrelated registrations — folding either way
+    made --rebless-context-only refuse every id (round-11 v4 fix)."""
+    if isinstance(obj, _PLAIN_SCALARS):
+        return repr(obj)
+    if inspect.isfunction(obj) or inspect.isclass(obj):
+        out_callables.append(obj)
+        return "<%s.%s>" % (
+            getattr(obj, "__module__", "?"),
+            getattr(obj, "__qualname__", "?"),
+        )
+    if isinstance(obj, (set, frozenset)):
+        return "{" + ", ".join(sorted(_const_fold(x, out_callables) for x in obj)) + "}"
+    if isinstance(obj, dict):
+        return "{" + ", ".join(
+            _const_fold(k, out_callables) + ": " + _const_fold(v, out_callables)
+            for k, v in obj.items()
+        ) + "}"
+    if isinstance(obj, (list, tuple)):
+        inner = ", ".join(_const_fold(x, out_callables) for x in obj)
+        if isinstance(obj, list):
+            return "[" + inner + "]"
+        return "(" + inner + ("," if len(obj) == 1 else "") + ")"
+    raise _NonLiteralConstant(type(obj).__name__)
+
+
+class _NonLiteralConstant(Exception):
+    """Raised by _const_fold on a non-literal leaf (class instance)."""
+
+
 def _core_sources(fn, seen: set) -> list:
     """fn's source plus, transitively, the source of every repo-package
     function/class it references and the repr of every plain-value
@@ -158,14 +225,26 @@ def _core_sources(fn, seen: set) -> list:
             parts.extend(_core_sources(obj, seen))
         elif isinstance(obj, (int, float, str, bytes, tuple, frozenset,
                               list, dict, set, bool, type(None))):
-            # list/dict/set folded too (ADVICE r9): repr is
-            # deterministic for literal module constants, and skipping
-            # them left behavior routed through e.g. a module-level
-            # config dict re-blessable.
-            if isinstance(obj, (set, frozenset)):
-                parts.append(f"{name}={sorted(map(repr, obj))!r}")
-            else:
-                parts.append(f"{name}={obj!r}")
+            # list/dict/set folded too (ADVICE r9), but via the v4
+            # canonical fold: literal leaves by value, callable leaves
+            # by qualified name + transitive source, object-leaved
+            # state (REGISTRY) as an opaque type token.
+            leaf_callables: list = []
+            try:
+                token = _const_fold(obj, leaf_callables)
+            except _NonLiteralConstant:
+                token = f"<non-literal {type(obj).__name__}>"
+                leaf_callables = []
+            parts.append(f"{name}={token}")
+            for cal in leaf_callables:
+                modname = getattr(cal, "__module__", "") or ""
+                if modname != _PKG and not modname.startswith(_PKG + "."):
+                    continue
+                key = (modname, getattr(cal, "__qualname__", ""))
+                if key in seen:
+                    continue
+                seen.add(key)
+                parts.extend(_core_sources(cal, seen))
     return parts
 
 

@@ -171,5 +171,29 @@ def test_snapshot_never_verifies_beyond_green_rows():
     assert entry._verified_green() <= entry._green_rows()
 
 
+def test_core_hash_stable_across_processes():
+    # Round-11 regression (core-hash v4): v3 folded REGISTRY (reached
+    # through register()'s source) via raw repr(), whose QuerySpec fn
+    # reprs embed 0x memory addresses — so the core hash differed
+    # between PROCESSES and --rebless-context-only refused the entire
+    # registry whenever it was actually used. Pin cross-process
+    # stability by hashing one id in two fresh interpreters.
+    import subprocess
+    import sys as _sys
+
+    prog = (
+        "import sys; sys.path.insert(0, %r); sys.path.insert(0, %r); "
+        "import update_verified_snapshot as u; "
+        "from duckdb_data_eng_proj_spark.queries import REGISTRY; "
+        "print(u._core_hash(REGISTRY['agg_argminmax']))"
+    ) % (str(entry._HERE), str(entry._HERE) + "/scripts")
+    outs = [
+        subprocess.run([_sys.executable, "-c", prog],
+                       capture_output=True, text=True, check=True).stdout
+        for _ in range(2)
+    ]
+    assert outs[0] == outs[1] and outs[0].strip()
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
