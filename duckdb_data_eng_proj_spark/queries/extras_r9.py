@@ -90,15 +90,19 @@ _LCS_POS_SQL = (
         "along one diagonal (ia - jb), so LCS = max gaps-and-islands "
         "run + 2 (identity pinned against textbook DP in "
         "tests/test_r10_laws.py). Trigram matches are ~6× rarer than "
-        "token matches (stop-token fan-out disappears), and the same "
-        "distinct-trigram table gives an EXACT qualifying pre-filter — "
-        "a pair shares a trigram iff LCS >= 3, precisely the output "
+        "token matches (stop-token fan-out disappears), and the "
+        "trigram equi-join itself is an EXACT qualifying filter — a "
+        "pair shares a trigram iff LCS >= 3, precisely the output "
         "cut — so only output-bound pairs (15.6k of 72k LSH candidates "
-        "at sf0.1) ever reach the window. Candidates are the "
+        "at sf0.1) ever reach the window shuffle; non-qualifying "
+        "pairs produce zero match rows map-side (r11: the previous "
+        "separate pre-filter stage duplicated this qualification and "
+        "was removed — one fewer checkpoint, measured faster). "
+        "Candidates are the "
         "ext_dedup_near band-bucket join (bounded, never all-pairs); "
         "the corpus is tokenized once into a checkpointed "
-        "candidate-pruned trigram-position table that feeds both the "
-        "filter and the (broadcast-join) match relation. At 100 TB "
+        "candidate-pruned trigram-position table that feeds the "
+        "(broadcast-join) match relation. At 100 TB "
         "every stage is candidate-bounded: inverted-index join, "
         "broadcast match fan-out, one (pair, diag)-keyed window "
         "shuffle. Output: pairs sharing a run of "
@@ -108,9 +112,10 @@ _LCS_POS_SQL = (
 def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _lsh_bands_df(spark, sf_dir)
     x, y = bands.alias("x"), bands.alias("y")
-    # Checkpointed: cand is referenced three times below (both prunes
-    # and the match join) — without the barrier each reference re-runs
-    # the whole MinHash front half (measured 8.5 s -> ~3 s at sf0.1).
+    # Checkpointed: cand is referenced twice below (the doc prune and
+    # the broadcast match join) — without the barrier each reference
+    # re-runs the whole MinHash front half (measured 8.5 s -> ~3 s at
+    # sf0.1).
     cand = (
         x.join(
             y,
@@ -120,10 +125,10 @@ def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
-        # EAGER: cand feeds two broadcast exchanges and the doc prune;
-        # a lazy checkpoint would be raced into 2-3 concurrent
-        # recomputes of the MinHash front half (measured: 15.7 s lazy
-        # vs ~5.5 s eager for the whole operator at sf0.1).
+        # EAGER: cand feeds a broadcast exchange and the doc prune; a
+        # lazy checkpoint would be raced into concurrent recomputes
+        # of the MinHash front half (measured: 15.7 s lazy vs ~5.5 s
+        # eager for the whole operator at sf0.1).
         .localCheckpoint()
     )
     docs = t(spark, sf_dir, "documents")
@@ -144,33 +149,33 @@ def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — precisely the pairs the >= _LCS_MIN output filter keeps.
     from duckdb_data_eng_proj_spark.operators.textops import word_ngrams
 
+    # Token array behind a projection barrier (the measured r4/r11
+    # pitfall): inlined, tokens() re-evaluates inside word_ngrams'
+    # transform lambda per position — 3.8-4.2 s vs 0.5 s for this
+    # explode at sf0.1 (8×; CollapseProject keeps the barrier because
+    # `tk` is referenced more than once by the n-gram expression).
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
     posg = (
-        docs.select(
+        tk.select(
             "doc_id",
-            F.posexplode(word_ngrams(tokens(F.col("text")), 3)).alias("i", "g"),
+            F.posexplode(word_ngrams(F.col("tk"), 3)).alias("i", "g"),
         )
         .join(F.broadcast(cdocs), "doc_id", "leftsemi")
         .localCheckpoint()
     )
-    tgd = posg.select("doc_id", "g").distinct()
-    ga, gb = tgd.alias("a"), tgd.alias("b")
-    qual = (
-        ga.join(
-            gb,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-        .join(cand, ["doc_a", "doc_b"], "leftsemi")
-        .localCheckpoint()
-    )
-    # Match relation built by two BROADCAST joins (qual and the pruned
+    # Match relation built by two BROADCAST joins (cand and the pruned
     # trigram-position table are both candidate-bounded), so the
     # fan-out streams map-side straight into the window shuffle — the
     # only exchange of match data is the (pair, diag)-keyed one.
+    # r11: the separate shared-trigram qualifying stage (tgd
+    # self-join + leftsemi + a third eager checkpoint) was REMOVED —
+    # the match join on (doc_b, g) performs exactly the same
+    # qualification implicitly (a pair with no shared trigram
+    # produces zero match rows, and the >= _LCS_MIN output filter
+    # drops it either way). Same-day A/B at sf0.1: 6.2-6.8 s vs
+    # 7.1-7.4 s with the stage, identical 15629-row output, and one
+    # fewer checkpoint rebuilt per bench lap (the lap-variance
+    # source VERDICT r10 item 4 flags).
     pos_a = posg.select(
         F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "g"
     )
@@ -178,7 +183,7 @@ def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("i").alias("jb"), "g"
     )
     m = (
-        pos_a.join(F.broadcast(qual), "doc_a")
+        pos_a.join(F.broadcast(cand), "doc_a")
         .join(F.broadcast(pos_b), ["doc_b", "g"])
         .select(
             "doc_a", "doc_b", (F.col("ia") - F.col("jb")).alias("diag"), "ia"
