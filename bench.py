@@ -83,7 +83,10 @@ BENCH_QUERIES = [
     "ts_changepoint_cusum",  # closed-form CUSUM drift windows
     "graph_jaccard_neighbors",  # per-edge structural similarity
     "ts_seasonal_profile", # weekday seasonal index (2-exchange profile)
-    "ext_compact_plan",    # next-fit file-compaction planner
+    "ext_compact_plan",    # boundary-binned file-compaction planner
+    "join_skew_diagnose",  # two-sided join fan-out histogram (r11)
+    "dedup_minhash_incremental",  # batch-vs-index near-dup admission (r11)
+    "sim_ann_index_drift", # stale-vs-retrained IVF comparison (r11)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

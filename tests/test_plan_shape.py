@@ -540,6 +540,20 @@ def test_r8b_op_exchange_budget(spark, qid, budget):
         # (source, file_id) inventory agg + one source exchange reused
         # by pack and group-stats windows, + result sort
         ("ext_compact_plan", 3),
+        # two per-key count aggs (|keys|-sized outputs), the key-keyed
+        # full outer of the COUNT tables, bin rollup + share window +
+        # result sort — the fact tables are scanned once each and
+        # never join
+        ("join_skew_diagnose", 6),
+        # two candidate paths (index-join + batch self-join), each
+        # bucket-keyed + distinct + verification joins back to the
+        # shingle sets; final verdict joins broadcast batch-sized
+        # partner tables
+        ("dedup_minhash_incremental", 8),
+        # both index generations are checkpointed (each feeds a
+        # broadcast pack); the returned plan is the 3-way union
+        # rollup + the k-row report joins + sort
+        ("sim_ann_index_drift", 3),
     ],
 )
 def test_r10_op_exchange_budget(spark, qid, budget):

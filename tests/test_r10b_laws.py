@@ -9,7 +9,9 @@ is the RIGHT one, via independent pure-Python replays on sf0.001.
   mass-conservation law (Σ ev_dow over dows = the type's event count)
   and the weighted-index law (the n_days-weighted mean of the EXACT
   pre-rounding index is exactly 1000 per mille by construction).
-- ext_compact_plan: full replay of next-fit packing over an
+- ext_compact_plan: full replay of the cumulative-byte-boundary
+  binning (grp = exclusive-cumsum DIV target; NOT next-fit — no
+  capacity reset at group close) over an
   independently rebuilt file inventory, plus the structural laws —
   group ids are non-decreasing in file_id within a source, and
   grp_files/grp_bytes equal the member sums.
@@ -71,7 +73,7 @@ def test_seasonal_profile_mass_and_weighted_index(spark):
         assert ev_all == sum(r.ev_dow for r in rs)
 
 
-def test_compact_plan_replays_next_fit(spark):
+def test_compact_plan_replays_boundary_binning(spark):
     from duckdb_data_eng_proj_spark.queries.registry import t
 
     docs = t(spark, SF_DIR, "documents").select("source", "doc_id", "n_chars").collect()
