@@ -573,3 +573,16 @@ def test_gbdt_round_fact_scan_bounded(spark):
 
     df = REGISTRY["ml_gbdt_round"].fn(spark, SF_DIR)
     assert "lineitem" not in physical_plan(df)
+
+
+def test_skew_diagnose_prunes_to_key_columns(spark):
+    """join_skew_diagnose reads exactly ONE column per fact table —
+    the diagnostic must never widen the scans it exists to protect
+    (the 100 TB cost is the two fact scans; a full-schema read would
+    multiply it by the row width)."""
+    df = REGISTRY["join_skew_diagnose"].fn(spark, SF_DIR)
+    scans = read_schema_columns(df)
+    assert sorted(map(tuple, map(sorted, scans))) == [
+        ("o_custkey",),
+        ("user_id",),
+    ], scans
