@@ -69,7 +69,8 @@ _SKEW_TARGET = 4096
         "FROM orders GROUP BY o_custkey), "
         "pk AS (SELECT COALESCE(lc.k, rc.k) AS k, "
         "COALESCE(nl, 0) AS nl, COALESCE(nr, 0) AS nr, "
-        "COALESCE(nl, 0) * COALESCE(nr, 0) AS out_rows "
+        "LEAST(COALESCE(nl, 0), 2147483647) * "
+        "LEAST(COALESCE(nr, 0), 2147483647) AS out_rows "
         "FROM lc FULL OUTER JOIN rc ON lc.k = rc.k), "
         "b AS (SELECT CASE WHEN out_rows = 0 THEN CAST(-1 AS BIGINT) "
         "ELSE CAST(floor(log2(CAST(out_rows AS DOUBLE))) AS BIGINT) END "
@@ -110,7 +111,17 @@ _SKEW_TARGET = 4096
         "tables), then a bins-sized rollup — the whole diagnostic "
         "costs two fact scans and shuffles only key cardinalities. "
         "The share window runs over the ~64-row bin table. Output: "
-        "one row per occupied bin."
+        "one row per occupied bin. Overflow posture (ADVICE r11): "
+        "per-key counts are capped at 2^31-1 inside the product in "
+        "BOTH arms — identical below the cap, and a key with >2 "
+        "billion rows per side saturates bins/salt instead of "
+        "silently wrapping in Spark's non-ANSI BIGINT while DuckDB "
+        "errors. share_pml's x1000 keeps exact integer division "
+        "(cross-engine double-cast rounding differs) and therefore "
+        "carries a ~9.2e15 total-output-rows ceiling, documented "
+        "here: a diagnosed join past that ceiling is unrunnable "
+        "anyway, and the failure is a loud DuckDB error, not a "
+        "silent Spark wrap."
     ),
     tags=("diagnostic",),
 )
@@ -129,7 +140,11 @@ def join_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("nl"), F.lit(0)).alias("nl"),
             F.coalesce(F.col("nr"), F.lit(0)).alias("nr"),
         )
-        .withColumn("out_rows", F.col("nl") * F.col("nr"))
+        .withColumn(
+            "out_rows",
+            F.least(F.col("nl"), F.lit(2147483647))
+            * F.least(F.col("nr"), F.lit(2147483647)),
+        )
     )
     b = pk.withColumn(
         "vol_bin",

@@ -183,7 +183,19 @@ def _const_fold(obj, out_callables: list) -> str:
             getattr(obj, "__qualname__", "?"),
         )
     if isinstance(obj, (set, frozenset)):
-        return "{" + ", ".join(sorted(_const_fold(x, out_callables) for x in obj)) + "}"
+        # Fold each element with its OWN callable list, sort by token,
+        # then extend out_callables in that sorted order — appending
+        # during raw set iteration would leave callable traversal
+        # order process-random for sets containing repo callables
+        # (ADVICE r11), the exact instability class v4 exists to fix.
+        folded = []
+        for x in obj:
+            elem_callables: list = []
+            folded.append((_const_fold(x, elem_callables), elem_callables))
+        folded.sort(key=lambda t: t[0])
+        for _token, elem_callables in folded:
+            out_callables.extend(elem_callables)
+        return "{" + ", ".join(t for t, _ in folded) + "}"
     if isinstance(obj, dict):
         return "{" + ", ".join(
             _const_fold(k, out_callables) + ": " + _const_fold(v, out_callables)

@@ -51,6 +51,14 @@ def test_skew_diagnose_mass_conservation(spark):
     ).count()
     assert sum(r.out_rows_total for r in rows) == true_out
     assert sum(r.shuffle_rows for r in rows) == ev.count() + od.count()
+    # The union+distinct cross-check counts a NULL key ONCE, but the
+    # operator's full-outer join keeps per-side NULL keys as separate
+    # unmatched rows (NULL never equi-joins) — so this law only holds
+    # on NULL-free key columns. Assert that precondition explicitly
+    # (ADVICE r11) instead of letting a future generator change turn a
+    # both-engines-agree result into a spurious law failure.
+    assert ev.filter(F.col("user_id").isNull()).count() == 0
+    assert od.filter(F.col("o_custkey").isNull()).count() == 0
     assert sum(r.n_keys for r in rows) == (
         ev.select("user_id").union(
             od.select("o_custkey")
