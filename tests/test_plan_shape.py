@@ -586,3 +586,26 @@ def test_skew_diagnose_prunes_to_key_columns(spark):
         ("o_custkey",),
         ("user_id",),
     ], scans
+
+
+def test_naive_bayes_model_side_broadcast(spark):
+    """ml_naive_bayes waiver pin (BASELINE.md round 12): the model
+    side never shuffles. Every SortMergeJoin in the physical plan is
+    doc_id-keyed (the row-keyed score/OOV assembly — the only joins
+    allowed to move corpus-sized data), all model-table joins are
+    broadcast, and the exchange count stays bounded. The 1.3 s local
+    reading is a multi-job constant (flat ×8, two negative reshape
+    A/Bs); this pin is what makes the shape 100 TB-safe."""
+    import re
+
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["ml_naive_bayes"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    smj_keys = re.findall(
+        r"SortMergeJoin\nLeft keys \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert smj_keys, "expected the doc-keyed assembly SortMergeJoin"
+    for keys in smj_keys:
+        assert "doc_id" in keys, f"non-doc-keyed SortMergeJoin: {keys}"
+    assert count_exchanges(df) <= 22
