@@ -1,0 +1,478 @@
+"""Round-12 operators: the three registry gaps the r12 fresh-analysis
+audit (VERDICT r11 item 5) confirmed the 258-id registry genuinely
+lacks — each the WRITE/MAINTENANCE sibling of an already-verified
+read-side operator:
+
+- sim_ann_ivf_admit — the write-side sibling of sim_ann_index_drift:
+  route an incoming embedding batch (vec_id % 3 = 0, the shared batch
+  convention) into the PERSISTED IVF layout (the stale centroid set
+  trained on the corpus) and emit the per-partition admission plan a
+  writer executes: existing/incoming/after counts, growth per-mille,
+  and the split flag for partitions the admission pushes past 2× the
+  balanced size. sim_ann_ivf_partitioned proved the probe/read path
+  of the layout; this is the append path.
+- ext_corpus_release_diff — the two-generation datasheet:
+  ext_dataset_card (one snapshot's card) × etl_snapshot_diff's
+  generation framing. Per language plus a '__total__' rollup row:
+  doc counts, token mass, corpus share, and exact-dup rate for BOTH
+  generations (old = doc_id % 3 <> 0, new = the full table), so a
+  release note shows exactly how the crawl shifted the mix.
+- dedup_band_index_vacuum — the maintenance sibling of
+  dedup_minhash_incremental: after deletes (doc_id % 13 = 0, the
+  etl_snapshot_diff delete rule), the persisted LSH band index holds
+  dead postings and orphaned buckets. Per band: posting/bucket
+  occupancy before and after, dead share per-mille, the orphaned
+  single-member buckets that can no longer generate candidates, and
+  the rewrite flag compaction acts on.
+
+Reference parity: the reference (a DuckDB loan-ETL take-home,
+pipeline.py) has none of these — they extend the training-pipeline
+families per the build charter. All follow the repo determinism rules
+(registry.py): exact integer arithmetic, identical tie-breaks and
+aliases in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+from duckdb_data_eng_proj_spark.operators.textops import tokens, word_ngrams
+from duckdb_data_eng_proj_spark.operators.vectors import (
+    dot,
+    pack_centroids,
+    scored_centroids,
+)
+from duckdb_data_eng_proj_spark.queries.extras_r11 import (
+    _DRIFT_SEED_LIMIT,
+    _drift_assign_cte,
+)
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+from duckdb_data_eng_proj_spark.queries.training import (
+    _LSH_PRELUDE,
+    _dot_sql,
+    _lsh_bands_df,
+)
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivf_admit
+
+# Split threshold: a partition the admission pushes past 2× the
+# perfectly-balanced share (ceil(total_after / k)) gets flagged — the
+# standard grow-then-split heuristic; production tunes the factor to
+# its file-size targets.
+_ADMIT_K = 16
+_ADMIT_SPLIT_FACTOR = 2
+
+
+@register(
+    "sim_ann_ivf_admit",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding, "
+        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm "
+        "FROM embeddings), "
+        "eo AS (SELECT * FROM e WHERE vec_id % 3 <> 0), "
+        "nb AS (SELECT * FROM e WHERE vec_id % 3 = 0), "
+        "cent AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm "
+        f"FROM e WHERE vec_id < {_DRIFT_SEED_LIMIT} AND vec_id % 3 <> 0), "
+        + _drift_assign_cte("a_old", "eo", "cent")
+        + ", "
+        + _drift_assign_cte("a_new", "nb", "cent")
+        + ", "
+        "co AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a_old "
+        "GROUP BY cid), "
+        "cn AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a_new "
+        "GROUP BY cid), "
+        "g AS (SELECT c.cid AS centroid_id, "
+        "COALESCE(co.n, 0) AS n_existing, "
+        "COALESCE(cn.n, 0) AS n_incoming, "
+        "COALESCE(co.n, 0) + COALESCE(cn.n, 0) AS n_after "
+        "FROM cent c LEFT JOIN co ON co.cid = c.cid "
+        "LEFT JOIN cn ON cn.cid = c.cid) "
+        "SELECT centroid_id, n_existing, n_incoming, n_after, "
+        "CAST(n_incoming * 1000 // GREATEST(1, n_existing) AS BIGINT) "
+        "AS growth_pml, "
+        f"CAST(CASE WHEN n_after > {_ADMIT_SPLIT_FACTOR} * "
+        f"((SUM(n_after) OVER () + {_ADMIT_K - 1}) // {_ADMIT_K}) "
+        "THEN 1 ELSE 0 END AS BIGINT) AS needs_split "
+        "FROM g ORDER BY centroid_id"
+    ),
+    doc=(
+        "IVF INDEX ADMISSION — the write-side sibling of "
+        "sim_ann_index_drift (extras_r11.py): an incoming embedding "
+        "batch (vec_id % 3 = 0, the shared ingest-batch convention) "
+        "is routed into the PERSISTED IVF layout — the stale centroid "
+        "set trained on the corpus only (the 16 corpus seeds of "
+        "sim_ann_index_drift's cent0; in production this is a "
+        "metadata read of the persisted centroid table, exactly the "
+        "layout sim_ann_ivf_partitioned writes). Admission does NOT "
+        "retrain: batch vectors take their argmax-cosine centroid "
+        "under yesterday's index, which is what makes the append "
+        "cheap and the drift op necessary. Output, one row per "
+        "centroid partition: existing corpus members, incoming batch "
+        "members, post-admit size, growth per-mille "
+        "(incoming*1000 // existing), and needs_split = 1 when the "
+        f"partition lands past {_ADMIT_SPLIT_FACTOR}x the balanced "
+        f"share ceil(total_after/{_ADMIT_K}) — the file a compactor "
+        "re-clusters before probe latency degrades. Determinism: "
+        "(cosine DESC, cid) tie-break and sequential-fold dot "
+        "products, the ml_iter discipline verbatim. Scale shape: "
+        "both assignments are map-side packed-centroid argmax over a "
+        "broadcast 16-row centroid table (zero corpus shuffle, the "
+        "sim_ann_ivf plan); the only shuffles are two "
+        "map-side-combinable per-centroid COUNTs (each output <= k "
+        "rows), and the balanced-share window runs over the 16-row "
+        "report. At 100 TB admission costs one batch scan + one "
+        "corpus-count read (in production the existing counts are "
+        "index metadata, not a corpus scan — both sides derive from "
+        "one plan here so one registered query certifies the whole "
+        "admission contract)."
+    ),
+    tags=("similarity",),
+)
+def sim_ann_ivf_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    eo = e.filter(F.col("vec_id") % 3 != 0)
+    nb = e.filter(F.col("vec_id") % 3 == 0)
+    cent = e.filter(
+        (F.col("vec_id") < _DRIFT_SEED_LIMIT) & (F.col("vec_id") % 3 != 0)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    # Eager-checkpoint the centroid table before packing: it feeds a
+    # broadcast consumed by two concurrent assignment jobs (the r10
+    # lesson — lazily-shared subplans under broadcasts race into
+    # concurrent recomputes).
+    cent = cent.localCheckpoint()
+    packed = pack_centroids(cent, cid="cid", emb="c_emb", nrm="c_nrm")
+    best = F.array_min(
+        scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
+    )
+
+    def counts(src: DataFrame, name: str) -> DataFrame:
+        return (
+            src.crossJoin(F.broadcast(packed))
+            .select(best["cid"].alias("cid"))
+            .groupBy("cid")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    co = counts(eo, "n_existing")
+    cn = counts(nb, "n_incoming")
+    g = (
+        cent.select(F.col("cid").alias("centroid_id"))
+        .join(F.broadcast(co), F.col("centroid_id") == co["cid"], "left")
+        .drop("cid")
+        .join(F.broadcast(cn), F.col("centroid_id") == cn["cid"], "left")
+        .drop("cid")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n_existing"), F.lit(0)).alias("n_existing"),
+            F.coalesce(F.col("n_incoming"), F.lit(0)).alias("n_incoming"),
+        )
+        .withColumn("n_after", F.col("n_existing") + F.col("n_incoming"))
+    )
+    # Balanced-share window over the 16-row report (result-sized).
+    total = F.sum("n_after").over(
+        Window.partitionBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    balanced = (total + F.lit(_ADMIT_K - 1)) / F.lit(_ADMIT_K)
+    return (
+        g.select(
+            "centroid_id",
+            "n_existing",
+            "n_incoming",
+            "n_after",
+            F.expr(
+                "CAST(n_incoming * 1000 DIV GREATEST(1L, n_existing) "
+                "AS BIGINT)"
+            ).alias("growth_pml"),
+            F.when(
+                F.col("n_after")
+                > F.lit(_ADMIT_SPLIT_FACTOR) * F.floor(balanced).cast("long"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("needs_split"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_corpus_release_diff
+
+# Generation convention mirrors sim_ann_index_drift's snapshot rule on
+# the documents table: doc_id % 3 <> 0 is the previous release,
+# the full table is the new one.
+_REL_TOTAL = "__total__"
+
+
+@register(
+    "ext_corpus_release_diff",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "x -> x <> '') AS tk FROM documents), "
+        "sh AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 5 THEN "
+        "list_transform(range(len(tk) - 4), "
+        "i -> array_to_string(tk[i+1:i+5], ' ')) "
+        "ELSE []::VARCHAR[] END AS shingles FROM toks), "
+        "base AS (SELECT d.doc_id, d.lang, len(s.tk) AS n_tok, "
+        "CASE WHEN len(s.tk) >= 5 THEN "
+        "list_aggregate(list_transform(s.shingles, x -> md5(x)), 'min') "
+        "ELSE md5(array_to_string(s.tk, ' ')) END AS fingerprint, "
+        "d.doc_id % 3 <> 0 AS is_old "
+        "FROM documents d JOIN sh s ON s.doc_id = d.doc_id), "
+        "per AS (SELECT lang AS section, "
+        "CAST(COUNT(CASE WHEN is_old THEN 1 END) AS BIGINT) AS n_docs_old, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs_new, "
+        "CAST(COALESCE(SUM(CASE WHEN is_old THEN n_tok END), 0) AS BIGINT) "
+        "AS tokens_old, "
+        "CAST(SUM(n_tok) AS BIGINT) AS tokens_new, "
+        "CAST(COUNT(DISTINCT CASE WHEN is_old THEN fingerprint END) "
+        "AS BIGINT) AS uq_old, "
+        "CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS uq_new "
+        "FROM base GROUP BY lang "
+        "UNION ALL "
+        f"SELECT '{_REL_TOTAL}', "
+        "CAST(COUNT(CASE WHEN is_old THEN 1 END) AS BIGINT), "
+        "CAST(COUNT(*) AS BIGINT), "
+        "CAST(COALESCE(SUM(CASE WHEN is_old THEN n_tok END), 0) AS BIGINT), "
+        "CAST(SUM(n_tok) AS BIGINT), "
+        "CAST(COUNT(DISTINCT CASE WHEN is_old THEN fingerprint END) "
+        "AS BIGINT), "
+        "CAST(COUNT(DISTINCT fingerprint) AS BIGINT) FROM base) "
+        "SELECT section, n_docs_old, n_docs_new, "
+        "n_docs_new - n_docs_old AS docs_delta, tokens_old, tokens_new, "
+        "CAST(n_docs_old * 1000 // GREATEST(1, "
+        "(SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0)) "
+        "AS BIGINT) AS share_old_pml, "
+        "CAST(n_docs_new * 1000 // "
+        "(SELECT COUNT(*) FROM documents) AS BIGINT) AS share_new_pml, "
+        "CAST(floor((n_docs_old - uq_old) * 10000.0 / "
+        "GREATEST(1, n_docs_old)) AS BIGINT) AS dup_bp_old, "
+        "CAST(floor((n_docs_new - uq_new) * 10000.0 / n_docs_new) "
+        "AS BIGINT) AS dup_bp_new "
+        "FROM per ORDER BY section"
+    ),
+    doc=(
+        "CORPUS RELEASE DIFF — the two-generation datasheet a release "
+        "note ships with: ext_dataset_card (extras_r5.py, the one-"
+        "snapshot card) extended across etl_snapshot_diff's "
+        "generation framing (old = doc_id % 3 <> 0 — the "
+        "sim_ann_index_drift snapshot rule — new = the full table). "
+        "One row per language plus a '__total__' rollup: doc counts "
+        "and delta, token mass, corpus share per-mille, and the "
+        "exact-duplicate rate in basis points for BOTH generations — "
+        "so the release note answers 'what did this crawl do to the "
+        "language mix and the dup rate' in one table. Definitions are "
+        "spliced from the verified ops, not re-invented: tokens and "
+        "the winnowing fingerprint are txt_fingerprint's "
+        "(training.py:375) computed INLINE in the same projection as "
+        "lang — no doc-keyed join between derived corpus tables — "
+        "and dup basis points use ext_dataset_card's floor'd "
+        "arithmetic (cross-engine-safe on exact half-boundaries). "
+        "Old-side rates guard GREATEST(1, n) so a language new to "
+        "this release reads 0, not NULL. Scale shape: one corpus "
+        "scan into a lang-keyed map-side-combinable aggregate "
+        "(|langs| groups; the two COUNT DISTINCT fingerprints "
+        "shuffle lang-keyed fingerprint pairs — corpus-sized but "
+        "narrow, the same cost class as ext_dedup_exact), a "
+        "second scan for the rollup row, and two scalar-subquery "
+        "share denominators broadcast into the |langs|+1-row report."
+    ),
+    tags=("corpus",),
+)
+def ext_corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "lang", tokens(F.col("text")).alias("tk"))
+    sh = toks.select(
+        "doc_id", "lang", "tk", word_ngrams(F.col("tk"), 5).alias("shingles")
+    )
+    has5 = F.size(F.col("tk")) >= 5
+    base = sh.select(
+        "lang",
+        F.size(F.col("tk")).alias("n_tok"),
+        F.when(
+            has5, F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s)))
+        )
+        .otherwise(F.md5(F.array_join(F.col("tk"), " ")))
+        .alias("fingerprint"),
+        (F.col("doc_id") % 3 != 0).alias("is_old"),
+    )
+
+    def stats(grouped) -> DataFrame:
+        return grouped.agg(
+            F.count(F.when(F.col("is_old"), F.lit(1)))
+            .cast("long")
+            .alias("n_docs_old"),
+            F.count("*").cast("long").alias("n_docs_new"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_old"), F.col("n_tok"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("tokens_old"),
+            F.sum("n_tok").cast("long").alias("tokens_new"),
+            F.countDistinct(F.when(F.col("is_old"), F.col("fingerprint")))
+            .cast("long")
+            .alias("uq_old"),
+            F.countDistinct("fingerprint").cast("long").alias("uq_new"),
+        )
+
+    per = stats(
+        base.groupBy(F.col("lang").alias("section"))
+    ).unionByName(
+        stats(base.groupBy()).select(
+            F.lit(_REL_TOTAL).alias("section"), "*"
+        )
+    )
+    tot_new = d.agg(F.count("*").cast("long").alias("_tn"))
+    tot_old = d.filter(F.col("doc_id") % 3 != 0).agg(
+        F.count("*").cast("long").alias("_to")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot_new))
+        .crossJoin(F.broadcast(tot_old))
+        .select(
+            "section",
+            "n_docs_old",
+            "n_docs_new",
+            (F.col("n_docs_new") - F.col("n_docs_old")).alias("docs_delta"),
+            "tokens_old",
+            "tokens_new",
+            F.expr(
+                "CAST(n_docs_old * 1000 DIV GREATEST(1L, _to) AS BIGINT)"
+            ).alias("share_old_pml"),
+            F.expr("CAST(n_docs_new * 1000 DIV _tn AS BIGINT)").alias(
+                "share_new_pml"
+            ),
+            F.floor(
+                (F.col("n_docs_old") - F.col("uq_old"))
+                * 10000.0
+                / F.greatest(F.lit(1), F.col("n_docs_old"))
+            )
+            .cast("long")
+            .alias("dup_bp_old"),
+            F.floor(
+                (F.col("n_docs_new") - F.col("uq_new"))
+                * 10000.0
+                / F.col("n_docs_new")
+            )
+            .cast("long")
+            .alias("dup_bp_new"),
+        )
+        .orderBy("section")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_band_index_vacuum
+
+# Delete rule shared with etl_snapshot_diff's generation simulation:
+# doc_id % 13 = 0 rows were deleted from the corpus since the index
+# was written. Rewrite threshold: a band whose postings are >= 20%
+# dead gets compacted (the standard vacuum trigger class).
+_VACUUM_DELETE_MOD = 13
+_VACUUM_REWRITE_PML = 200
+
+
+@register(
+    "dedup_band_index_vacuum",
+    oracle=(
+        f"{_LSH_PRELUDE}, "
+        "idx AS (SELECT doc_id, band, bucket, "
+        f"doc_id % {_VACUUM_DELETE_MOD} = 0 AS is_dead "
+        "FROM bands WHERE bucket IS NOT NULL), "
+        "bk AS (SELECT band, bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_post, "
+        "CAST(COUNT(CASE WHEN is_dead THEN 1 END) AS BIGINT) AS n_dead "
+        "FROM idx GROUP BY band, bucket), "
+        "g AS (SELECT band, "
+        "CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+        "CAST(COUNT(CASE WHEN n_dead = n_post THEN 1 END) AS BIGINT) "
+        "AS n_buckets_dead, "
+        "CAST(COUNT(CASE WHEN n_post - n_dead = 1 THEN 1 END) AS BIGINT) "
+        "AS n_buckets_orphan, "
+        "CAST(SUM(n_post) AS BIGINT) AS n_postings, "
+        "CAST(SUM(n_dead) AS BIGINT) AS n_postings_dead "
+        "FROM bk GROUP BY band) "
+        "SELECT band, n_buckets, n_buckets_dead, n_buckets_orphan, "
+        "n_postings, n_postings_dead, "
+        "CAST(n_postings_dead * 1000 // n_postings AS BIGINT) AS dead_pml, "
+        "CAST(CASE WHEN n_postings_dead * 1000 // n_postings >= "
+        f"{_VACUUM_REWRITE_PML} THEN 1 ELSE 0 END AS BIGINT) AS rewrite "
+        "FROM g ORDER BY band"
+    ),
+    doc=(
+        "LSH BAND-INDEX VACUUM — the maintenance sibling of "
+        "dedup_minhash_incremental (extras_r11.py): deletes "
+        f"(doc_id % {_VACUUM_DELETE_MOD} = 0, etl_snapshot_diff's "
+        "delete rule) leave the persisted (band, bucket, doc_id) "
+        "index holding dead postings that keep matching incoming "
+        "batches against evicted documents. Per band, the compaction "
+        "planner's inputs: total buckets, fully-dead buckets (every "
+        "member deleted — the posting lists compaction drops "
+        "outright), ORPHANED buckets (exactly one live member left — "
+        "they can never generate a candidate pair again, so a "
+        "candidate-only index can drop them too; admission still "
+        "needs them, which is why they are reported, not folded into "
+        "dead), posting totals, the dead share per-mille, and "
+        f"rewrite = 1 at >= {_VACUUM_REWRITE_PML} pml dead — the "
+        "vacuum trigger. Scale shape: the index table (never the "
+        "corpus text) flows through two map-side-combinable "
+        "aggregates — (band, bucket) occupancy then a |bands|-row "
+        "rollup; at 100 TB this is an index-sized scan with "
+        "uniformly-hashed bucket keys, the same shuffle class the "
+        "index was built with (here the index derives from the "
+        "shared bands plan for testability; production reads the "
+        "persisted table and writes back the compacted postings)."
+    ),
+    tags=("dedup",),
+)
+def dedup_band_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _lsh_bands_df(spark, sf_dir).withColumn(
+        "is_dead", F.col("doc_id") % _VACUUM_DELETE_MOD == 0
+    )
+    bk = idx.groupBy("band", "bucket").agg(
+        F.count("*").cast("long").alias("n_post"),
+        F.count(F.when(F.col("is_dead"), F.lit(1)))
+        .cast("long")
+        .alias("n_dead"),
+    )
+    g = bk.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.count(F.when(F.col("n_dead") == F.col("n_post"), F.lit(1)))
+        .cast("long")
+        .alias("n_buckets_dead"),
+        F.count(F.when(F.col("n_post") - F.col("n_dead") == 1, F.lit(1)))
+        .cast("long")
+        .alias("n_buckets_orphan"),
+        F.sum("n_post").cast("long").alias("n_postings"),
+        F.sum("n_dead").cast("long").alias("n_postings_dead"),
+    )
+    return g.select(
+        "band",
+        "n_buckets",
+        "n_buckets_dead",
+        "n_buckets_orphan",
+        "n_postings",
+        "n_postings_dead",
+        F.expr("CAST(n_postings_dead * 1000 DIV n_postings AS BIGINT)").alias(
+            "dead_pml"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_postings_dead * 1000 DIV n_postings >= "
+            f"{_VACUUM_REWRITE_PML} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("rewrite"),
+    ).orderBy("band")
