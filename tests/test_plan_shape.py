@@ -609,3 +609,37 @@ def test_naive_bayes_model_side_broadcast(spark):
     for keys in smj_keys:
         assert "doc_id" in keys, f"non-doc-keyed SortMergeJoin: {keys}"
     assert count_exchanges(df) <= 22
+
+
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # two per-centroid COUNT aggregates (k-row outputs) over
+        # map-side broadcast-argmax assignments, the 16-row report
+        # joins + balanced-share window + result sort — the corpus
+        # never shuffles
+        ("sim_ann_ivf_admit", 7),
+        # one lang-keyed aggregate with two COUNT DISTINCT expansions
+        # + the rollup-row second pass + two scalar-subquery share
+        # denominators + result sort
+        ("ext_corpus_release_diff", 11),
+        # (band, bucket) occupancy agg + |bands|-row rollup + result
+        # sort over the index table only — join-free by construction
+        ("dedup_band_index_vacuum", 4),
+    ],
+)
+def test_r12_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r12 operators (scale contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+def test_vacuum_is_join_free(spark):
+    """dedup_band_index_vacuum must stay a pure aggregate pipeline
+    over the index table — any join means it started touching the
+    corpus text, which is the 100 TB failure mode it exists to avoid."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["dedup_band_index_vacuum"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
