@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "join_skew_diagnose",  # two-sided join fan-out histogram (r11)
     "dedup_minhash_incremental",  # batch-vs-index near-dup admission (r11)
     "sim_ann_index_drift", # stale-vs-retrained IVF comparison (r11)
+    "sim_ann_ivf_admit",   # IVF write-side batch admission plan (r12)
+    "ext_corpus_release_diff",  # two-generation corpus datasheet (r12)
+    "dedup_band_index_vacuum",  # LSH index vacuum planner (r12)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
