@@ -24,6 +24,14 @@ read-side operator:
   occupancy before and after, dead share per-mille, the orphaned
   single-member buckets that can no longer generate candidates, and
   the rewrite flag compaction acts on.
+- dedup_lsh_tune — the parameter-selection sibling of
+  sim_ann_recall_eval, for the MinHash side: evaluate the whole
+  (bands x rows) grid over the same 8-hash signatures in one pass —
+  realized candidate-join load from bucket occupancy (never
+  materializing a pair) and expected recall from the banding S-curve
+  1-(1-s^r)^b over exact Jaccard of a ground-truth pair set generated
+  by the most-permissive (8x1) grid config, a provable superset of
+  every coarser config's candidates.
 
 Reference parity: the reference (a DuckDB loan-ETL take-home,
 pipeline.py) has none of these — they extend the training-pipeline
@@ -38,7 +46,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
-from duckdb_data_eng_proj_spark.operators.textops import tokens, word_ngrams
+from duckdb_data_eng_proj_spark.operators.textops import (
+    lsh_band_buckets,
+    minhash_from_pairs,
+    minhash_pairs,
+    tokens,
+    word_ngrams,
+)
 from duckdb_data_eng_proj_spark.operators.vectors import (
     dot,
     pack_centroids,
@@ -51,6 +65,8 @@ from duckdb_data_eng_proj_spark.queries.extras_r11 import (
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 from duckdb_data_eng_proj_spark.queries.training import (
     _LSH_PRELUDE,
+    _N_HASHES,
+    _bigram_sets_df,
     _dot_sql,
     _lsh_bands_df,
 )
@@ -476,3 +492,258 @@ def dedup_band_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_VACUUM_REWRITE_PML} THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("rewrite"),
     ).orderBy("band")
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_tune
+
+# Banding grid over the shared 8-hash signature: every (bands,
+# rows_per_band) split of the signature. All powers of two, so the
+# S-curve p = 1 - (1 - s^r)^b evaluates by repeated squaring — the
+# SAME fully-parenthesized expression tree on both engines (IEEE
+# multiply is deterministic given identical association).
+_TUNE_GRID: tuple[tuple[int, int], ...] = ((8, 1), (4, 2), (2, 4), (1, 8))
+_TUNE_FP = 1_000_000
+_LOG2 = {1: 0, 2: 1, 4: 2, 8: 3}
+
+
+def _sq_sql(expr: str, k: int) -> str:
+    """expr^(2^k) by repeated squaring, fully parenthesized."""
+    for _ in range(k):
+        expr = f"({expr} * {expr})"
+    return expr
+
+
+def _tune_p_sql(bands: int, rpb: int) -> str:
+    """S-curve catch probability 1 - (1 - s^r)^b over column ``s``."""
+    sr = _sq_sql("s", _LOG2[rpb])
+    return f"(1.0 - {_sq_sql(f'(1.0 - {sr})', _LOG2[bands])})"
+
+
+def _sq_col(col, k: int):
+    for _ in range(k):
+        col = col * col
+    return col
+
+
+def _tune_p_col(s, bands: int, rpb: int):
+    """Spark mirror of _tune_p_sql — identical association order."""
+    sr = _sq_col(s, _LOG2[rpb])
+    return F.lit(1.0) - _sq_col(F.lit(1.0) - sr, _LOG2[bands])
+
+
+def _tune_bucket_sql(rpb: int, i: int) -> str:
+    """Oracle bucket for band ``i`` under ``rpb`` rows per band —
+    mirrors operators/textops.lsh_band_buckets ('|'-joined slice)."""
+    parts = " || '|' || ".join(
+        f"CAST(h{i * rpb + r} AS VARCHAR)" for r in range(rpb)
+    )
+    return f"md5({parts})"
+
+
+_TUNE_ALLB_SQL = ", ".join(
+    f"{{'bands': {nb}, 'band': {i}, 'bucket': {_tune_bucket_sql(rpb, i)}}}"
+    for nb, rpb in _TUNE_GRID
+    for i in range(nb)
+)
+_TUNE_B1_SQL = ", ".join(
+    f"{{'band': {j}, 'h': h{j}}}" for j in range(_N_HASHES)
+)
+_TUNE_CURVE_SQL = ", ".join(
+    f"CAST(floor({_tune_p_sql(nb, rpb)} * 1000000.0) AS BIGINT) AS c{nb}x{rpb}"
+    for nb, rpb in _TUNE_GRID
+)
+_TUNE_AGG_SQL = ", ".join(
+    f"CAST(COALESCE(SUM(c{nb}x{rpb}), 0) AS BIGINT) AS c{nb}x{rpb}"
+    for nb, rpb in _TUNE_GRID
+)
+_TUNE_ROWS_SQL = ", ".join(
+    f"{{'bands': {nb}, 'rows_per_band': {rpb}, 'exp_caught_u': c{nb}x{rpb}}}"
+    for nb, rpb in _TUNE_GRID
+)
+
+
+@register(
+    "dedup_lsh_tune",
+    oracle=(
+        f"{_LSH_PRELUDE}, "
+        f"allb AS (SELECT u.bands AS bands, u.band AS band, "
+        f"u.bucket AS bucket FROM (SELECT unnest([{_TUNE_ALLB_SQL}]) AS u "
+        "FROM sig)), "
+        "occ AS (SELECT bands, band, bucket, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM allb WHERE bucket IS NOT NULL GROUP BY bands, band, bucket), "
+        "load AS (SELECT bands, CAST(SUM((n * (n - 1)) // 2) AS BIGINT) "
+        "AS cand_rows FROM occ GROUP BY bands), "
+        "b1 AS (SELECT doc_id, band, h FROM (SELECT doc_id, u.band AS band, "
+        f"u.h AS h FROM (SELECT doc_id, unnest([{_TUNE_B1_SQL}]) AS u "
+        "FROM sig)) WHERE h IS NOT NULL), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM b1 x JOIN b1 y ON x.band = y.band AND x.h = y.h "
+        "AND x.doc_id < y.doc_id), "
+        "pj AS (SELECT len(list_intersect(a.bg, b.bg)) AS inter, "
+        "len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)) AS un "
+        "FROM cand c JOIN bg a ON a.doc_id = c.doc_a "
+        "JOIN bg b ON b.doc_id = c.doc_b), "
+        "ev AS (SELECT CAST(inter AS DOUBLE) / un AS s FROM pj "
+        "WHERE 5 * inter >= un), "
+        f"cu AS (SELECT {_TUNE_CURVE_SQL} FROM ev), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS eval_pairs, "
+        f"{_TUNE_AGG_SQL} FROM cu), "
+        "rows AS (SELECT eval_pairs, u.bands AS bands, "
+        "u.rows_per_band AS rows_per_band, u.exp_caught_u AS exp_caught_u "
+        f"FROM (SELECT eval_pairs, unnest([{_TUNE_ROWS_SQL}]) AS u "
+        "FROM agg)) "
+        "SELECT l.bands AS bands, r.rows_per_band AS rows_per_band, "
+        "l.cand_rows AS cand_rows, r.eval_pairs AS eval_pairs, "
+        "r.exp_caught_u AS exp_caught_u, "
+        "CASE WHEN r.eval_pairs > 0 THEN "
+        "round(CAST(r.exp_caught_u AS DOUBLE) / "
+        "CAST(r.eval_pairs * 1000000 AS DOUBLE), 4) ELSE 0.0 END "
+        "AS exp_recall "
+        "FROM load l JOIN rows r ON l.bands = r.bands"
+    ),
+    doc=(
+        "LSH BANDING PARAMETER PLANNER — the parameter-selection "
+        "sibling of sim_ann_recall_eval (training_extra.py), for the "
+        "MinHash near-dup side: before committing a trillion-doc "
+        "dedup run to one (bands, rows) choice, score the WHOLE grid "
+        "over the signatures the corpus already has. For every split "
+        "of the 8-hash signature — 8x1, 4x2, 2x4, 1x8 — two numbers "
+        "a planner trades off: (1) realized candidate-join load "
+        "cand_rows = sum over (band, bucket) of C(n,2), computed "
+        "from bucket OCCUPANCY counts only (a 15-struct explode of "
+        "the signature row, one map-side-combinable aggregate — no "
+        "pair is ever materialized for the load estimate, so the "
+        "metric itself is index-sized at 100 TB); and (2) expected "
+        "recall at Jaccard >= 0.2: per ground-truth pair the classic "
+        "banding S-curve p = 1 - (1 - s^r)^b evaluated by repeated "
+        "squaring (identical IEEE expression trees both engines), "
+        "fixed-point floor(p * 1e6) summed exactly as BIGINT, one "
+        "rounded division at the end (registry determinism rules). "
+        "The ground-truth pair set comes from the 8x1 config — one "
+        "band per single minhash — whose candidates are a PROVABLE "
+        "superset of every coarser config's (agreeing on an r-row "
+        "slice implies agreeing on each row), so grid recalls are "
+        "exact relative to the most permissive member, not biased "
+        "toward the currently-deployed 4x2 index; pairs invisible to "
+        "all 8 hashes are outside any config's reach (the S-curve "
+        "tail). Verification joins bounded by candidate count, the "
+        "standard LSH-verify shape (ext_dedup_near). Production "
+        "reads a persisted signature table; here the signature chain "
+        "is inlined for testability like dedup_minhash_lsh."
+    ),
+    tags=("dedup",),
+)
+def dedup_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _bigram_sets_df(spark, sf_dir)
+    ps = bg.select("doc_id", minhash_pairs(F.col("bg")).alias("ps"))
+    sig = ps.select("doc_id", *minhash_from_pairs(F.col("ps"), _N_HASHES))
+    sig_cols = [f"h{j}" for j in range(_N_HASHES)]
+
+    # Arm 1: candidate-load from bucket occupancy, all configs in one
+    # explode → one (bands, band, bucket) combine-heavy aggregate.
+    entries = []
+    for nb, rpb in _TUNE_GRID:
+        for i, bucket in enumerate(lsh_band_buckets(sig_cols, rpb)):
+            entries.append(
+                F.struct(
+                    F.lit(nb).alias("bands"),
+                    F.lit(i).alias("band"),
+                    bucket.alias("bucket"),
+                )
+            )
+    allb = (
+        sig.select(F.explode(F.array(*entries)).alias("u"))
+        .select("u.bands", "u.band", "u.bucket")
+        .filter(F.col("bucket").isNotNull())
+    )
+    occ = allb.groupBy("bands", "band", "bucket").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    load = occ.groupBy("bands").agg(
+        F.sum(F.expr("(n * (n - 1)) DIV 2")).cast("long").alias("cand_rows")
+    )
+
+    # Arm 2: ground-truth pairs from the 8x1 config (superset of the
+    # grid), exact-Jaccard verified, then the S-curve per config.
+    b1 = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(c) for c in sig_cols])).alias("band", "h"),
+    ).filter(F.col("h").isNotNull())
+    x, y = b1.alias("x"), b1.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = bg.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
+    b = bg.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
+    inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
+    un = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
+    pj = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(inter.alias("inter"), un.alias("un"))
+    )
+    ev = pj.filter(F.lit(5) * F.col("inter") >= F.col("un")).select(
+        (F.col("inter").cast("double") / F.col("un")).alias("s")
+    )
+    cu = ev.select(
+        *[
+            F.floor(
+                _tune_p_col(F.col("s"), nb, rpb) * F.lit(1000000.0)
+            ).alias(f"c{nb}x{rpb}")
+            for nb, rpb in _TUNE_GRID
+        ]
+    )
+    agg = cu.agg(
+        F.count("*").cast("long").alias("eval_pairs"),
+        *[
+            F.coalesce(F.sum(f"c{nb}x{rpb}"), F.lit(0))
+            .cast("long")
+            .alias(f"c{nb}x{rpb}")
+            for nb, rpb in _TUNE_GRID
+        ],
+    )
+    rows = agg.select(
+        "eval_pairs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).alias("bands"),
+                        F.lit(rpb).alias("rows_per_band"),
+                        F.col(f"c{nb}x{rpb}").alias("exp_caught_u"),
+                    )
+                    for nb, rpb in _TUNE_GRID
+                ]
+            )
+        ).alias("u"),
+    ).select(
+        F.col("u.bands").alias("bands"),
+        F.col("u.rows_per_band").alias("rows_per_band"),
+        F.col("u.exp_caught_u").alias("exp_caught_u"),
+        "eval_pairs",
+    )
+    return load.join(rows, "bands").select(
+        "bands",
+        "rows_per_band",
+        "cand_rows",
+        "eval_pairs",
+        "exp_caught_u",
+        F.when(
+            F.col("eval_pairs") > 0,
+            F.round(
+                F.col("exp_caught_u").cast("double")
+                / (F.col("eval_pairs") * F.lit(1000000)).cast("double"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("exp_recall"),
+    )

@@ -32,6 +32,8 @@ from duckdb_data_eng_proj_spark.queries import REGISTRY
 from duckdb_data_eng_proj_spark.queries.extras_r12 import (
     _ADMIT_K,
     _ADMIT_SPLIT_FACTOR,
+    _LOG2,
+    _TUNE_GRID,
     _VACUUM_DELETE_MOD,
     _VACUUM_REWRITE_PML,
 )
@@ -236,3 +238,120 @@ def test_vacuum_conservation_and_replay(spark):
     assert sum(r.n_postings_dead for r in rows) == sum(
         1 for r in idx if r.doc_id % _VACUUM_DELETE_MOD == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_tune
+
+
+def _replay_minhash_sigs(spark):
+    """Pure-Python 8-hash K-M MinHash signatures from the verified
+    bigram-set stage (the tokenizer has its own fuzz suite — the
+    replay targets everything dedup_lsh_tune adds on top: hashing,
+    banding, occupancy, pair generation, the S-curve)."""
+    import hashlib
+
+    from duckdb_data_eng_proj_spark.operators.textops import MINHASH_P
+    from duckdb_data_eng_proj_spark.queries.training import (
+        _N_HASHES,
+        _bigram_sets_df,
+    )
+
+    sets, sigs = {}, {}
+    for r in _bigram_sets_df(spark, SF_DIR).collect():
+        bg = set(r.bg)
+        sets[r.doc_id] = bg
+        if not bg:
+            continue
+        pairs = []
+        for s in bg:
+            h = hashlib.md5(s.encode()).hexdigest()
+            pairs.append((int(h[:15], 16), int(h[16:31], 16) | 1))
+        sigs[r.doc_id] = [
+            min((a + j * b) % MINHASH_P for a, b in pairs)
+            for j in range(_N_HASHES)
+        ]
+    return sets, sigs
+
+
+def test_lsh_tune_grid_and_monotonicity(spark):
+    """Structural laws: the full power-of-two grid, a shared
+    ground-truth denominator, and the S-curve orderings — more bands
+    (fewer rows per band) is pointwise more permissive, so both the
+    candidate load and the expected catch must be non-increasing in
+    rows_per_band."""
+    rows = REGISTRY["dedup_lsh_tune"].fn(spark, SF_DIR).collect()
+    assert sorted((r.bands, r.rows_per_band) for r in rows) == sorted(
+        _TUNE_GRID
+    )
+    assert all(r.bands * r.rows_per_band == 8 for r in rows)
+    assert len({r.eval_pairs for r in rows}) == 1
+    by_rpb = sorted(rows, key=lambda r: r.rows_per_band)
+    for prev, cur in zip(by_rpb, by_rpb[1:]):
+        assert prev.cand_rows >= cur.cand_rows, (prev, cur)
+        assert prev.exp_caught_u >= cur.exp_caught_u, (prev, cur)
+    for r in rows:
+        assert 0.0 <= r.exp_recall <= 1.0
+        if r.eval_pairs:
+            assert r.exp_recall == round(
+                r.exp_caught_u / float(r.eval_pairs * 1_000_000), 4
+            )
+        else:
+            assert r.exp_recall == 0.0
+
+
+def test_lsh_tune_python_replay(spark):
+    """Full pure-Python replay: occupancy-derived candidate load per
+    grid config, the 8x1 ground-truth pair set, exact Jaccard at
+    tau = 0.2, and the repeated-squaring S-curve in the IDENTICAL
+    IEEE association order — sums must match bit-exactly."""
+    import math
+    from itertools import combinations
+
+    rows = REGISTRY["dedup_lsh_tune"].fn(spark, SF_DIR).collect()
+    sets, sigs = _replay_minhash_sigs(spark)
+
+    # Candidate load per config from slice-tuple occupancy.
+    exp_load = {}
+    for nb, rpb in _TUNE_GRID:
+        total = 0
+        for i in range(nb):
+            occ = defaultdict(int)
+            for sig in sigs.values():
+                occ[tuple(sig[i * rpb : (i + 1) * rpb])] += 1
+            total += sum(n * (n - 1) // 2 for n in occ.values())
+        exp_load[nb] = total
+
+    # Ground-truth pairs: share >= 1 of the 8 minhashes (the 8x1
+    # config), then exact-Jaccard tau filter.
+    cand = set()
+    by_hash = defaultdict(set)
+    for doc, sig in sigs.items():
+        for j, h in enumerate(sig):
+            by_hash[(j, h)].add(doc)
+    for docs in by_hash.values():
+        for a, b in combinations(sorted(docs), 2):
+            cand.add((a, b))
+    caught = {nb: 0 for nb, _ in _TUNE_GRID}
+    n_pairs = 0
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        un = len(sets[a]) + len(sets[b]) - inter
+        if 5 * inter < un:
+            continue
+        n_pairs += 1
+        s = float(inter) / un
+        for nb, rpb in _TUNE_GRID:
+            sr = s
+            for _ in range(_LOG2[rpb]):
+                sr = sr * sr
+            miss = 1.0 - sr
+            for _ in range(_LOG2[nb]):
+                miss = miss * miss
+            caught[nb] += math.floor((1.0 - miss) * 1000000.0)
+
+    assert n_pairs > 0, "degenerate fixture: no pairs at tau=0.2"
+    for r in rows:
+        assert r.cand_rows == exp_load[r.bands], r
+        assert r.eval_pairs == n_pairs
+        assert r.exp_caught_u == caught[r.bands], r
