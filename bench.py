@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "sim_ann_ivf_admit",   # IVF write-side batch admission plan (r12)
     "ext_corpus_release_diff",  # two-generation corpus datasheet (r12)
     "dedup_band_index_vacuum",  # LSH index vacuum planner (r12)
+    "ts_autocorr",         # join-free densified lag-k ACF (r12)
+    "txt_bpe_merge_round", # vocab-bounded BPE pair statistics (r12)
+    "graph_bfs_seed_distance",  # bounded-hop BFS from curated seeds (r12)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -106,6 +109,7 @@ TIMED_BUILD = {
     "ml_gbdt_round",  # eagerly localCheckpoints the (q, cls) fact count
     "txt_longest_common_substring",  # checkpoints candidates + positions
     "graph_jaccard_neighbors",  # checkpoints the candidate edge table
+    "graph_bfs_seed_distance",  # checkpoints edges + levels each BFS round
 }
 
 

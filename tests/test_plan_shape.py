@@ -643,3 +643,44 @@ def test_vacuum_is_join_free(spark):
 
     plan = physical_plan(REGISTRY["dedup_band_index_vacuum"].fn(spark, SF_DIR))
     assert "Join" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # ONE corpus-sized exchange (the (type, hour) partial agg with
+        # map-side combine); the single repartition(event_type) then
+        # serves the gap-explode densify, the lag windows AND the
+        # (type, lag) moment agg (subset rule) + result sort. The
+        # oracle's span-grid LEFT JOIN form would scan the corpus
+        # twice — the gap-explode keeps it to one scan, zero joins.
+        ("ts_autocorr", 3),
+        # one corpus-scan vocab agg; every later stage (pair
+        # positions, per-word counts, merge ledger) reuses the
+        # hash(w) partitioning (subset rule) and is vocab-bounded;
+        # the alphabet²-sized rank window + sort share the rest
+        ("txt_bpe_merge_round", 2),
+        # edges and levels localCheckpoint each BFS round (build jobs
+        # run in fn() under _state_sized_shuffle); the returned plan
+        # is the final doc_id sort over the checkpointed level table
+        ("graph_bfs_seed_distance", 1),
+    ],
+)
+def test_r12b_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r12 second-batch operators (scale
+    contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+def test_autocorr_single_corpus_scan(spark):
+    """ts_autocorr must scan events exactly ONCE: the join-free
+    gap-explode densify exists so the plan never instantiates the
+    hourly aggregate twice (the textbook span-grid join does, and at
+    100 TB that second corpus scan is the whole cost)."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["ts_autocorr"].fn(spark, SF_DIR))
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
