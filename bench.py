@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "ts_autocorr",         # join-free densified lag-k ACF (r12)
     "txt_bpe_merge_round", # vocab-bounded BPE pair statistics (r12)
     "graph_bfs_seed_distance",  # bounded-hop BFS from curated seeds (r12)
+    "dedup_lsh_tune",      # LSH banding grid planner (r12)
+    "txt_bm25_topk",       # BM25 lexical retrieval top-k (r12)
+    "agg_assoc_pairs",     # a-priori market-basket pair rules (r12)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

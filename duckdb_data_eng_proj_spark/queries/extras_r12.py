@@ -627,17 +627,27 @@ _TUNE_ROWS_SQL = ", ".join(
         "exact relative to the most permissive member, not biased "
         "toward the currently-deployed 4x2 index; pairs invisible to "
         "all 8 hashes are outside any config's reach (the S-curve "
-        "tail). Verification joins bounded by candidate count, the "
-        "standard LSH-verify shape (ext_dedup_near). Production "
-        "reads a persisted signature table; here the signature chain "
-        "is inlined for testability like dedup_minhash_lsh."
+        "tail). The verify stream NEVER shuffles pair rows: each side "
+        "of the (band, h) self-join carries its shingle set and all "
+        "8 hashes (corpus-LINEAR weight), each pair is emitted "
+        "exactly once by the first-match-band predicate (no DISTINCT "
+        "pass), and the matched rows pipeline straight through the "
+        "Jaccard projection into the one-row S-curve aggregate — at "
+        "any scale the exchanges move only signature rows, never "
+        "candidates. Production reads a persisted signature table; "
+        "here the signature chain is inlined for testability like "
+        "dedup_minhash_lsh."
     ),
     tags=("dedup",),
 )
 def dedup_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = _bigram_sets_df(spark, sf_dir)
-    ps = bg.select("doc_id", minhash_pairs(F.col("bg")).alias("ps"))
-    sig = ps.select("doc_id", *minhash_from_pairs(F.col("ps"), _N_HASHES))
+    ps = bg.select(
+        "doc_id", "bg", minhash_pairs(F.col("bg")).alias("ps")
+    )
+    sig = ps.select(
+        "doc_id", "bg", *minhash_from_pairs(F.col("ps"), _N_HASHES)
+    )
     sig_cols = [f"h{j}" for j in range(_N_HASHES)]
 
     # Arm 1: candidate-load from bucket occupancy, all configs in one
@@ -666,29 +676,47 @@ def dedup_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Arm 2: ground-truth pairs from the 8x1 config (superset of the
     # grid), exact-Jaccard verified, then the S-curve per config.
+    #
+    # Shape (the x8-stress lesson): the pair stream must NEVER
+    # shuffle. The first version deduped candidates with DISTINCT and
+    # joined the pairs back to the shingle sets — at stress volume
+    # the replica cliques grow candidates ~64x and every post-join
+    # exchange then moves pair rows CARRYING ~2 KB bigram arrays
+    # (spilled the disk). Instead: carry each doc's shingle set and
+    # ALL 8 hashes through the band explode (corpus-LINEAR weight),
+    # self-join on (band, h), and emit each pair exactly once via the
+    # classic FIRST-MATCH-BAND predicate (suppress at band b unless
+    # no band j < b also agrees — null-safe: an all-null signature
+    # never reaches any band). The matched pair rows then PIPELINE
+    # straight through the Jaccard projection into the one-row
+    # S-curve aggregate: same pair set as the DISTINCT form (each
+    # matching pair once), zero pair-row exchanges.
     b1 = sig.select(
         "doc_id",
+        "bg",
+        *sig_cols,
         F.posexplode(F.array(*[F.col(c) for c in sig_cols])).alias("band", "h"),
     ).filter(F.col("h").isNotNull())
-    x, y = b1.alias("x"), b1.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.h") == F.col("y.h"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+    # merge hint: both self-join sides are the corpus-derived exploded
+    # signature — shuffle on (band, h), never broadcast (the 8x1
+    # config is the PERMISSIVE end of the grid; its candidate volume
+    # is exactly what the planner exists to measure, so the plan must
+    # not assume it is broadcast-small).
+    x, y = b1.alias("x"), b1.hint("merge").alias("y")
+    first_match = (
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.h") == F.col("y.h"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
     )
-    a = bg.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
-    b = bg.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
-    inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
-    un = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
-    pj = (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(inter.alias("inter"), un.alias("un"))
+    for j in range(_N_HASHES - 1):
+        first_match &= ~(
+            (F.lit(j) < F.col("x.band"))
+            & F.col(f"x.h{j}").eqNullSafe(F.col(f"y.h{j}"))
+        )
+    inter = F.size(F.array_intersect(F.col("x.bg"), F.col("y.bg")))
+    un = F.size(F.col("x.bg")) + F.size(F.col("y.bg")) - inter
+    pj = x.join(y, first_match).select(
+        inter.alias("inter"), un.alias("un")
     )
     ev = pj.filter(F.lit(5) * F.col("inter") >= F.col("un")).select(
         (F.col("inter").cast("double") / F.col("un")).alias("s")
@@ -730,7 +758,14 @@ def dedup_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.exp_caught_u").alias("exp_caught_u"),
         "eval_pairs",
     )
-    return load.join(rows, "bands").select(
+    # merge hint on the |grid|-row report join too: broadcasting
+    # `rows` would put the ENTIRE arm-2 candidate+verify pipeline
+    # under a BroadcastExchange, whose future must complete within
+    # spark.sql.broadcastTimeout — at stress volume the (legitimate)
+    # candidate work exceeds it and the job dies on a timeout instead
+    # of just running. A 4-row SMJ costs nothing; no heavy subtree
+    # may ever sit under a broadcast.
+    return load.join(rows.hint("merge"), "bands").select(
         "bands",
         "rows_per_band",
         "cand_rows",

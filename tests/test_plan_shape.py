@@ -674,6 +674,47 @@ def test_r12b_op_exchange_budget(spark, qid, budget):
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
 
 
+def test_lsh_tune_exchange_budget(spark):
+    """dedup_lsh_tune scale contract: 9 exchanges — the (bands, band,
+    bucket) occupancy agg + its |grid|-row bands rollup (arm 1, the
+    load estimate that never materializes a pair), the 8x1
+    ground-truth path's (band, h)-keyed SMJ self-join whose matched
+    pairs PIPELINE through Jaccard into the one-row S-curve aggregate
+    (first-match-band emission — no DISTINCT pass, no pair-row
+    exchange anywhere), and the final |grid|-row report join + sort.
+    The signature chain is inlined for testability (the
+    dedup_minhash_lsh pattern — production scores the grid over a
+    persisted signature table, making every arm index-sized); the pin
+    holds the CORPUS-LINEAR shape: no exchange in this plan moves
+    more than signature rows, occupancy rows, or grid rows — pair
+    rows never shuffle (the x8-stress disk-spill lesson)."""
+    df = REGISTRY["dedup_lsh_tune"].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= 9, f"dedup_lsh_tune: {n} exchanges > budget 9"
+
+
+def test_lsh_tune_corpus_joins_never_broadcast(spark):
+    """The 8x1 candidate self-join and both verification joins must be
+    shuffle joins: every one of their sides is corpus-derived (exploded
+    signatures / shingle sets), and the 8x1 config is the PERMISSIVE
+    end of the grid — its candidate volume is exactly what the planner
+    exists to measure, so the plan must not assume it broadcast-small.
+    The final |grid|-row report join must ALSO shuffle: broadcasting
+    its `rows` side puts the whole candidate+verify pipeline under a
+    BroadcastExchange whose future must finish within
+    spark.sql.broadcastTimeout — at x8 stress the (legitimate)
+    candidate work exceeds it and the job dies on a timeout instead of
+    just running. No heavy subtree may ever sit under a broadcast, so
+    this plan carries NO broadcast at all."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["dedup_lsh_tune"].fn(spark, SF_DIR))
+    import re
+
+    bhj = re.findall(r"BroadcastHashJoin[^\n]*", plan)
+    assert not bhj, f"broadcast crept back in: {bhj}"
+
+
 def test_autocorr_single_corpus_scan(spark):
     """ts_autocorr must scan events exactly ONCE: the join-free
     gap-explode densify exists so the plan never instantiates the
