@@ -691,12 +691,27 @@ def dedup_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straight through the Jaccard projection into the one-row
     # S-curve aggregate: same pair set as the DISTINCT form (each
     # matching pair once), zero pair-row exchanges.
-    b1 = sig.select(
-        "doc_id",
-        "bg",
-        *sig_cols,
-        F.posexplode(F.array(*[F.col(c) for c in sig_cols])).alias("band", "h"),
-    ).filter(F.col("h").isNotNull())
+    # Explicit-width repartition on the join key: the self-join is
+    # OUTPUT-explosive (its pair volume is the quantity being
+    # measured), but AQE sizes shuffle widths on INPUT bytes — under
+    # the default (100 TB posture) profile it coalesced this
+    # signature-sized exchange to ~2 tasks and the pair stage ran
+    # 10.9x slower than the latency profile. An explicit-N
+    # repartition is exempt from AQE coalescing, so the matched-pair
+    # work keeps full width on any profile.
+    width = spark.sparkContext.defaultParallelism
+    b1 = (
+        sig.select(
+            "doc_id",
+            "bg",
+            *sig_cols,
+            F.posexplode(F.array(*[F.col(c) for c in sig_cols])).alias(
+                "band", "h"
+            ),
+        )
+        .filter(F.col("h").isNotNull())
+        .repartition(width, "band", "h")
+    )
     # merge hint: both self-join sides are the corpus-derived exploded
     # signature — shuffle on (band, h), never broadcast (the 8x1
     # config is the PERMISSIVE end of the grid; its candidate volume

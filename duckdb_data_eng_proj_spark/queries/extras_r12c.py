@@ -168,13 +168,15 @@ def _bm25_sat_col() -> F.Column:
         "expression trees in both engines, floored to BIGINT "
         "micro-units BEFORE the per-(query, doc) sum, so the sum is "
         "exact and associative; ranking ties break on doc_id. Scale "
-        "shape: the token stream is scanned once (checkpointed "
-        "explode); doc lengths and totals are one doc-keyed aggregate "
-        "+ a 1-row global; tf/df aggregate ONLY the query-term-"
-        "filtered stream (the postings for |Q| terms — the filter "
-        "reaches the stream before any shuffle, so the tf table is "
-        "postings-sized, not corpus-sized); df and the query map are "
-        "|Q|-row broadcasts; the one non-broadcast join (tf x dl) is "
+        "shape: TWO passes over the checkpointed token stream — the "
+        "doc-length aggregate and the query-term-filtered tf "
+        "aggregate (the filter reaches the stream before any shuffle, "
+        "so the tf table is postings-sized, not corpus-sized) — and "
+        "everything else is a rollup of those two tables: corpus "
+        "totals from dl (tt = SUM(dl), n = COUNT(*)), df from tf "
+        "(one row per (doc, token), so COUNT(*) per token is the "
+        "distinct-doc count). df and the query map are |Q|-row "
+        "broadcasts; the one non-broadcast join (tf x dl) is "
         "doc-keyed; the final top-k is a per-query rank window over "
         "scored docs. No corpus-sized broadcast, no pair joins — at "
         "100 TB the cost is one tokenize scan plus postings-sized "
@@ -187,22 +189,29 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     ).localCheckpoint(eager=False)
+    # Two corpus passes total: dl and tf each aggregate the token
+    # stream once; the corpus totals are a rollup OF the dl table
+    # (tt = SUM(dl), n = COUNT(*) — same values as counting occ) and
+    # df is a rollup OF the tf table (one row per (doc, token), so
+    # COUNT(*) per token == COUNT(DISTINCT doc_id) over the filtered
+    # stream). The oracle spells all four over occ directly — same
+    # values, and its engine CSEs the CTE.
     dlt = occ.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
-    g = occ.agg(
-        F.count("*").cast("bigint").alias("tt"),
-        F.countDistinct("doc_id").cast("bigint").alias("n"),
+    g = dlt.agg(
+        F.sum("dl").cast("bigint").alias("tt"),
+        F.count("*").cast("bigint").alias("n"),
     )
     qrows = [
         (qid, w) for qid, ws in _BM25_QUERIES for w in ws
     ]
     q = spark.createDataFrame(qrows, "query_id string, term string")
-    hits = occ.filter(F.col("token").isin(*_BM25_TERMS))
-    tf = hits.groupBy("doc_id", "token").agg(
-        F.count("*").cast("bigint").alias("tf")
+    tf = (
+        occ.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    dft = hits.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
+    dft = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
     sc = (
         tf.join(F.broadcast(q), tf["token"] == q["term"])
         .join(F.broadcast(dft.withColumnRenamed("token", "dft_token")),

@@ -674,6 +674,31 @@ def test_r12b_op_exchange_budget(spark, qid, budget):
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
 
 
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # TWO corpus passes over the checkpointed token stream (the
+        # doc-length agg + the query-term-filtered tf agg); corpus
+        # totals and df are rollups OF those tables, the scoring join
+        # is doc-keyed, and the top-k window + result ordering close
+        # the plan. |Q|-row query/df broadcasts add no exchange.
+        ("txt_bm25_topk", 6),
+        # one basket-keyed collect_set shuffle feeding three readers
+        # (totals, item counts, the a-priori-pruned re-collect), the
+        # intra-array pair explode's map-side-combined pair agg, and
+        # the vocabulary-sized scoring joins + top-50 sort — pairs
+        # are generated inside each basket row, never by a join
+        ("agg_assoc_pairs", 9),
+    ],
+)
+def test_r12c_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r12 third-batch operators (scale
+    contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
 def test_lsh_tune_exchange_budget(spark):
     """dedup_lsh_tune scale contract: 9 exchanges — the (bands, band,
     bucket) occupancy agg + its |grid|-row bands rollup (arm 1, the
