@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dedup_lsh_tune",      # LSH banding grid planner (r12)
     "txt_bm25_topk",       # BM25 lexical retrieval top-k (r12)
     "agg_assoc_pairs",     # a-priori market-basket pair rules (r12)
+    "ml_perceptron_round",  # fixed-point batch perceptron on embeddings (r12)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

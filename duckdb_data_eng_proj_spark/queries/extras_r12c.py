@@ -1,6 +1,6 @@
-"""Round-12 third batch: the two gaps the r12c analysis grep
-confirmed the 265-id registry still lacks — each a distinct ANALYSIS
-(per the §9.0b near-dup rule), not a new id over a covered one:
+"""Round-12 third batch: the gaps the r12c analysis grep confirmed
+the 265-id registry still lacks — each a distinct ANALYSIS (per the
+§9.0b near-dup rule), not a new id over a covered one:
 
 - txt_bm25_topk — LEXICAL RETRIEVAL: given a query-term set, rank
   documents by BM25. txt_tfidf_topterms answers "what are this
@@ -18,6 +18,16 @@ confirmed the 265-id registry still lacks — each a distinct ANALYSIS
   classic warehouse affinity analysis. Different table, different
   unit, different data movement; the analysis — "which items appear
   together in one order more than chance" — is computed nowhere.
+- ml_perceptron_round — SUPERVISED LINEAR CLASSIFIER on the
+  embedding space (two unrolled batch-perceptron rounds in
+  fixed-point BIGINT), the fastText-style quality-filter core every
+  pretraining pipeline trains over document embeddings. The ml
+  family covers scalar-threshold weak learners (ml_decision_stump /
+  ml_gbdt_round), token models (ml_naive_bayes), and UNSUPERVISED
+  vector ops (ml_kmeans*, vec_centroid_label); nothing learns a
+  supervised decision boundary in vector space. Perceptron rather
+  than logistic/softmax so the update rule is transcendental-free
+  (the repo's fixed-point hash rule — exp() never enters).
 
 Rejected this grep (recorded for the next one): vec_embed_audit
 (per-vector norm/dim QA before an index build — the signals are real
@@ -388,3 +398,118 @@ def agg_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift_u").desc(), "item_a", "item_b"
     ).limit(_ASSOC_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# ml_perceptron_round
+
+_PCT_DIM = 64  # embedding dimensionality (filtered, not assumed)
+_PCT_POS = 0  # one-vs-rest positive class: label == 0
+_PCT_FP = 1_000_000  # per-component fixed-point scale
+
+
+@register(
+    "ml_perceptron_round",
+    oracle=(
+        "WITH pts AS (SELECT vec_id, "
+        f"CAST(CASE WHEN label = {_PCT_POS} THEN 1 ELSE -1 END AS BIGINT) "
+        "AS y, t.d AS dim, "
+        "CAST(floor(CAST(embedding[t.d + 1] AS DOUBLE) * 1000000.0) "
+        "AS BIGINT) AS xu "
+        f"FROM embeddings, range({_PCT_DIM}) t(d) "
+        f"WHERE len(embedding) = {_PCT_DIM}), "
+        "w1 AS (SELECT dim, CAST(SUM(y * xu) AS BIGINT) AS w1_u "
+        "FROM pts GROUP BY dim), "
+        "mg AS (SELECT p.vec_id, p.y, "
+        "CAST(SUM(w.w1_u * p.xu) AS BIGINT) AS m "
+        "FROM pts p JOIN w1 w ON w.dim = p.dim "
+        "GROUP BY p.vec_id, p.y), "
+        "mis AS (SELECT vec_id FROM mg WHERE y * m <= 0), "
+        "nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_miscls FROM mis), "
+        "upd AS (SELECT p.dim, CAST(SUM(p.y * p.xu) AS BIGINT) AS d_u "
+        "FROM pts p JOIN mis USING (vec_id) GROUP BY p.dim) "
+        "SELECT w1.dim AS dim, w1.w1_u AS w1_u, "
+        "CAST(w1.w1_u + COALESCE(u.d_u, 0) AS BIGINT) AS w2_u, "
+        "nm.n_miscls AS n_miscls "
+        "FROM w1 LEFT JOIN upd u ON u.dim = w1.dim, nm "
+        "ORDER BY dim"
+    ),
+    doc=(
+        "BATCH PERCEPTRON over the embedding table — the supervised "
+        "linear-classifier core of an embedding-based quality filter "
+        "(train a cheap linear probe on labeled vectors, score the "
+        "corpus with it; the scoring pass is a broadcast dot product, "
+        "sim_ann_ivf's argmax shape). Two unrolled rounds from w0 = "
+        "0, one-vs-rest on label 0: with a zero start every point is "
+        "a mistake, so round 1 is the class-signed feature sum "
+        "w1[d] = SUM(y * x_u[d]); round 2 re-scores every vector "
+        "against the broadcast w1 (margin = SUM(w1[d] * x_u[d]), "
+        "exact BIGINT), takes the mistake set y*m <= 0, and adds the "
+        "classic mistake-driven update w2 = w1 + SUM_mistakes(y*x_u). "
+        "Components are floored to 1e-6 fixed-point BEFORE any "
+        "aggregation, so every sum is exact integer and the margins "
+        "are cross-engine bit-equal — perceptron rather than "
+        "logistic, so no exp() enters the hash path (the repo "
+        "fixed-point rule; at these magnitudes the BIGINT margin "
+        "ceiling is ~1e9 training vectors). Scale shape: the model "
+        "is |dim|-row at every step and BROADCASTS (ml_naive_bayes's "
+        "model-side rule — the corpus never shuffles for the model); "
+        "the three corpus-sized aggregates (w1, margins, update) are "
+        "map-side-combinable dim- or vec-keyed sums over the "
+        "checkpointed component explode; the mistake set joins back "
+        "vec-keyed. Output: per-dim (w1_u, w2_u) + the round-1 "
+        "mistake count."
+    ),
+    tags=("ml", "vectors"),
+)
+def ml_perceptron_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == _PCT_DIM
+    )
+    y = F.when(F.col("label") == _PCT_POS, F.lit(1)).otherwise(F.lit(-1)).cast(
+        "bigint"
+    )
+    pts = e.select(
+        "vec_id",
+        y.alias("y"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "y",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("xu"),
+    ).localCheckpoint(eager=False)
+    w1 = pts.groupBy("dim").agg(
+        F.sum(F.col("y") * F.col("xu")).cast("bigint").alias("w1_u")
+    )
+    mg = (
+        pts.join(F.broadcast(w1), "dim")
+        .groupBy("vec_id", "y")
+        .agg(F.sum(F.col("w1_u") * F.col("xu")).cast("bigint").alias("m"))
+    )
+    mis = mg.filter(F.col("y") * F.col("m") <= 0).select("vec_id")
+    nm = mis.agg(F.count("*").cast("bigint").alias("n_miscls"))
+    # merge hint: the mistake set is CORPUS-derived (worst case every
+    # vector) and its subtree contains the full margin aggregate — it
+    # must never sit under a BroadcastExchange (the dedup_lsh_tune
+    # broadcast-timeout lesson). Vec-keyed shuffle semi-join instead.
+    upd = (
+        pts.join(mis.hint("merge"), "vec_id", "semi")
+        .groupBy("dim")
+        .agg(F.sum(F.col("y") * F.col("xu")).cast("bigint").alias("d_u"))
+    )
+    return (
+        w1.join(F.broadcast(upd), "dim", "left")
+        .crossJoin(F.broadcast(nm))
+        .select(
+            "dim",
+            "w1_u",
+            (F.col("w1_u") + F.coalesce(F.col("d_u"), F.lit(0)))
+            .cast("bigint")
+            .alias("w2_u"),
+            "n_miscls",
+        )
+        .orderBy("dim")
+    )

@@ -689,6 +689,12 @@ def test_r12b_op_exchange_budget(spark, qid, budget):
         # the vocabulary-sized scoring joins + top-50 sort — pairs
         # are generated inside each basket row, never by a join
         ("agg_assoc_pairs", 9),
+        # three map-side-combinable corpus aggregates over the
+        # checkpointed component explode (w1, margins, update) + the
+        # vec-keyed shuffle semi-join for the mistake set + the
+        # |dim|-row assembly and sort; the model tables broadcast
+        # (the ml_naive_bayes model-side rule)
+        ("ml_perceptron_round", 10),
     ],
 )
 def test_r12c_op_exchange_budget(spark, qid, budget):
@@ -750,3 +756,21 @@ def test_autocorr_single_corpus_scan(spark):
     plan = physical_plan(REGISTRY["ts_autocorr"].fn(spark, SF_DIR))
     assert plan.count("events.parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_perceptron_mistake_join_never_broadcast(spark):
+    """The mistake-set semi-join must be a shuffle join: the mistake
+    set is corpus-derived (worst case every training vector) and its
+    subtree contains the full margin aggregate — under a
+    BroadcastExchange that whole pipeline must finish within
+    spark.sql.broadcastTimeout (the dedup_lsh_tune lesson). The
+    |dim|-row model tables MAY broadcast (the ml_naive_bayes
+    model-side rule), so the pin is: every SortMergeJoin is
+    vec_id-keyed and at least one exists."""
+    import re
+
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["ml_perceptron_round"].fn(spark, SF_DIR))
+    smj_keys = re.findall(r"SortMergeJoin LeftSemi[^\n]*|SortMergeJoin\nLeft keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert "SortMergeJoin" in plan, "mistake-set join fell back to broadcast"

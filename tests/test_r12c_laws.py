@@ -199,3 +199,65 @@ def test_assoc_laws(spark, oracle_con):
         # confidence >= support (a_baskets <= nb), both capped at 1e6
         assert r.support_u <= r.conf_ab_u <= 1000000
         assert r.support_u <= r.conf_ba_u <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# ml_perceptron_round
+
+
+def _perceptron_replay(oracle_con):
+    """Independent pure-Python replay of both unrolled rounds."""
+    from duckdb_data_eng_proj_spark.queries.extras_r12c import (
+        _PCT_DIM,
+        _PCT_POS,
+    )
+
+    rows = oracle_con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings"
+    ).fetchall()
+    pts = []
+    for vid, label, emb in rows:
+        if len(emb) != _PCT_DIM:
+            continue
+        yy = 1 if label == _PCT_POS else -1
+        xu = [math.floor(float(x) * 1000000.0) for x in emb]
+        pts.append((vid, yy, xu))
+    w1 = [0] * _PCT_DIM
+    for _, yy, xu in pts:
+        for d in range(_PCT_DIM):
+            w1[d] += yy * xu[d]
+    mis = [
+        (vid, yy, xu)
+        for vid, yy, xu in pts
+        if yy * sum(w1[d] * xu[d] for d in range(_PCT_DIM)) <= 0
+    ]
+    w2 = list(w1)
+    for _, yy, xu in mis:
+        for d in range(_PCT_DIM):
+            w2[d] += yy * xu[d]
+    return w1, w2, len(mis)
+
+
+def test_perceptron_python_replay(spark, oracle_con):
+    got = REGISTRY["ml_perceptron_round"].fn(spark, SF_DIR).collect()
+    w1, w2, nm = _perceptron_replay(oracle_con)
+    assert [r.dim for r in got] == list(range(len(w1)))
+    for r in got:
+        assert r.w1_u == w1[r.dim], (r.dim, r.w1_u, w1[r.dim])
+        assert r.w2_u == w2[r.dim], (r.dim, r.w2_u, w2[r.dim])
+        assert r.n_miscls == nm
+
+
+def test_perceptron_update_law(spark):
+    """w2 - w1 must be exactly the mistake-set signed feature sum; in
+    particular w2 == w1 iff no vector is misclassified by w1 — and
+    with w0 = 0 round 1 counts EVERY vector as a mistake, so w1 is
+    never the zero update unless the table is empty."""
+    rows = REGISTRY["ml_perceptron_round"].fn(spark, SF_DIR).collect()
+    assert rows, "sf0.001 embeddings must train"
+    nm = rows[0].n_miscls
+    assert all(r.n_miscls == nm for r in rows)
+    if nm == 0:
+        assert all(r.w2_u == r.w1_u for r in rows)
+    else:
+        assert any(r.w2_u != r.w1_u for r in rows)
