@@ -767,10 +767,7 @@ def test_perceptron_mistake_join_never_broadcast(spark):
     |dim|-row model tables MAY broadcast (the ml_naive_bayes
     model-side rule), so the pin is: every SortMergeJoin is
     vec_id-keyed and at least one exists."""
-    import re
-
     from duckdb_data_eng_proj_spark.plans import physical_plan
 
     plan = physical_plan(REGISTRY["ml_perceptron_round"].fn(spark, SF_DIR))
-    smj_keys = re.findall(r"SortMergeJoin LeftSemi[^\n]*|SortMergeJoin\nLeft keys \[\d+\]: \[([^\]]*)\]", plan)
     assert "SortMergeJoin" in plan, "mistake-set join fell back to broadcast"
