@@ -9,8 +9,10 @@ a plan regression is an outage, so plan shape is tested like behavior
 
 from duckdb_data_eng_proj_spark.plans.audit import (  # noqa: F401
     count_exchanges,
+    joins_under_broadcast,
     physical_plan,
     pushed_filters,
     read_schema_columns,
     uses_broadcast_join,
+    walk_physical,
 )

@@ -54,3 +54,52 @@ def count_exchanges(df: DataFrame) -> int:
 def uses_broadcast_join(df: DataFrame) -> bool:
     plan = physical_plan(df)
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def walk_physical(node):
+    """Yield every node of a JVM SparkPlan tree, descending through
+    AdaptiveSparkPlanExec.
+
+    Under AQE, ``executedPlan()`` is a childless AdaptiveSparkPlan
+    LEAF — ``children()`` is empty and a naive walk visits exactly one
+    node (ADVICE r12: this made the broadcast-subtree audit vacuous).
+    The real plan hangs off ``initialPlan``/``executedPlan`` instead,
+    so descend through whichever accessor this Spark build exposes.
+    """
+    yield node
+    if "AdaptiveSparkPlan" in node.nodeName():
+        for attr in ("initialPlan", "executedPlan", "inputPlan"):
+            try:
+                inner = getattr(node, attr)()
+            except Exception:
+                continue
+            yield from walk_physical(inner)
+            return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from walk_physical(ch.apply(i))
+
+
+def joins_under_broadcast(df: DataFrame) -> list[list[str]]:
+    """Join nodes sitting inside any BroadcastExchange subtree.
+
+    The bright-line 100 TB rule (the dedup_lsh_tune lesson): a
+    broadcast's VALUE being k rows is not enough — its whole subtree
+    executes inside the broadcast future and must finish within
+    spark.sql.broadcastTimeout, so a join pipeline under a broadcast
+    dies on a timeout at exactly the data volumes where it matters.
+    Returns one list of join nodeNames per offending exchange; [] is
+    the only acceptable answer for a shipped operator.
+    """
+    plan = df._jdf.queryExecution().executedPlan()
+    flags: list[list[str]] = []
+    for node in walk_physical(plan):
+        if "BroadcastExchange" in node.nodeName():
+            joins = [
+                n.nodeName()
+                for n in walk_physical(node)
+                if "Join" in n.nodeName()
+            ]
+            if joins:
+                flags.append(joins[:3])
+    return flags

@@ -339,12 +339,19 @@ def agg_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    # EAGER checkpoint: freq broadcasts three times below, and its
+    # assembly contains the 1-row-nbt BroadcastNestedLoopJoin — benign
+    # at runtime, but it put a Join under each of those
+    # BroadcastExchanges (ADVICE r12) and recomputed the support
+    # filter per broadcast. Materialized once, every broadcast subtree
+    # is a bare scan of the vocabulary-sized RDD, join-free.
     freq = (
         cnt.crossJoin(F.broadcast(nbt))
         .filter(
             F.col("n") * F.lit(1000) >= F.col("nb") * F.lit(_ASSOC_SUP_PERMILLE)
         )
         .select("item", "n")
+        .localCheckpoint(eager=True)
     )
     # a-priori prune, then re-collect the SORTED frequent-item array
     # per basket (sortedness makes item_a < item_b structural).
@@ -387,6 +394,12 @@ def agg_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_baskets",
             "a_baskets",
             "b_baskets",
+            # BIGINT ceiling (documented, DEPLOYMENT.md §overflow): the
+            # lift numerator pair_baskets*nb*1e6 overflows int64 once
+            # nb*pair_baskets exceeds ~9.2e12 — at the 100 TB posture
+            # (nb ~1.5e10 baskets) that is pair_baskets ~600, i.e. real.
+            # DuckDB raises on overflow; non-ANSI Spark wraps silently —
+            # past the ceiling, promote BOTH sides to DECIMAL/HUGEINT.
             F.expr("(pair_baskets * 1000000) DIV nb").alias("support_u"),
             F.expr("(pair_baskets * 1000000) DIV a_baskets").alias("conf_ab_u"),
             F.expr("(pair_baskets * 1000000) DIV b_baskets").alias("conf_ba_u"),
@@ -489,19 +502,34 @@ def ml_perceptron_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "y")
         .agg(F.sum(F.col("w1_u") * F.col("xu")).cast("bigint").alias("m"))
     )
-    mis = mg.filter(F.col("y") * F.col("m") <= 0).select("vec_id")
+    # EAGER checkpoint: the mistake set feeds BOTH nm and upd, and its
+    # subtree is the full corpus-scale margin pipeline (SMJ + broadcast
+    # join + two aggregates). Materializing it here (a) computes the
+    # margin pass exactly once instead of twice, and (b) truncates the
+    # lineage so nothing downstream ever re-executes that pipeline
+    # inside a broadcast future — the dedup_lsh_tune broadcast-timeout
+    # lesson, which ADVICE r12 showed the previous shape still violated
+    # via F.broadcast(upd)/F.broadcast(nm).
+    mis = (
+        mg.filter(F.col("y") * F.col("m") <= 0)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
     nm = mis.agg(F.count("*").cast("bigint").alias("n_miscls"))
     # merge hint: the mistake set is CORPUS-derived (worst case every
-    # vector) and its subtree contains the full margin aggregate — it
-    # must never sit under a BroadcastExchange (the dedup_lsh_tune
-    # broadcast-timeout lesson). Vec-keyed shuffle semi-join instead.
+    # vector) — vec-keyed shuffle semi-join, never broadcast.
     upd = (
         pts.join(mis.hint("merge"), "vec_id", "semi")
         .groupBy("dim")
         .agg(F.sum(F.col("y") * F.col("xu")).cast("bigint").alias("d_u"))
     )
+    # upd/w1 are |dim|-row but upd's subtree contains the corpus
+    # semi-join: shuffle-merge the dim join (64 rows — the exchange is
+    # free) rather than placing that subtree under a BroadcastExchange.
+    # nm broadcasts safely now: post-checkpoint its subtree is a bare
+    # count over the materialized mistake RDD, join-free.
     return (
-        w1.join(F.broadcast(upd), "dim", "left")
+        w1.join(upd.hint("merge"), "dim", "left")
         .crossJoin(F.broadcast(nm))
         .select(
             "dim",

@@ -765,9 +765,32 @@ def test_perceptron_mistake_join_never_broadcast(spark):
     BroadcastExchange that whole pipeline must finish within
     spark.sql.broadcastTimeout (the dedup_lsh_tune lesson). The
     |dim|-row model tables MAY broadcast (the ml_naive_bayes
-    model-side rule), so the pin is: every SortMergeJoin is
-    vec_id-keyed and at least one exists."""
-    from duckdb_data_eng_proj_spark.plans import physical_plan
+    model-side rule). Two pins (ADVICE r12: the old single
+    'SortMergeJoin in plan' assertion passed even with the SMJ *under*
+    a BroadcastExchange): (a) the corpus-keyed shuffle joins exist —
+    the vec_id semi-join and the dim-keyed final merge, no others;
+    (b) NO join of any kind sits inside a BroadcastExchange subtree,
+    via the same JVM-tree walk the registry-wide audit script uses."""
+    import re
 
-    plan = physical_plan(REGISTRY["ml_perceptron_round"].fn(spark, SF_DIR))
-    assert "SortMergeJoin" in plan, "mistake-set join fell back to broadcast"
+    from duckdb_data_eng_proj_spark.plans import (
+        joins_under_broadcast,
+        physical_plan,
+    )
+
+    df = REGISTRY["ml_perceptron_round"].fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    smj_keys = re.findall(
+        r"SortMergeJoin\nLeft keys \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert smj_keys, "mistake-set join fell back to broadcast"
+    for keys in smj_keys:
+        assert "vec_id" in keys or "dim" in keys, (
+            f"unexpected SortMergeJoin keys: {keys}"
+        )
+    assert any("vec_id" in keys for keys in smj_keys), (
+        "the vec_id-keyed mistake semi-join is missing"
+    )
+    assert joins_under_broadcast(df) == [], (
+        "a Join executes inside a BroadcastExchange subtree"
+    )
