@@ -134,10 +134,17 @@ def agg_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rho"),
     )
     grid = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    # EAGER checkpoint: the 64-row register table feeds BOTH the
+    # estimate (whose 1-row aggregate broadcasts below) and the result
+    # rows. Materialized, the register build (grid join + max-rho
+    # aggregate) runs once as a normal job instead of inside the
+    # broadcast future (audit_broadcast_subtrees r13 — no join
+    # pipeline under a BroadcastExchange).
     reg = (
         grid.join(rh, "bucket", "left")
         .groupBy("bucket")
         .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("rho_max"))
+        .localCheckpoint(eager=True)
     )
     s = reg.agg(
         F.sum(

@@ -302,12 +302,20 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # EAGER checkpoints (r13): vc/vb BROADCAST into the verdict join
+    # below, and their subtrees are the full LSH candidate + exact
+    # bigram-verify pipelines (three shuffle joins each). Those must
+    # run as normal jobs, never inside a broadcast future
+    # (audit_broadcast_subtrees — the dedup_lsh_tune class). The
+    # VALUES are per-batch-doc verdict rows — broadcast-bounded by
+    # the batch size.
     vc = (
         cc.join(a, cc["new_id"] == a["_ida"])
         .join(bset, cc["old_id"] == bset["_idb"])
         .filter(jac_ok)
         .groupBy("new_id")
         .agg(F.min("old_id").cast("long").alias("pc"))
+        .localCheckpoint(eager=True)
     )
     x, y = nw.alias("x"), nw.alias("y")
     cb = (
@@ -329,6 +337,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_b")
         .agg(F.min("doc_a").cast("long").alias("pb"))
         .withColumnRenamed("doc_b", "new_id")
+        .localCheckpoint(eager=True)
     )
     batch = t(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 3 == 0

@@ -578,7 +578,13 @@ def _pq_train(spark: SparkSession, sf_dir: str):
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
     )
     a1 = assign(cent0)
-    c1 = update(a1)
+    # EAGER checkpoint between Lloyd iterations: c1 is 128 tiny rows,
+    # but its subtree is the full round-1 assignment (corpus window +
+    # joins + two aggregates). assign(c1) BROADCASTS c1 — without the
+    # barrier that whole iteration executes inside the broadcast
+    # future (audit_broadcast_subtrees r13, the dedup_lsh_tune class),
+    # and the iterative-family lineage rule wants the barrier anyway.
+    c1 = update(a1).localCheckpoint(eager=True)
     a2 = assign(c1)
     return sub, c1, a2
 

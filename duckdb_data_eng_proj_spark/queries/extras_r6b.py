@@ -481,8 +481,10 @@ def _adc_oracle() -> str:
 def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_data_eng_proj_spark.queries.extras_r6 import _pq_train
 
+    # c1 arrives eagerly checkpointed from _pq_train (r13: the
+    # inter-iteration barrier), so it feeds both a2's argmin and the
+    # LUT from one materialization — no extra checkpoint needed here.
     sub, c1, a2 = _pq_train(spark, sf_dir)
-    c1 = c1.localCheckpoint(eager=False)  # feeds both a2's argmin and the LUT
 
     def dist(a, b):
         return F.aggregate(
@@ -494,6 +496,11 @@ def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sub.filter(F.col("vec_id") % _ADC_QMOD == 0).select(
         F.col("vec_id").alias("qid"), "m", F.col("sv").alias("qsv")
     )
+    # EAGER checkpoint: the LUT broadcasts below, and its subtree is
+    # the query scan joined with the codebooks — that join must run as
+    # a normal job, not inside the broadcast future
+    # (audit_broadcast_subtrees r13). The VALUE is
+    # |queries|×M×K rows — broadcast-bounded by construction.
     lut = (
         q.join(F.broadcast(c1), "m")
         .select(
@@ -504,6 +511,7 @@ def vec_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("du"),
         )
+        .localCheckpoint(eager=True)
     )
     scores = (
         a2.select("vec_id", "m", "cid")

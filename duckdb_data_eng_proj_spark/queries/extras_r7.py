@@ -118,8 +118,15 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = oriented.select(
         F.least("u", "w").alias("x"), F.greatest("u", "w").alias("y")
     )
-    tri = wedges.join(closing, ["x", "y"]).agg(
-        F.count("*").cast("bigint").alias("n_triangles")
+    # EAGER checkpoint: the triangle census (two shuffle joins — the
+    # op's entire cost) must run as a normal job, not inside the
+    # 1-row broadcast's future below (audit_broadcast_subtrees r13:
+    # an SMJ pipeline under a BroadcastExchange dies on
+    # spark.sql.broadcastTimeout at scale — the dedup_lsh_tune class).
+    tri = (
+        wedges.join(closing, ["x", "y"])
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .localCheckpoint(eager=True)
     )
     # COALESCE both census sums so an empty pair graph yields 0s on
     # both engines (SUM over zero rows is NULL; the oracle's n_edges

@@ -381,6 +381,13 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = tr.agg(F.countDistinct("doc_id").alias("d_all"))
     vocab = tr.select("token").distinct()
 
+    # EAGER checkpoint: the model table BROADCASTS into the scoring
+    # join below, and its assembly is a multi-join pipeline (class ×
+    # vocab grid joined with the count tables). Materialized, that
+    # pipeline runs as a normal job instead of inside the broadcast
+    # future (audit_broadcast_subtrees r13 — no join under a
+    # BroadcastExchange). The VALUE stays |classes|×|vocab| rows —
+    # the model-side broadcast rule is unchanged.
     model = (
         cls.crossJoin(vocab)
         .crossJoin(F.broadcast(v))
@@ -391,6 +398,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             (L(F.coalesce(F.col("c"), F.lit(0)) + 1) - L(F.col("t") + F.col("v"))).alias("w_u"),
         )
+        .localCheckpoint(eager=True)
     )
     defs = tot.crossJoin(F.broadcast(v)).select(
         "lang", (-L(F.col("t") + F.col("v"))).alias("def_u")

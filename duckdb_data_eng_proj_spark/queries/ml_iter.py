@@ -278,7 +278,12 @@ def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     a1 = _assign(en, cent0)
-    cent1 = _update(en, a1)
+    # EAGER checkpoint between Lloyd iterations (r13): _assign
+    # BROADCASTS the packed centroids, so without the barrier the
+    # whole iteration-1 pipeline (assignment join + update aggregates)
+    # executes inside round 2's broadcast future
+    # (audit_broadcast_subtrees — the dedup_lsh_tune class).
+    cent1 = _update(en, a1).localCheckpoint(eager=True)
     a2 = _assign(en, cent1)
     cent2 = _update(en, a2)
     return (

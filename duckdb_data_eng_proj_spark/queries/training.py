@@ -1102,7 +1102,18 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", tokens(F.col("text")).alias("tk"))
         .select("doc_id", F.explode(word_ngrams(F.col("tk"), 5)).alias("g"))
     )
-    hits = train_grams.join(F.broadcast(eval_grams), "g").select("doc_id")
+    # EAGER checkpoint: the hit list's subtree is the corpus n-gram
+    # scan joined against the eval grams — that pipeline must run as a
+    # normal job, not inside the anti-join broadcast's future
+    # (audit_broadcast_subtrees r13, the dedup_lsh_tune class). The
+    # VALUE stays broadcast-appropriate: contaminated doc_ids are a
+    # tiny fraction of the corpus by construction.
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     return (
         d.filter(F.col("doc_id") % 50 != 0)
         .join(F.broadcast(hits), "doc_id", "left_anti")

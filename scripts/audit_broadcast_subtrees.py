@@ -72,7 +72,9 @@ def _leaf_tables(node) -> set[str]:
         if "Scan" not in n.nodeName():
             continue
         try:
-            text = n.verboseString(2)
+            # maxFields must be large enough to keep the Location
+            # entry (the table path) un-elided.
+            text = n.verboseString(100)
         except Exception:
             text = n.toString()
         for m in re.finditer(r"([A-Za-z0-9_]+)\.(?:parquet|csv)", str(text)):
@@ -90,18 +92,33 @@ def _is_global_agg(node) -> bool:
         return False
 
 
+def _unwrap(node):
+    """Skip codegen wrappers (InputAdapter / WholeStageCodegen)."""
+    while (
+        node.nodeName() == "InputAdapter"
+        or "WholeStageCodegen" in node.nodeName()
+    ) and node.children().size() > 0:
+        node = node.children().apply(0)
+    return node
+
+
 def _scalar_stamp(join_node) -> bool:
     """S2: a BroadcastNestedLoopJoin whose broadcast side is a
     join-free global aggregate (the 1-row total stamped onto a k-row
-    table)."""
+    table). Children sit behind codegen wrappers; a ReusedExchange
+    build side resolves to the original exchange via ``child()``."""
     if "BroadcastNestedLoopJoin" not in join_node.nodeName():
         return False
     ch = join_node.children()
     for i in range(ch.size()):
-        child = ch.apply(i)
-        if "BroadcastExchange" not in child.nodeName() and "Reused" not in (
-            child.nodeName()
-        ):
+        child = _unwrap(ch.apply(i))
+        name = child.nodeName()
+        if "ReusedExchange" in name:
+            try:
+                child = child.child()
+            except Exception:
+                continue
+        elif "BroadcastExchange" not in name:
             continue
         nodes = list(walk_physical(child))
         if any("Join" in n.nodeName() for n in nodes[1:]):
