@@ -1,0 +1,687 @@
+"""Round-13 operators: the three gaps the r13 analysis grep (VERDICT
+r12 item 4's candidate list, tested against the 268-id registry)
+confirmed are genuinely uncovered — each a distinct ANALYSIS, not a
+new id over a covered one:
+
+- txt_hybrid_rrf — HYBRID RETRIEVAL FUSION: reciprocal-rank-fuse the
+  lexical (token-overlap) and semantic (IVF cosine) top-k lists for
+  the same query documents. txt_bm25_topk ranks docs against KEYWORD
+  queries; sim_ann_ivf_search ranks by embedding alone; no registry
+  op COMBINES the two retrieval halves — the fusion step every hybrid
+  search stack ships (and the reason both halves were built) is
+  computed nowhere. Rank arithmetic is pure integer (1e6 DIV (60+rk)),
+  so the fused scores are cross-engine exact even though one input
+  ordering comes from doubles (identical expression trees, the
+  sim_ann_ivf_search precedent).
+- txt_bpe_apply — BPE TRAIN-AND-ENCODE: learn the first K=3 merges
+  over the word-frequency vocabulary (recomputing pair statistics
+  between merges — true BPE training, not top-K-of-round-1) and APPLY
+  each merge with the greedy left-to-right non-overlapping pass,
+  reporting the merge table and the corpus token count after every
+  round. txt_bpe_merge_round computes ONE round's pair statistics and
+  applies nothing; this is the tokenize-for-training counterpart (the
+  learned artifact actually encoding text). The apply step is a
+  per-word sequential fold — expressed as the same left fold in both
+  engines (F.aggregate / list_reduce) over unit-separator strings, so
+  the greedy merge semantics are bit-identical.
+- ext_stream_dedup_admit — STREAMING NEAR-DUP ADMISSION: the
+  dedup_minhash_incremental verdict executed as a real Structured
+  Streaming flow — two micro-batches (availableNow,
+  maxFilesPerTrigger=1) checked inside foreachBatch against the
+  PERSISTED corpus LSH index, with the intra-batch rule applied
+  WITHIN each micro-batch. The batch op proves the analysis; this
+  proves the streaming mechanics (per-batch verdict jobs against a
+  checkpointed index, state accumulated across triggers) with an
+  oracle that replays the exact same admission in SQL. The
+  micro-batch split is doc_id parity, so verdicts are independent of
+  BATCH ARRIVAL ORDER (the replay-determinism requirement): dup_batch
+  pairs only form within one parity class, never across.
+
+Rejected this grep (recorded per the §9.0b near-dup rule):
+txt_bm25_feedback (pseudo-relevance feedback re-ranking — the
+analysis is txt_hybrid_rrf's fusion with one list derived from the
+other; build the orthogonal fusion first), vec_opq_rotation (learned
+rotation before PQ — the train/encode machinery is vec_pq_codebook's
+with an extra linear algebra step that has no exact cross-engine
+story), stream_quality_gate (ext_quality_ensemble inside foreachBatch
+— identical analysis to ext_stream_dedup_admit with a different
+scoring body; one streaming-admission pattern proves the mechanics).
+
+Reference parity: the reference (a DuckDB loan-ETL take-home,
+pipeline.py / queries.sql) has none of these; they extend the
+retrieval / tokenization / streaming-ingest families per the build
+charter. All follow the repo determinism rules (registry.py): exact
+integer counts, identical fully-parenthesized double trees where
+doubles are unavoidable, deterministic tie-breaks, aliased column
+names matching the oracle exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
+from duckdb_data_eng_proj_spark.operators.textops import (
+    distinct_ngrams,
+    lsh_band_buckets,
+    minhash_from_pairs,
+    minhash_pairs,
+    tokens,
+)
+from duckdb_data_eng_proj_spark.queries.registry import register, t
+from duckdb_data_eng_proj_spark.queries.training import (
+    _ASSIGN_CTES,
+    _dot_sql,
+    _ivf_parts,
+    _LSH_PRELUDE,
+    _N_HASHES,
+    _ROWS_PER_BAND,
+    _TOKS_CTE,
+)
+from duckdb_data_eng_proj_spark.queries.extras_r11 import (
+    _INC_JACCARD,
+    _INC_VERIFY_SQL,
+)
+
+# ---------------------------------------------------------------------------
+# txt_hybrid_rrf
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_LIST_K = 10  # depth of each input list
+_RRF_OUT_K = 5  # fused results per query
+_RRF_NQ = 10  # query documents: doc_id/vec_id < 10 (ivf_search's set)
+
+# Integer reciprocal-rank contribution: 1e6 DIV (60 + rank). Both
+# engines floor-divide BIGINTs, so fusion is exact — the only doubles
+# anywhere are inside each half's own (already-verified) ordering.
+
+
+def _rrf_term_sql(rk: str) -> str:
+    return (
+        f"CASE WHEN {rk} IS NOT NULL "
+        f"THEN 1000000 // ({_RRF_K} + CAST({rk} AS BIGINT)) ELSE 0 END"
+    )
+
+
+@register(
+    "txt_hybrid_rrf",
+    oracle=(
+        f"WITH {_ASSIGN_CTES}, "
+        # --- semantic half: sim_ann_ivf_search's probe search, k=10
+        "probes AS (SELECT query_id, centroid_id FROM ("
+        "SELECT q.vec_id AS query_id, c.centroid_id, row_number() OVER ("
+        "PARTITION BY q.vec_id ORDER BY "
+        f"{_dot_sql('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm) DESC, "
+        "c.centroid_id) AS prn "
+        f"FROM e q CROSS JOIN cent c WHERE q.vec_id < {_RRF_NQ}) "
+        "WHERE prn <= 4), "
+        "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p "
+        "JOIN assign a ON a.centroid_id = p.centroid_id "
+        "WHERE a.vec_id <> p.query_id), "
+        "sscored AS (SELECT c.query_id, c.neighbor_id, "
+        f"{_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cos_raw "
+        "FROM cand c JOIN e q ON q.vec_id = c.query_id "
+        "JOIN e n ON n.vec_id = c.neighbor_id), "
+        "sem AS (SELECT query_id, neighbor_id AS doc_id, rk FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rk "
+        f"FROM sscored) WHERE rk <= {_RRF_LIST_K}), "
+        # --- lexical half: distinct-token overlap, k=10
+        f"{_TOKS_CTE}, "
+        "occ AS (SELECT DISTINCT doc_id, u.tkn AS token FROM "
+        "(SELECT doc_id, unnest(tk) AS tkn FROM toks) u), "
+        "lshared AS (SELECT q.doc_id AS query_id, d.doc_id AS doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS shared "
+        f"FROM occ q JOIN occ d ON d.token = q.token "
+        f"WHERE q.doc_id < {_RRF_NQ} AND d.doc_id <> q.doc_id "
+        "GROUP BY q.doc_id, d.doc_id), "
+        "lex AS (SELECT query_id, doc_id, rk FROM ("
+        "SELECT query_id, doc_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY shared DESC, doc_id) AS rk "
+        f"FROM lshared) WHERE rk <= {_RRF_LIST_K}), "
+        # --- integer RRF fusion
+        "fused AS (SELECT COALESCE(s.query_id, l.query_id) AS query_id, "
+        "COALESCE(s.doc_id, l.doc_id) AS doc_id, "
+        "CAST(COALESCE(s.rk, 0) AS BIGINT) AS sem_rk, "
+        "CAST(COALESCE(l.rk, 0) AS BIGINT) AS lex_rk, "
+        f"CAST(({_rrf_term_sql('s.rk')}) + ({_rrf_term_sql('l.rk')}) "
+        "AS BIGINT) AS rrf_u "
+        "FROM sem s FULL OUTER JOIN lex l "
+        "ON l.query_id = s.query_id AND l.doc_id = s.doc_id) "
+        "SELECT query_id, doc_id, sem_rk, lex_rk, rrf_u, rank FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY rrf_u DESC, doc_id) AS rank FROM fused) "
+        f"WHERE rank <= {_RRF_OUT_K}"
+    ),
+    doc=(
+        "HYBRID RETRIEVAL FUSION — reciprocal-rank fusion (k=60) of "
+        "the two retrieval halves the registry already verifies "
+        "separately: per query document (vec_id/doc_id < 10, the "
+        "sim_ann_ivf_search workload), the SEMANTIC top-10 from the "
+        "IVF probe search (nprobe=4, cosine ordering on identical "
+        "double trees) and the LEXICAL top-10 by distinct-token "
+        "overlap (exact integer shared-token counts over the postings "
+        "join). Fusion is rrf_u = Σ 1e6 DIV (60 + rank) over the "
+        "lists an item appears in — BIGINT floor-division, so the "
+        "fused ordering is cross-engine exact; ties break on doc_id; "
+        "a list miss contributes 0 and reports rank 0. Scale shape: "
+        "the semantic half is ONE corpus pass (map-side packed-"
+        "centroid argmax + broadcast probe join — sim_ann_ivf_search's "
+        "plan); the lexical half is a token-keyed postings self-join "
+        "with the query side filtered BEFORE the join (postings-sized "
+        "shuffles; production adds a document-frequency cutoff to cap "
+        "the hottest posting lists — the dedup_ngram_jaccard DF-cutoff "
+        "pattern); fusion itself touches only two |Q|×k ranked lists "
+        "— broadcast-trivial. The fused lists feed the same top-k "
+        "window as each half. At 100 TB nothing beyond the two "
+        "candidate stages moves: fusion adds zero corpus work."
+    ),
+    tags=("text", "retrieval"),
+)
+def txt_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # --- semantic half (sim_ann_ivf_search's plan, k=10) -------------
+    from duckdb_data_eng_proj_spark.operators.vectors import (
+        dot,
+        pack_centroids,
+        scored_centroids,
+    )
+
+    en, cent, _ = _ivf_parts(spark, sf_dir)
+    q = en.filter(F.col("vec_id") < _RRF_NQ)
+    packed = pack_centroids(cent, cid="centroid_id", emb="c_emb", nrm="c_nrm")
+    probes = (
+        q.crossJoin(F.broadcast(packed))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        scored_centroids(
+                            F.col("_cents"), F.col("embedding"), F.col("nrm")
+                        )
+                    ),
+                    1,
+                    4,
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "query_id", "q_emb", "q_nrm", F.col("_p")["cid"].alias("centroid_id")
+        )
+    )
+    corpus = en.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.array_min(
+            scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
+        )["cid"].alias("centroid_id"),
+    )
+    cos = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    sscored = (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("doc_id"), cos.alias("cos_raw")
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("doc_id")
+    )
+    sem = (
+        sscored.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= _RRF_LIST_K)
+        .select("query_id", "doc_id", F.col("rk").alias("sem_rk0"))
+    )
+
+    # --- lexical half: distinct-token overlap, k=10 -------------------
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    occ = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    qocc = occ.filter(F.col("doc_id") < _RRF_NQ).select(
+        F.col("doc_id").alias("query_id"), "token"
+    )
+    lshared = (
+        occ.join(qocc, "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("shared"), F.asc("doc_id")
+    )
+    lex = (
+        lshared.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= _RRF_LIST_K)
+        .select("query_id", "doc_id", F.col("rk").alias("lex_rk0"))
+    )
+
+    # --- integer RRF fusion -------------------------------------------
+    fused = (
+        sem.join(lex, ["query_id", "doc_id"], "full")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("sem_rk0"), F.lit(0)).cast("bigint").alias("sem_rk"),
+            F.coalesce(F.col("lex_rk0"), F.lit(0)).cast("bigint").alias("lex_rk"),
+            (
+                F.coalesce(
+                    F.expr(
+                        f"1000000 DIV ({_RRF_K} + CAST(sem_rk0 AS BIGINT))"
+                    ),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(
+                        f"1000000 DIV ({_RRF_K} + CAST(lex_rk0 AS BIGINT))"
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_u"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_u"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _RRF_OUT_K)
+        .select("query_id", "doc_id", "sem_rk", "lex_rk", "rrf_u", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# txt_bpe_apply
+
+_BPE_ROUNDS = 3
+# Unit separator between symbols inside the fold accumulator; tokens
+# are whitespace-split so chr(31) cannot occur inside one, but both
+# engines filter defensively anyway (identical predicate).
+_BPE_US = "chr(31)"
+
+
+def _bpe_fold_sql(a_expr: str, b_expr: str) -> str:
+    """Greedy left-to-right non-overlapping merge of adjacent pair
+    (a, b) -> a||b over symbol list ``s``, as a string fold.
+
+    Symbols are accumulated as chr(31)-separated text; merging is
+    'append x WITHOUT the separator' (the merged symbol is literally
+    a||b). ends_with(acc, US||a) is true iff the PREVIOUS symbol is
+    exactly ``a`` — a symbol just produced by this merge is a||b ≠ a,
+    so a merged symbol never re-merges (the Sennrich single-pass
+    rule; verified identical to the Spark F.aggregate fold on 'abab'
+    and the overlapping 'aaa' cases)."""
+    return (
+        f"string_split(substr(list_reduce(list_prepend('', s), "
+        f"(acc, x) -> acc || (CASE WHEN x = {b_expr} "
+        f"AND ends_with(acc, {_BPE_US} || {a_expr}) "
+        f"THEN '' ELSE {_BPE_US} END) || x), 2), chr(31))"
+    )
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        f"WITH {_TOKS_CTE}, ",
+        "v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c, "
+        "string_split(w, '') AS s FROM "
+        "(SELECT unnest(tk) AS w FROM toks) "
+        "WHERE NOT contains(w, chr(31)) GROUP BY w)",
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            # scalar range() + list_transform + unnest: DuckDB 1.0's
+            # range TABLE function rejects lateral column parameters.
+            f", p{r} AS (SELECT q.pr.a AS a, q.pr.b AS b, "
+            f"CAST(SUM(q.c) AS BIGINT) AS f "
+            f"FROM (SELECT c, unnest(list_transform(range(1, len(s)), "
+            f"i -> {{'a': s[i], 'b': s[i+1]}})) AS pr FROM {prev}) q "
+            f"GROUP BY q.pr.a, q.pr.b)"
+            f", m{r} AS (SELECT a, b, f FROM p{r} "
+            f"ORDER BY f DESC, a, b LIMIT 1)"
+            f", v{r} AS (SELECT w, c, {_bpe_fold_sql('m.a', 'm.b')} AS s "
+            f"FROM {prev}, m{r} m)"
+            f", st{r} AS (SELECT CAST(SUM(c * len(s)) AS BIGINT) AS toks "
+            f"FROM v{r})"
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, b AS sym_b, "
+        f"f AS pair_freq, toks AS tokens_after FROM m{r}, st{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
+    parts.append(" " + " UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@register(
+    "txt_bpe_apply",
+    oracle=_bpe_oracle(),
+    doc=(
+        "BPE TRAIN-AND-ENCODE — learn the first 3 merges over the "
+        "word-frequency vocabulary and APPLY each one, re-counting "
+        "pair statistics between merges (true BPE training: round r's "
+        "statistics are computed on round r-1's ENCODED symbols, not "
+        "on round-1 state — txt_bpe_merge_round computes exactly one "
+        "round's statistics and applies nothing). Per round: the "
+        "occurrence-weighted adjacent-pair aggregate over the vocab, "
+        "the argmax merge (freq DESC, pair lexicographic — "
+        "deterministic), the greedy left-to-right non-overlapping "
+        "merge application as a per-word string fold (identical "
+        "F.aggregate / list_reduce lambdas — merged symbols never "
+        "re-merge within a pass, the Sennrich rule), and the corpus "
+        "token count after the merge (Σ count·|symbols|). Output: one "
+        "row per round (merge pair, its frequency, tokens_after). "
+        "Scale shape: the corpus is scanned ONCE to build the "
+        "(word, count) vocabulary — the classic BPE trainer input — "
+        "and every round thereafter is VOCABULARY-sized: a pair "
+        "aggregate, a 1-row eagerly-checkpointed broadcast (the merge "
+        "rule), and a map-side fold. At 100 TB the corpus cost is one "
+        "tokenize pass; 3 rounds or 50k rounds differ only in "
+        "vocab-sized work. Encoding the full corpus with the learned "
+        "table is the same fold applied per document — map-only."
+    ),
+    tags=("text",),
+)
+def txt_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    us = "\x1f"
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(~F.col("w").contains(us))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select("w", "c", F.split("w", "").alias("s"))
+        # vocab feeds every round (pair stats + fold) — one corpus
+        # pass, materialized once (the iterative-family barrier).
+        .localCheckpoint(eager=True)
+    )
+
+    rows = []
+    v = vocab
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            # size guard BEFORE the transform: F.sequence(1, 0) counts
+            # BACKWARDS (the word_ngrams lesson) — single-symbol words
+            # contribute no pairs, exactly like the oracle's empty
+            # range(1, 1).
+            v.filter(F.size("s") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(element_at(s, i) AS a, "
+                        "element_at(s, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
+            .groupBy("a", "b")
+            .agg(F.sum("c").cast("bigint").alias("f"))
+        )
+        # 1-row merge rule: eagerly checkpointed so the pair aggregate
+        # runs as a normal job, never inside the broadcast future
+        # below (audit_broadcast_subtrees r13).
+        m = (
+            pairs.orderBy(F.desc("f"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        applied = v.crossJoin(F.broadcast(m)).select(
+            "w",
+            "c",
+            F.split(
+                F.expr(
+                    "substring(aggregate(s, '', (acc, x) -> "
+                    "concat(acc, CASE WHEN x = b "
+                    f"AND endswith(acc, concat(chr(31), a)) "
+                    "THEN '' ELSE chr(31) END, x)), 2)"
+                ),
+                us,
+            ).alias("s"),
+        )
+        # per-round barrier: round r+1's statistics read these encoded
+        # symbols, and the tokens_after aggregate reads them too.
+        v = applied.localCheckpoint(eager=True)
+        st = v.agg(
+            F.sum(F.col("c") * F.size("s")).cast("bigint").alias("tokens_after")
+        )
+        rows.append(
+            m.crossJoin(F.broadcast(st)).select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("f").alias("pair_freq"),
+                "tokens_after",
+            )
+        )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionByName(r_df)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ext_stream_dedup_admit
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) for a documents DF — _lsh_bands_df's
+    body parameterized by the input (duplicated rather than refactored
+    so the shared helper's source, folded into every verified dedup
+    op's core hash, stays untouched; training.py:128 is the source of
+    truth for the pipeline shape)."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    bg = toks.select("doc_id", distinct_ngrams(F.col("tk"), 2).alias("bg"))
+    ps = bg.select("doc_id", minhash_pairs(F.col("bg")).alias("ps"))
+    sig = ps.select("doc_id", *minhash_from_pairs(F.col("ps"), _N_HASHES))
+    sig_cols = [f"h{j}" for j in range(_N_HASHES)]
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*lsh_band_buckets(sig_cols, _ROWS_PER_BAND))
+        ).alias("band", "bucket"),
+    )
+    return bands.filter(F.col("bucket").isNotNull())
+
+
+def _bigrams_of(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    return toks.select("doc_id", distinct_ngrams(F.col("tk"), 2).alias("bg"))
+
+
+@register(
+    "ext_stream_dedup_admit",
+    oracle=(
+        f"{_LSH_PRELUDE}, "
+        "idx AS (SELECT doc_id, band, bucket FROM bands "
+        "WHERE doc_id % 3 <> 0 AND bucket IS NOT NULL), "
+        "nw AS (SELECT doc_id, band, bucket FROM bands "
+        "WHERE doc_id % 3 = 0 AND bucket IS NOT NULL), "
+        "cc AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS old_id "
+        "FROM nw n JOIN idx i ON n.band = i.band AND n.bucket = i.bucket), "
+        "vc AS (SELECT c.new_id, c.old_id FROM cc c "
+        "JOIN bg a ON a.doc_id = c.new_id "
+        "JOIN bg b ON b.doc_id = c.old_id "
+        f"WHERE {_INC_VERIFY_SQL} >= {_INC_JACCARD}), "
+        # intra-batch pairs form only within one micro-batch — and the
+        # stream splits on doc_id parity, so the pair predicate is
+        # same-parity (see doc: batch-order invariance).
+        "cb AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM nw x JOIN nw y ON x.band = y.band AND x.bucket = y.bucket "
+        "AND x.doc_id < y.doc_id AND x.doc_id % 2 = y.doc_id % 2), "
+        "vb AS (SELECT c.doc_a, c.doc_b FROM cb c "
+        "JOIN bg a ON a.doc_id = c.doc_a "
+        "JOIN bg b ON b.doc_id = c.doc_b "
+        f"WHERE {_INC_VERIFY_SQL} >= {_INC_JACCARD}), "
+        "mc AS (SELECT new_id, CAST(MIN(old_id) AS BIGINT) AS pc "
+        "FROM vc GROUP BY new_id), "
+        "mb AS (SELECT doc_b AS new_id, CAST(MIN(doc_a) AS BIGINT) AS pb "
+        "FROM vb GROUP BY doc_b) "
+        "SELECT d.doc_id, "
+        "CASE WHEN mc.pc IS NOT NULL THEN 'dup_corpus' "
+        "WHEN mb.pb IS NOT NULL THEN 'dup_batch' "
+        "ELSE 'admit' END AS verdict, "
+        "CAST(COALESCE(mc.pc, mb.pb, -1) AS BIGINT) AS partner_id "
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d "
+        "LEFT JOIN mc ON mc.new_id = d.doc_id "
+        "LEFT JOIN mb ON mb.new_id = d.doc_id"
+    ),
+    doc=(
+        "STREAMING NEAR-DUP ADMISSION — dedup_minhash_incremental's "
+        "verdict as a REAL Structured Streaming flow: the incoming "
+        "docs (doc_id % 3 = 0) arrive as two parquet micro-batches "
+        "(doc_id parity split, maxFilesPerTrigger=1, availableNow), "
+        "and each foreachBatch computes that batch's MinHash bands, "
+        "joins them against the PERSISTED corpus index (doc_id % 3 <> "
+        "0 — built once, eagerly checkpointed before the stream "
+        "starts, exactly the table prior runs would have written), "
+        "bigram-verifies candidates, applies the intra-BATCH greedy "
+        "min-id rule within the micro-batch, and appends verdict rows "
+        "to the accumulator. Verdicts are BATCH-ORDER INVARIANT by "
+        "construction: cross-batch stream pairs are never consulted "
+        "(dup_batch forms only within one parity class), so replaying "
+        "the files in any order yields identical output — the "
+        "streaming/batch unification law, and the oracle is literally "
+        "the batch admission with the same-parity pair predicate. At "
+        "100 TB ingest: the index side is the persisted (band, "
+        "bucket, doc_id) table (index-sized, never recomputed per "
+        "trigger — here it is checkpointed once for testability); "
+        "per-trigger work is batch-bands × index equi-join + "
+        "candidate-bounded verification, the same bounded shapes the "
+        "batch op pins; admitted rows' bands are what the writer "
+        "appends back to the index between triggers."
+    ),
+    tags=("dedup", "streaming"),
+)
+def ext_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+
+    # The persisted index: bands + verification shingle sets for the
+    # already-admitted corpus. Eagerly checkpointed ONCE before the
+    # stream starts — per-trigger jobs read the materialized RDDs,
+    # never the signature pipeline (and no join pipeline ever sits
+    # under the per-batch broadcast futures).
+    idx_bands = _bands_of(ensure_parallelism(corpus)).localCheckpoint(
+        eager=True
+    )
+    idx_bg = (
+        _bigrams_of(ensure_parallelism(corpus))
+        .select(F.col("doc_id").alias("_idb"), F.col("bg").alias("bg_b"))
+        .localCheckpoint(eager=True)
+    )
+
+    # Two real micro-batches: parity split, one file per trigger.
+    src_dir = tempfile.mkdtemp(prefix="dedup_admit_src_")
+    for part in (0, 1):
+        incoming.filter(F.pmod("doc_id", F.lit(2)) == part).coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
+    union = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
+    jac_ok = (inter.cast("double") / union) >= _INC_JACCARD
+
+    acc: dict[str, DataFrame | None] = {"df": None}
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)
+        nb = _bands_of(batch).localCheckpoint(eager=True)
+        bga = _bigrams_of(batch).select(
+            F.col("doc_id").alias("_ida"), F.col("bg").alias("bg_a")
+        ).localCheckpoint(eager=True)
+        n, i = nb.alias("n"), idx_bands.alias("i")
+        cc = (
+            n.join(
+                i,
+                (F.col("n.band") == F.col("i.band"))
+                & (F.col("n.bucket") == F.col("i.bucket")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_id"),
+                F.col("i.doc_id").alias("old_id"),
+            )
+            .distinct()
+        )
+        vc = (
+            cc.join(bga, cc["new_id"] == bga["_ida"])
+            .join(idx_bg, cc["old_id"] == idx_bg["_idb"])
+            .filter(jac_ok)
+            .groupBy("new_id")
+            .agg(F.min("old_id").cast("long").alias("pc"))
+        )
+        x, y = nb.alias("x"), nb.alias("y")
+        cb = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        bgb = bga.select(
+            F.col("_ida").alias("_idb2"), F.col("bg_a").alias("bg_b")
+        )
+        vb = (
+            cb.join(bga, cb["doc_a"] == bga["_ida"])
+            .join(bgb, cb["doc_b"] == bgb["_idb2"])
+            .filter(jac_ok)
+            .groupBy("doc_b")
+            .agg(F.min("doc_a").cast("long").alias("pb"))
+            .withColumnRenamed("doc_b", "new_id")
+        )
+        verdicts = (
+            batch.select("doc_id")
+            .join(vc.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+            .join(vb.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("pc").isNotNull(), F.lit("dup_corpus"))
+                .when(F.col("pb").isNotNull(), F.lit("dup_batch"))
+                .otherwise(F.lit("admit"))
+                .alias("verdict"),
+                F.coalesce(F.col("pc"), F.col("pb"), F.lit(-1))
+                .cast("long")
+                .alias("partner_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc["df"] = (
+            verdicts
+            if acc["df"] is None
+            else acc["df"].unionByName(verdicts)
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="dedup_admit_ckpt_")
+    qy = (
+        stream.writeStream.foreachBatch(admit_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    out = acc["df"]
+    assert out is not None
+    return out

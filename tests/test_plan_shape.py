@@ -635,6 +635,39 @@ def test_r12_op_exchange_budget(spark, qid, budget):
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
 
 
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # two retrieval halves + integer fusion: IVF probe search
+        # (corpus pass + broadcast probes + rank window) + postings
+        # self-join (token-keyed) + two k-row rank windows + the
+        # full-outer fusion of two |Q|×k lists + final rank window
+        ("txt_hybrid_rrf", 16),
+        # visible plan is the 3-row merge-table assembly; each round's
+        # vocab-sized pair aggregate + fold runs behind its own eager
+        # checkpoint (iterative-family barriers)
+        ("txt_bpe_apply", 5),
+    ],
+)
+def test_r13_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r13 operators (scale contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+def test_stream_admit_reads_checkpointed_index(spark):
+    """ext_stream_dedup_admit's per-trigger verdict jobs must read the
+    PERSISTED index as materialized RDDs — the corpus signature
+    pipeline runs once before the stream starts, never per batch. The
+    accumulated output plan is therefore a union of checkpoint scans
+    with no parquet scan of the documents table anywhere."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    df = REGISTRY["ext_stream_dedup_admit"].fn(spark, SF_DIR)
+    assert "documents.parquet" not in physical_plan(df)
+
+
 def test_vacuum_is_join_free(spark):
     """dedup_band_index_vacuum must stay a pure aggregate pipeline
     over the index table — any join means it started touching the

@@ -1,0 +1,330 @@
+"""Algorithmic laws for the round-13 operators.
+
+Same adversarial posture as tests/test_r12*_laws.py: the oracle rows
+prove cross-engine equality; these tests prove the shared definition
+is the RIGHT one, via independent pure-Python replays and structural
+laws on sf0.001.
+
+- txt_bpe_apply: full pure-Python replay (whitespace tokenize ->
+  word-frequency vocab -> 3 rounds of weighted adjacent-pair argmax +
+  greedy left-to-right non-overlapping merge), plus the EXACT
+  conservation law tokens_after[r] = tokens_after[r-1] - pair_freq[r]
+  (each merge removes exactly one symbol per application) and the BPE
+  monotonicity law pair_freq[r] <= pair_freq[r-1].
+- txt_hybrid_rrf: full pure-Python replay of BOTH halves (IVF probe
+  search with sequential-fold cosine, distinct-token-overlap ranking)
+  and the integer RRF fusion, plus the self-consistency law
+  rrf_u = term(sem_rk) + term(lex_rk) recomputed from the output's
+  own rank columns, and dense per-query ranks.
+- ext_stream_dedup_admit: full pure-Python replay of the admission
+  (MinHash K-M double hashing, 4x2 banding, bigram-Jaccard verify,
+  corpus-first then same-parity intra-batch greedy min rule), plus
+  verdict-shape laws (partner parity/ordering per verdict class).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+from duckdb_data_eng_proj_spark.queries import REGISTRY
+from duckdb_data_eng_proj_spark.queries.extras_r11 import _INC_JACCARD
+from duckdb_data_eng_proj_spark.queries.extras_r13 import (
+    _BPE_ROUNDS,
+    _RRF_K,
+    _RRF_LIST_K,
+    _RRF_NQ,
+    _RRF_OUT_K,
+)
+from tests.conftest import SF_DIR
+
+
+def _py_tokens(text):
+    if text is None:
+        return []
+    return [w for w in re.split(r"\s+", text.lower().strip()) if w != ""]
+
+
+# ---------------------------------------------------------------------------
+# txt_bpe_apply
+
+
+def _bpe_merge_word(syms, a, b):
+    """Greedy left-to-right non-overlapping merge — the fold's law."""
+    out = []
+    for x in syms:
+        if x == b and out and out[-1] == a:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_replay(oracle_con):
+    docs = oracle_con.execute("SELECT text FROM documents").fetchall()
+    vocab = Counter()
+    for (tx,) in docs:
+        for w in _py_tokens(tx):
+            if "\x1f" not in w:
+                vocab[w] += 1
+    state = {w: list(w) for w in vocab}
+    rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pf = Counter()
+        for w, syms in state.items():
+            c = vocab[w]
+            for x, y in zip(syms, syms[1:]):
+                pf[(x, y)] += c
+        (a, b), f = min(pf.items(), key=lambda kv: (-kv[1], kv[0]))
+        state = {w: _bpe_merge_word(s, a, b) for w, s in state.items()}
+        toks = sum(vocab[w] * len(s) for w, s in state.items())
+        rows.append((r, a, b, f, toks))
+    return rows
+
+
+def test_bpe_python_replay(spark, oracle_con):
+    got = sorted(
+        (r.round, r.sym_a, r.sym_b, r.pair_freq, r.tokens_after)
+        for r in REGISTRY["txt_bpe_apply"].fn(spark, SF_DIR).collect()
+    )
+    assert got == _bpe_replay(oracle_con)
+
+
+def test_bpe_conservation_and_monotonicity(spark, oracle_con):
+    rows = sorted(
+        REGISTRY["txt_bpe_apply"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+    # tokens before any merge = total character count of the corpus
+    # words (whitespace-tokenized, weighted by occurrence)
+    (chars0,) = oracle_con.execute(
+        "SELECT CAST(SUM(len(u.w)) AS BIGINT) FROM "
+        "(SELECT unnest(list_filter(string_split_regex(lower(trim(text)),"
+        " '\\s+'), x -> x <> '')) AS w FROM documents) u"
+    ).fetchone()
+    prev = chars0
+    prev_f = None
+    for r in rows:
+        # EXACT conservation: each merge application replaces 2
+        # symbols with 1, so one merge round removes exactly
+        # pair_freq occurrences.
+        assert r.tokens_after == prev - r.pair_freq, r
+        prev = r.tokens_after
+        # classic BPE monotonicity: a merge can only destroy
+        # adjacencies, and pairs involving the new symbol occur at
+        # most pair_freq times — so the argmax never increases.
+        if prev_f is not None:
+            assert r.pair_freq <= prev_f, r
+        prev_f = r.pair_freq
+        assert r.sym_a and r.sym_b and r.pair_freq > 0
+
+
+# ---------------------------------------------------------------------------
+# txt_hybrid_rrf
+
+
+def _fold_dot(a, b):
+    """Sequential left fold — the engines' list_reduce/F.aggregate
+    order, so doubles are bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _rrf_replay(oracle_con):
+    vecs = {
+        v: e
+        for v, e in oracle_con.execute(
+            "SELECT vec_id, embedding FROM embeddings"
+        ).fetchall()
+    }
+    nrm = {v: math.sqrt(_fold_dot(e, e)) for v, e in vecs.items()}
+    cents = [v for v in sorted(vecs) if v < 16]
+
+    def cos(u, w):
+        return _fold_dot(vecs[u], vecs[w]) / (nrm[u] * nrm[w])
+
+    # corpus assignment: argmax cosine, tie -> lower centroid_id
+    assign = {}
+    for v in vecs:
+        best = min(((-cos(v, c), c) for c in cents))
+        assign[v] = best[1]
+    lists = defaultdict(list)
+    for v, c in assign.items():
+        lists[c].append(v)
+
+    sem = {}
+    queries = [v for v in sorted(vecs) if v < _RRF_NQ]
+    for q in queries:
+        probes = [c for _, c in sorted((-cos(q, c), c) for c in cents)[:4]]
+        cand = {v for c in probes for v in lists[c] if v != q}
+        ranked = sorted(((-cos(q, v), v) for v in cand))
+        for rk, (_, v) in enumerate(ranked[:_RRF_LIST_K], 1):
+            sem[(q, v)] = rk
+
+    docs = oracle_con.execute("SELECT doc_id, text FROM documents").fetchall()
+    tok = {d: set(_py_tokens(tx)) for d, tx in docs}
+    lex = {}
+    for q in queries:
+        shared = [
+            (-len(tok[q] & tok[d]), d)
+            for d in tok
+            if d != q and tok[q] & tok[d]
+        ]
+        for rk, (_, d) in enumerate(sorted(shared)[:_RRF_LIST_K], 1):
+            lex[(q, d)] = rk
+
+    def term(rk):
+        return 1000000 // (_RRF_K + rk) if rk else 0
+
+    out = {}
+    for q in queries:
+        items = {d for (qq, d) in list(sem) + list(lex) if qq == q}
+        fused = sorted(
+            (
+                -(term(sem.get((q, d), 0)) + term(lex.get((q, d), 0))),
+                d,
+            )
+            for d in items
+        )
+        for rank, (neg_u, d) in enumerate(fused[:_RRF_OUT_K], 1):
+            out[(q, d)] = (
+                sem.get((q, d), 0),
+                lex.get((q, d), 0),
+                -neg_u,
+                rank,
+            )
+    return out
+
+
+def test_rrf_python_replay(spark, oracle_con):
+    got = {
+        (r.query_id, r.doc_id): (r.sem_rk, r.lex_rk, r.rrf_u, r.rank)
+        for r in REGISTRY["txt_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    }
+    assert got == _rrf_replay(oracle_con)
+
+
+def test_rrf_self_consistency(spark):
+    rows = REGISTRY["txt_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+        # fused score recomputable from the output's own rank columns
+        want = (1000000 // (_RRF_K + r.sem_rk) if r.sem_rk else 0) + (
+            1000000 // (_RRF_K + r.lex_rk) if r.lex_rk else 0
+        )
+        assert r.rrf_u == want, r
+        assert 0 <= r.sem_rk <= _RRF_LIST_K
+        assert 0 <= r.lex_rk <= _RRF_LIST_K
+        assert r.sem_rk or r.lex_rk, "item in neither list"
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _RRF_OUT_K
+        for a, b in zip(rs, rs[1:]):
+            assert (-a.rrf_u, a.doc_id) < (-b.rrf_u, b.doc_id)
+
+
+# ---------------------------------------------------------------------------
+# ext_stream_dedup_admit
+
+_P61 = (1 << 61) - 1
+
+
+def _py_bigrams(text):
+    tk = _py_tokens(text)
+    if len(tk) < 2:
+        return set()
+    return {f"{a} {b}" for a, b in zip(tk, tk[1:])}
+
+
+def _py_bands(bg):
+    """MinHash 8-sig via K-M double hashing, 4 bands x 2 rows —
+    mirrors operators/textops.py exactly."""
+    if not bg:
+        return []
+    pairs = []
+    for s in bg:
+        h = hashlib.md5(s.encode()).hexdigest()
+        pairs.append((int(h[0:15], 16), int(h[16:31], 16) | 1))
+    sig = [min((a + j * b) % _P61 for a, b in pairs) for j in range(8)]
+    return [
+        (b, hashlib.md5(f"{sig[2 * b]}|{sig[2 * b + 1]}".encode()).hexdigest())
+        for b in range(4)
+    ]
+
+
+def _admit_replay(oracle_con):
+    docs = oracle_con.execute("SELECT doc_id, text FROM documents").fetchall()
+    bg = {d: _py_bigrams(tx) for d, tx in docs}
+    bands = {d: _py_bands(s) for d, s in bg.items()}
+    idx = defaultdict(set)  # (band, bucket) -> corpus doc_ids
+    for d, bs in bands.items():
+        if d % 3 != 0:
+            for key in bs:
+                idx[key].add(d)
+
+    def jac(a, b):
+        inter = len(bg[a] & bg[b])
+        union = len(bg[a]) + len(bg[b]) - inter
+        return inter / union if union else 0.0
+
+    out = {}
+    new_ids = [d for d, _ in docs if d % 3 == 0]
+    new_bands = defaultdict(set)  # (band,bucket) -> new ids
+    for d in new_ids:
+        for key in bands[d]:
+            new_bands[key].add(d)
+    for d in new_ids:
+        corpus_cand = {o for key in bands[d] for o in idx[key]}
+        pc = [o for o in corpus_cand if jac(d, o) >= _INC_JACCARD]
+        batch_cand = {
+            o
+            for key in bands[d]
+            for o in new_bands[key]
+            if o < d and o % 2 == d % 2
+        }
+        pb = [o for o in batch_cand if jac(d, o) >= _INC_JACCARD]
+        if pc:
+            out[d] = ("dup_corpus", min(pc))
+        elif pb:
+            out[d] = ("dup_batch", min(pb))
+        else:
+            out[d] = ("admit", -1)
+    return out
+
+
+def test_stream_admit_python_replay(spark, oracle_con):
+    got = {
+        r.doc_id: (r.verdict, r.partner_id)
+        for r in REGISTRY["ext_stream_dedup_admit"].fn(spark, SF_DIR).collect()
+    }
+    assert got == _admit_replay(oracle_con)
+
+
+def test_stream_admit_verdict_shape(spark):
+    rows = REGISTRY["ext_stream_dedup_admit"].fn(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.doc_id % 3 == 0
+        assert r.doc_id not in seen, "one verdict per incoming doc"
+        seen.add(r.doc_id)
+        if r.verdict == "admit":
+            assert r.partner_id == -1
+        elif r.verdict == "dup_corpus":
+            # corpus partners are index-side docs
+            assert r.partner_id % 3 != 0
+        else:
+            assert r.verdict == "dup_batch"
+            # intra-batch partners: smaller id, same micro-batch
+            # (parity split) — the batch-order-invariance contract
+            assert r.partner_id % 3 == 0
+            assert r.partner_id < r.doc_id
+            assert r.partner_id % 2 == r.doc_id % 2
