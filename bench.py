@@ -97,6 +97,12 @@ BENCH_QUERIES = [
     "txt_bm25_topk",       # BM25 lexical retrieval top-k (r12)
     "agg_assoc_pairs",     # a-priori market-basket pair rules (r12)
     "ml_perceptron_round",  # fixed-point batch perceptron on embeddings (r12)
+    # r13 additions (ext_stream_dedup_admit is excluded for the same
+    # reason as ext_stream_watermark_late: its fn() drives a real
+    # Structured Streaming replay through temp parquet files, so its
+    # timing measures checkpoint/file churn, not a query plan)
+    "txt_hybrid_rrf",      # lexical+semantic reciprocal-rank fusion (r13)
+    "txt_bpe_apply",       # 3-round BPE train-and-encode (r13)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -114,6 +120,16 @@ TIMED_BUILD = {
     "txt_longest_common_substring",  # checkpoints candidates + positions
     "graph_jaccard_neighbors",  # checkpoints the candidate edge table
     "graph_bfs_seed_distance",  # checkpoints edges + levels each BFS round
+    # r13 broadcast-subtree fixes: these now EAGERLY checkpoint the
+    # to-be-broadcast value inside fn() (audit_broadcast_subtrees), so
+    # plan-only timing would hide that work in the untimed build.
+    "ext_decontaminate",   # checkpoints the contaminated-id hit list
+    "ml_naive_bayes",      # checkpoints the model table
+    "agg_sketch_hll",      # checkpoints the 64-row register table
+    "dedup_minhash_incremental",  # checkpoints the vc/vb verdicts
+    "agg_assoc_pairs",     # checkpoints the frequent-item table
+    "ml_perceptron_round",  # checkpoints the mistake set
+    "txt_bpe_apply",       # checkpoints vocab + per-round merge state
 }
 
 
