@@ -656,6 +656,24 @@ def test_r13_op_exchange_budget(spark, qid, budget):
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
 
 
+def test_walk_physical_descends_adaptive_plan(spark):
+    """Vacuity guard for the audit walk (ADVICE r12): under AQE,
+    executedPlan() is a childless AdaptiveSparkPlan leaf, and a naive
+    children() walk visits exactly ONE node — which made the r12
+    registry-wide broadcast audit report zero offenders vacuously.
+    walk_physical must descend through the wrapper: a grouped
+    aggregate over a broadcast join must yield its exchange, join,
+    aggregate, and scan nodes, not one node."""
+    from duckdb_data_eng_proj_spark.plans import walk_physical
+
+    df = REGISTRY["join_left_fanout"].fn(spark, SF_DIR)
+    root = df._jdf.queryExecution().executedPlan()
+    names = [n.nodeName() for n in walk_physical(root)]
+    assert len(names) > 3, names
+    assert any("Join" in n for n in names), names
+    assert any("Scan" in n for n in names), names
+
+
 def test_stream_admit_reads_checkpointed_index(spark):
     """ext_stream_dedup_admit's per-trigger verdict jobs must read the
     PERSISTED index as materialized RDDs — the corpus signature
