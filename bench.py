@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # timing measures checkpoint/file churn, not a query plan)
     "txt_hybrid_rrf",      # lexical+semantic reciprocal-rank fusion (r13)
     "txt_bpe_apply",       # 3-round BPE train-and-encode (r13)
+    "sim_ann_ivf_repair",  # drift-triggered partial IVF retrain (r13)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -130,6 +131,7 @@ TIMED_BUILD = {
     "agg_assoc_pairs",     # checkpoints the frequent-item table
     "ml_perceptron_round",  # checkpoints the mistake set
     "txt_bpe_apply",       # checkpoints vocab + per-round merge state
+    "sim_ann_ivf_repair",  # checkpoints stale/flag/repaired centroid tables
 }
 
 

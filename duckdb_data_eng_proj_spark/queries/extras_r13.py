@@ -685,3 +685,228 @@ def ext_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = acc["df"]
     assert out is not None
     return out
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivf_repair
+
+# Drift-triggered partial retrain: a cell is REPAIRED when new-corpus
+# members (vec_id % 3 = 0, the shared batch convention) exceed 35% of
+# its membership — the cells data drift actually moved. Pure-integer
+# flag rule: n_new * 1000 >= n_members * 350.
+_REPAIR_PERMILLE = 350
+
+from duckdb_data_eng_proj_spark.operators.vectors import (  # noqa: E402
+    dot,
+    pack_centroids,
+    scored_centroids,
+)
+from duckdb_data_eng_proj_spark.queries.extras_r11 import (  # noqa: E402
+    _DOT_SQL,
+    _DRIFT_SEED_LIMIT,
+    _drift_assign_cte,
+    _drift_update_ctes,
+)
+
+_REPAIR_COS_OLD = (
+    _DOT_SQL.format(a="e.embedding", b="o.c_emb") + " / (e.nrm * o.c_nrm)"
+)
+_REPAIR_COS_NEW = (
+    _DOT_SQL.format(a="e.embedding", b="r.c_emb") + " / (e.nrm * r.c_nrm)"
+)
+
+
+@register(
+    "sim_ann_ivf_repair",
+    oracle=(
+        "WITH e AS (SELECT vec_id, embedding, "
+        + f"sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm "
+        "FROM embeddings), "
+        "eo AS (SELECT * FROM e WHERE vec_id % 3 <> 0), "
+        "cent0 AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm "
+        f"FROM e WHERE vec_id < {_DRIFT_SEED_LIMIT} AND vec_id % 3 <> 0), "
+        + _drift_assign_cte("a_old", "eo", "cent0")
+        + ", "
+        + _drift_update_ctes("cold", "a_old")
+        + ", "
+        + _drift_assign_cte("a_t", "e", "cold")
+        + ", "
+        "cs AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members, "
+        "CAST(SUM(CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_new FROM a_t GROUP BY cid), "
+        "flg AS (SELECT cid, n_members, n_new FROM cs "
+        f"WHERE n_new * 1000 >= n_members * {_REPAIR_PERMILLE}), "
+        "a_f AS (SELECT a.vec_id, a.cid FROM a_t a "
+        "JOIN flg f ON f.cid = a.cid), "
+        + _drift_update_ctes("rep", "a_f")
+        + ", "
+        "sc AS (SELECT a.cid, "
+        f"CAST(SUM(CAST(floor({_REPAIR_COS_OLD} * 1000000) AS BIGINT)) "
+        "AS BIGINT) AS cos_old_u, "
+        f"CAST(SUM(CAST(floor({_REPAIR_COS_NEW} * 1000000) AS BIGINT)) "
+        "AS BIGINT) AS cos_new_u "
+        "FROM a_f a JOIN e ON e.vec_id = a.vec_id "
+        "JOIN cold o ON o.cid = a.cid "
+        "JOIN rep r ON r.cid = a.cid GROUP BY a.cid) "
+        "SELECT f.cid, f.n_members, f.n_new, sc.cos_old_u, sc.cos_new_u, "
+        "CAST(sc.cos_new_u - sc.cos_old_u AS BIGINT) AS gain_u "
+        "FROM flg f JOIN sc ON sc.cid = f.cid ORDER BY f.cid"
+    ),
+    doc=(
+        "DRIFT-TRIGGERED PARTIAL RETRAIN — the REPAIR step that "
+        "completes the ANN index lifecycle (sim_ann_ivf builds, "
+        "_search probes, _admit appends, sim_ann_index_drift DETECTS, "
+        "dedup_band_index_vacuum's sibling story for the vector side: "
+        "nothing repaired until now). The persisted stale index (one "
+        "Lloyd update over yesterday's corpus from the shared drift "
+        "seeds) assigns TODAY's full corpus; cells where new-batch "
+        "members exceed 35% of membership (pure-integer flag rule) "
+        "are retrained IN PLACE — one Lloyd update restricted to the "
+        "flagged cells' members — and each repair is scored: the "
+        "summed per-member cosine to the old vs repaired centroid in "
+        "exact micro-units (floor per member BEFORE the sum, so the "
+        "totals are exact BIGINT) plus the gain. The repaired "
+        "centroid is the members' L2 mean — the maximizer of the "
+        "summed DOT product, not of summed cosine, so gain_u > 0 is "
+        "an empirical property of the data (and law-tested as such), "
+        "not a theorem. Determinism: the "
+        "ml_iter discipline verbatim (sorted-fold means, sequential-"
+        "fold dots, (cos DESC, cid) assignment tie-break). Scale "
+        "shape: both assignment passes are map-side packed-centroid "
+        "argmax over broadcast centroids — the corpus NEVER shuffles; "
+        "the flag table is k rows; the retrain aggregates only "
+        "flagged cells' members ((cid, pos) partial agg, bounded by "
+        "k x dim); scoring is one pass over flagged members with both "
+        "k-row centroid sets broadcast from eager checkpoints. At "
+        "100 TB the repair cost is proportional to the DRIFTED cells' "
+        "membership, not the index or corpus size — the entire point "
+        "of partial retraining; production reads the stale centroids "
+        "from the persisted metadata table instead of rebuilding them "
+        "(rebuilt here so one registered plan certifies the cycle)."
+    ),
+    tags=("similarity",),
+)
+def sim_ann_ivf_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        ensure_parallelism(t(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .localCheckpoint()
+    )
+    eo = e.filter(F.col("vec_id") % 3 != 0)
+    cent0 = e.filter(
+        (F.col("vec_id") < _DRIFT_SEED_LIMIT) & (F.col("vec_id") % 3 != 0)
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+
+    # assign/update mirror sim_ann_index_drift's (extras_r11.py:431) —
+    # duplicated rather than refactored so the verified drift op's
+    # core hash stays untouched.
+    def assign(src: DataFrame, cent: DataFrame) -> DataFrame:
+        packed = pack_centroids(cent, cid="cid", emb="c_emb", nrm="c_nrm")
+        best = F.array_min(
+            scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
+        )
+        return src.crossJoin(F.broadcast(packed)).select(
+            "vec_id", best["cid"].alias("cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        exploded = (
+            assigned.join(e, "vec_id")
+            .select("cid", F.posexplode(F.col("embedding")).alias("pos", "val"))
+            .withColumn("val", F.col("val").cast("double"))
+        )
+        sorted_sum = F.aggregate(
+            F.sort_array(F.collect_list("val")), F.lit(0.0), lambda a, x: a + x
+        )
+        means = exploded.groupBy("cid", "pos").agg(
+            (sorted_sum / F.count("*")).alias("m")
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c_emb")
+        )
+        return cent.select(
+            "cid",
+            "c_emb",
+            F.sqrt(dot(F.col("c_emb"), F.col("c_emb"))).alias("c_nrm"),
+        )
+
+    # Eager checkpoints on every table a broadcast consumes (the
+    # audit rule + the r10 lazily-checkpointed-broadcast race lesson).
+    cold = update(assign(eo, cent0)).localCheckpoint()
+    a_t = assign(e, cold).localCheckpoint()
+    cs = a_t.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("vec_id") % 3 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    flg = cs.filter(
+        F.col("n_new") * F.lit(1000) >= F.col("n_members") * F.lit(_REPAIR_PERMILLE)
+    ).localCheckpoint()
+    a_f = a_t.join(F.broadcast(flg.select("cid")), "cid")
+    rep = update(a_f.select("vec_id", "cid")).localCheckpoint()
+
+    cos_old = dot(F.col("embedding"), F.col("o_emb")) / (
+        F.col("nrm") * F.col("o_nrm")
+    )
+    cos_new = dot(F.col("embedding"), F.col("r_emb")) / (
+        F.col("nrm") * F.col("r_nrm")
+    )
+    sc = (
+        a_f.join(e, "vec_id")
+        .join(
+            F.broadcast(
+                cold.select(
+                    "cid",
+                    F.col("c_emb").alias("o_emb"),
+                    F.col("c_nrm").alias("o_nrm"),
+                )
+            ),
+            "cid",
+        )
+        .join(
+            F.broadcast(
+                rep.select(
+                    "cid",
+                    F.col("c_emb").alias("r_emb"),
+                    F.col("c_nrm").alias("r_nrm"),
+                )
+            ),
+            "cid",
+        )
+        .select(
+            "cid",
+            F.floor(cos_old * F.lit(1000000)).cast("bigint").alias("ou"),
+            F.floor(cos_new * F.lit(1000000)).cast("bigint").alias("nu"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.sum("ou").cast("bigint").alias("cos_old_u"),
+            F.sum("nu").cast("bigint").alias("cos_new_u"),
+        )
+    )
+    return (
+        flg.join(sc, "cid")
+        .select(
+            "cid",
+            "n_members",
+            "n_new",
+            "cos_old_u",
+            "cos_new_u",
+            (F.col("cos_new_u") - F.col("cos_old_u"))
+            .cast("bigint")
+            .alias("gain_u"),
+        )
+        .orderBy("cid")
+    )

@@ -647,6 +647,11 @@ def test_r12_op_exchange_budget(spark, qid, budget):
         # vocab-sized pair aggregate + fold runs behind its own eager
         # checkpoint (iterative-family barriers)
         ("txt_bpe_apply", 5),
+        # visible plan: flagged-member scoring pass (broadcast joins
+        # against both checkpointed centroid sets) + k-row report
+        # join + sort; the stale-rebuild / flag / retrain stages run
+        # behind eager checkpoints (iterative-family barriers)
+        ("sim_ann_ivf_repair", 4),
     ],
 )
 def test_r13_op_exchange_budget(spark, qid, budget):

@@ -328,3 +328,125 @@ def test_stream_admit_verdict_shape(spark):
             assert r.partner_id % 3 == 0
             assert r.partner_id < r.doc_id
             assert r.partner_id % 2 == r.doc_id % 2
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ivf_repair
+
+
+def _repair_replay(oracle_con):
+    """Full pure-Python replay: stale Lloyd update from the drift
+    seeds over yesterday's corpus, today's assignment, the 350-permille
+    flag rule, the restricted repair update, and micro-unit scoring —
+    all folds in the engines' exact order (sorted-sum means,
+    sequential-fold dots, (cos DESC, cid) ties)."""
+    from duckdb_data_eng_proj_spark.queries.extras_r11 import (
+        _DRIFT_SEED_LIMIT,
+    )
+    from duckdb_data_eng_proj_spark.queries.extras_r13 import (
+        _REPAIR_PERMILLE,
+    )
+
+    vecs = {
+        v: [float(x) for x in e]
+        for v, e in oracle_con.execute(
+            "SELECT vec_id, embedding FROM embeddings"
+        ).fetchall()
+    }
+    nrm = {v: math.sqrt(_fold_dot(e, e)) for v, e in vecs.items()}
+
+    def assign(src_ids, cent):
+        # cent: cid -> (emb, nrm); ties (cos DESC, cid ASC)
+        out = {}
+        for v in src_ids:
+            best = min(
+                (
+                    (-(_fold_dot(vecs[v], ce) / (nrm[v] * cn)), cid)
+                    for cid, (ce, cn) in cent.items()
+                )
+            )
+            out[v] = best[1]
+        return out
+
+    def update(assigned):
+        # sorted-sum per-dim means, exactly the engines' fold order
+        members = defaultdict(list)
+        for v, cid in assigned.items():
+            members[cid].append(v)
+        cent = {}
+        for cid, vs in members.items():
+            emb = []
+            for pos in range(64):
+                vals = sorted(vecs[v][pos] for v in vs)
+                acc = 0.0
+                for x in vals:
+                    acc = acc + x
+                emb.append(acc / len(vs))
+            cent[cid] = (emb, math.sqrt(_fold_dot(emb, emb)))
+        return cent
+
+    old_ids = [v for v in vecs if v % 3 != 0]
+    seeds = {
+        v: (vecs[v], nrm[v])
+        for v in vecs
+        if v < _DRIFT_SEED_LIMIT and v % 3 != 0
+    }
+    cold = update(assign(old_ids, seeds))
+    a_t = assign(list(vecs), cold)
+    cells = defaultdict(list)
+    for v, cid in a_t.items():
+        cells[cid].append(v)
+    out = {}
+    for cid, vs in sorted(cells.items()):
+        n_members = len(vs)
+        n_new = sum(1 for v in vs if v % 3 == 0)
+        if n_new * 1000 < n_members * _REPAIR_PERMILLE:
+            continue
+        rep = update({v: cid for v in vs})[cid]
+        ou = sum(
+            math.floor(
+                (_fold_dot(vecs[v], cold[cid][0]) / (nrm[v] * cold[cid][1]))
+                * 1000000
+            )
+            for v in vs
+        )
+        nu = sum(
+            math.floor(
+                (_fold_dot(vecs[v], rep[0]) / (nrm[v] * rep[1])) * 1000000
+            )
+            for v in vs
+        )
+        out[cid] = (n_members, n_new, ou, nu, nu - ou)
+    return out
+
+
+def test_repair_python_replay(spark, oracle_con):
+    got = {
+        r.cid: (r.n_members, r.n_new, r.cos_old_u, r.cos_new_u, r.gain_u)
+        for r in REGISTRY["sim_ann_ivf_repair"].fn(spark, SF_DIR).collect()
+    }
+    assert got == _repair_replay(oracle_con)
+
+
+def test_repair_laws(spark):
+    from duckdb_data_eng_proj_spark.queries.extras_r11 import (
+        _DRIFT_SEED_LIMIT,
+    )
+    from duckdb_data_eng_proj_spark.queries.extras_r13 import (
+        _REPAIR_PERMILLE,
+    )
+
+    rows = REGISTRY["sim_ann_ivf_repair"].fn(spark, SF_DIR).collect()
+    assert rows, "sf0.001 must flag at least one drifted cell"
+    for r in rows:
+        # flag rule holds on the output's own columns
+        assert r.n_new * 1000 >= r.n_members * _REPAIR_PERMILLE, r
+        assert 0 < r.n_new <= r.n_members
+        # cells are seed centroids from the shared-snapshot seed set
+        assert 0 <= r.cid < _DRIFT_SEED_LIMIT and r.cid % 3 != 0
+        assert r.gain_u == r.cos_new_u - r.cos_old_u
+        # empirical (data) law: retraining on the members improves
+        # their summed cosine — pinned so a regression in the update
+        # means/assignment surfaces as a law break, not just a hash
+        # change
+        assert r.gain_u > 0, r
