@@ -910,3 +910,180 @@ def sim_ann_ivf_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_curriculum_mix
+
+# Training-run curriculum: S steps ramp the domain mixture linearly
+# from quality-weighted start parts to uniform end parts. Weights are
+# integer PARTS, the per-step token budget is apportioned by the
+# largest-remainder (Hamilton) method — floor allocations plus the
+# shortfall distributed by (remainder DESC, source ASC) — so every
+# step's allocations are exact integers that sum to the budget.
+_CUR_STEPS = 8
+# start parts by source tier (source index mod 3 — the ext_domain_mix
+# convention): tier 0 = 4 parts, tier 1 = 2, tier 2 = 1. End = uniform.
+_CUR_W0 = "CASE TRY_CAST(substr(source, 4) AS INT) % 3 WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END"
+_CUR_W1 = 1
+# per-step budget = total corpus tokens // (2 * S): the 8-step run
+# consumes half an epoch of the corpus at uniform pressure.
+_CUR_BUDGET_DIV = 2 * _CUR_STEPS
+
+
+@register(
+    "ext_curriculum_mix",
+    oracle=(
+        f"WITH toks AS (SELECT doc_id, source, "
+        "CAST(len(list_filter(string_split_regex(lower(trim(text)), "
+        "'\\s+'), x -> x <> '')) AS BIGINT) AS ntok FROM documents), "
+        "avail AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS "
+        "avail_tokens FROM toks GROUP BY source), "
+        "tot AS (SELECT CAST(SUM(avail_tokens) AS BIGINT) AS tt "
+        "FROM avail), "
+        f"b AS (SELECT CAST(tt // {_CUR_BUDGET_DIV} AS BIGINT) AS budget "
+        "FROM tot), "
+        f"grid AS (SELECT s.step, a.source, a.avail_tokens, "
+        f"CAST(({_CUR_W0}) * ({_CUR_STEPS - 1} - s.step) "
+        f"+ {_CUR_W1} * s.step AS BIGINT) AS w_parts "
+        f"FROM avail a, (SELECT unnest(range({_CUR_STEPS})) AS step) s), "
+        "wsum AS (SELECT step, CAST(SUM(w_parts) AS BIGINT) AS w_tot "
+        "FROM grid GROUP BY step), "
+        "fl AS (SELECT g.step, g.source, g.avail_tokens, g.w_parts, "
+        "CAST((b.budget * g.w_parts) // w.w_tot AS BIGINT) AS fl_alloc, "
+        "CAST((b.budget * g.w_parts) % w.w_tot AS BIGINT) AS rem, "
+        "b.budget AS budget "
+        "FROM grid g JOIN wsum w ON w.step = g.step, b), "
+        "sh AS (SELECT step, CAST(MAX(budget) - SUM(fl_alloc) AS BIGINT) "
+        "AS shortfall FROM fl GROUP BY step), "
+        "rk AS (SELECT fl.*, row_number() OVER (PARTITION BY fl.step "
+        "ORDER BY fl.rem DESC, fl.source) AS rrk FROM fl) "
+        "SELECT CAST(rk.step AS BIGINT) AS step, rk.source, rk.w_parts, "
+        "CAST(rk.fl_alloc + CASE WHEN rk.rrk <= sh.shortfall THEN 1 "
+        "ELSE 0 END AS BIGINT) AS alloc_tokens, "
+        "rk.avail_tokens, "
+        "CAST(CASE WHEN rk.fl_alloc + CASE WHEN rk.rrk <= sh.shortfall "
+        "THEN 1 ELSE 0 END > rk.avail_tokens THEN 1 ELSE 0 END "
+        "AS BIGINT) AS over_avail "
+        "FROM rk JOIN sh ON sh.step = rk.step "
+        "ORDER BY step, source"
+    ),
+    doc=(
+        "CURRICULUM DATA MIXING — the SCHEDULE over training steps "
+        "that ext_domain_mix's static proportions lack: an 8-step run "
+        "ramps the domain mixture linearly from quality-weighted "
+        "parts (4/2/1 by source tier, the domain_mix convention) to "
+        "uniform, and each step's token budget (total corpus tokens "
+        "// 16 — half an epoch across the run) is apportioned among "
+        "domains by the LARGEST-REMAINDER method: floor(budget * w / "
+        "W) per domain plus the shortfall distributed by (remainder "
+        "DESC, source ASC). Every quantity is exact BIGINT, so the "
+        "per-step conservation law Σ alloc = budget holds EXACTLY "
+        "(law-tested) and both engines agree bit-for-bit — the "
+        "apportionment-not-rounding choice is precisely what makes a "
+        "mixing schedule reproducible across engines and reruns. "
+        "over_avail flags steps where a domain's allocation exceeds "
+        "its available tokens (epoch pressure: the early quality-"
+        "heavy steps oversubscribe small high-quality domains — the "
+        "signal to recycle or widen that domain). Scale shape: ONE "
+        "corpus tokenize pass builds the per-source token counts "
+        "(map-side combinable sum); everything after is |steps| x "
+        "|domains| rows — the schedule itself costs nothing at "
+        "100 TB, and the allocation table is exactly what a sampling "
+        "job joins (broadcast) against the corpus to draw each "
+        "step's data. BIGINT ceiling: budget * w_parts overflows "
+        "int64 only past ~3e17 corpus tokens per weight part — "
+        "document-scale safe; promote to DECIMAL past that."
+    ),
+    tags=("training",),
+)
+def ext_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
+    avail = (
+        d.select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("bigint").alias("avail_tokens"))
+        # k-row domain table: feeds the grid and the final join, and
+        # its 1-row total feeds a broadcast — materialize once.
+        .localCheckpoint(eager=True)
+    )
+    b = avail.agg(
+        (F.sum("avail_tokens") / F.lit(_CUR_BUDGET_DIV))
+        .cast("bigint")
+        .alias("budget")
+    )
+    steps = spark.range(_CUR_STEPS).select(F.col("id").cast("bigint").alias("step"))
+    w0 = F.expr(
+        "CASE TRY_CAST(substring(source, 4) AS INT) % 3 "
+        "WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END"
+    )
+    # EAGER checkpoints on grid and fl: both are |steps|×|domains|
+    # rows, and both feed broadcasts (wsum / sh are aggregates OF
+    # them) — without the barriers their join assemblies sit under
+    # BroadcastExchanges, which this round's audit flags as the
+    # dedup_lsh_tune hazard class (the audit caught THIS op's first
+    # draft — the bright line applies to schedule tables too).
+    grid = (
+        avail.crossJoin(F.broadcast(steps))
+        .select(
+            "step",
+            "source",
+            "avail_tokens",
+            (
+                w0 * (F.lit(_CUR_STEPS - 1) - F.col("step"))
+                + F.lit(_CUR_W1) * F.col("step")
+            )
+            .cast("bigint")
+            .alias("w_parts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wsum = grid.groupBy("step").agg(
+        F.sum("w_parts").cast("bigint").alias("w_tot")
+    )
+    fl = (
+        grid.join(F.broadcast(wsum), "step")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "step",
+            "source",
+            "avail_tokens",
+            "w_parts",
+            F.expr("CAST((budget * w_parts) DIV w_tot AS BIGINT)").alias(
+                "fl_alloc"
+            ),
+            F.expr("CAST((budget * w_parts) % w_tot AS BIGINT)").alias("rem"),
+            "budget",
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh = fl.groupBy("step").agg(
+        (F.max("budget") - F.sum("fl_alloc")).cast("bigint").alias("shortfall")
+    )
+    wrk = Window.partitionBy("step").orderBy(F.desc("rem"), F.asc("source"))
+    alloc = (
+        fl.withColumn("rrk", F.row_number().over(wrk))
+        .join(F.broadcast(sh), "step")
+        .select(
+            "step",
+            "source",
+            "w_parts",
+            (
+                F.col("fl_alloc")
+                + F.when(F.col("rrk") <= F.col("shortfall"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+            "avail_tokens",
+        )
+        .withColumn(
+            "over_avail",
+            F.when(F.col("alloc_tokens") > F.col("avail_tokens"), 1)
+            .otherwise(0)
+            .cast("bigint"),
+        )
+    )
+    return alloc.orderBy("step", "source")

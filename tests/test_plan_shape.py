@@ -652,6 +652,11 @@ def test_r12_op_exchange_budget(spark, qid, budget):
         # join + sort; the stale-rebuild / flag / retrain stages run
         # behind eager checkpoints (iterative-family barriers)
         ("sim_ann_ivf_repair", 4),
+        # visible plan: the apportionment window + shortfall broadcast
+        # join + result sort over the checkpointed |steps|×|domains|
+        # table; the one corpus tokenize pass runs behind the avail
+        # checkpoint
+        ("ext_curriculum_mix", 4),
     ],
 )
 def test_r13_op_exchange_budget(spark, qid, budget):

@@ -450,3 +450,97 @@ def test_repair_laws(spark):
         # means/assignment surfaces as a law break, not just a hash
         # change
         assert r.gain_u > 0, r
+
+
+# ---------------------------------------------------------------------------
+# ext_curriculum_mix
+
+
+def _curriculum_replay(oracle_con):
+    from duckdb_data_eng_proj_spark.queries.extras_r13 import (
+        _CUR_BUDGET_DIV,
+        _CUR_STEPS,
+    )
+
+    rows = oracle_con.execute(
+        "SELECT source, CAST(SUM(len(list_filter(string_split_regex("
+        "lower(trim(text)), '\\s+'), x -> x <> ''))) AS BIGINT) "
+        "FROM documents GROUP BY source"
+    ).fetchall()
+    avail = dict(rows)
+    budget = sum(avail.values()) // _CUR_BUDGET_DIV
+
+    def tier_parts(src):
+        try:
+            t = int(src[3:]) % 3
+        except ValueError:
+            return 1
+        return {0: 4, 1: 2}.get(t, 1)
+
+    out = {}
+    for step in range(_CUR_STEPS):
+        w = {
+            s: tier_parts(s) * (_CUR_STEPS - 1 - step) + 1 * step
+            for s in avail
+        }
+        wt = sum(w.values())
+        fl = {s: (budget * w[s]) // wt for s in avail}
+        rem = {s: (budget * w[s]) % wt for s in avail}
+        shortfall = budget - sum(fl.values())
+        ranked = sorted(avail, key=lambda s: (-rem[s], s))
+        for i, s in enumerate(ranked, 1):
+            alloc = fl[s] + (1 if i <= shortfall else 0)
+            out[(step, s)] = (
+                w[s],
+                alloc,
+                avail[s],
+                1 if alloc > avail[s] else 0,
+            )
+    return out
+
+
+def test_curriculum_python_replay(spark, oracle_con):
+    got = {
+        (r.step, r.source): (r.w_parts, r.alloc_tokens, r.avail_tokens, r.over_avail)
+        for r in REGISTRY["ext_curriculum_mix"].fn(spark, SF_DIR).collect()
+    }
+    assert got == _curriculum_replay(oracle_con)
+
+
+def test_curriculum_conservation_and_ramp(spark, oracle_con):
+    from duckdb_data_eng_proj_spark.queries.extras_r13 import (
+        _CUR_BUDGET_DIV,
+        _CUR_STEPS,
+    )
+
+    rows = REGISTRY["ext_curriculum_mix"].fn(spark, SF_DIR).collect()
+    assert rows
+    (total,) = oracle_con.execute(
+        "SELECT CAST(SUM(len(list_filter(string_split_regex(lower(trim("
+        "text)), '\\s+'), x -> x <> ''))) AS BIGINT) FROM documents"
+    ).fetchone()
+    budget = total // _CUR_BUDGET_DIV
+    by_step = defaultdict(list)
+    for r in rows:
+        by_step[r.step].append(r)
+        assert r.over_avail == (1 if r.alloc_tokens > r.avail_tokens else 0)
+        assert r.alloc_tokens >= 0 and r.w_parts >= 0
+    assert sorted(by_step) == list(range(_CUR_STEPS))
+    n_sources = len(by_step[0])
+    for step, rs in by_step.items():
+        assert len(rs) == n_sources
+        # EXACT conservation: largest-remainder apportionment sums to
+        # the budget with no rounding slack, every step.
+        assert sum(r.alloc_tokens for r in rs) == budget, step
+    # curriculum ramp: the final step is uniform parts; tier-0 weight
+    # is non-increasing, tier-2 non-decreasing across steps
+    last = {r.source: r.w_parts for r in by_step[_CUR_STEPS - 1]}
+    assert len(set(last.values())) == 1
+    for s in last:
+        series = [
+            {r.source: r.w_parts for r in by_step[st]}[s]
+            for st in range(_CUR_STEPS)
+        ]
+        assert series == sorted(series) or series == sorted(
+            series, reverse=True
+        ), (s, series)
