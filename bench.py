@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "txt_hybrid_rrf",      # lexical+semantic reciprocal-rank fusion (r13)
     "txt_bpe_apply",       # 3-round BPE train-and-encode (r13)
     "sim_ann_ivf_repair",  # drift-triggered partial IVF retrain (r13)
+    "ext_curriculum_mix",  # step-scheduled mix w/ exact apportionment (r13)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -132,6 +133,7 @@ TIMED_BUILD = {
     "ml_perceptron_round",  # checkpoints the mistake set
     "txt_bpe_apply",       # checkpoints vocab + per-round merge state
     "sim_ann_ivf_repair",  # checkpoints stale/flag/repaired centroid tables
+    "ext_curriculum_mix",  # checkpoints avail/grid/floor-alloc tables
 }
 
 
