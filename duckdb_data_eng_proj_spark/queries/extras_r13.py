@@ -327,6 +327,22 @@ def _bpe_fold_sql(a_expr: str, b_expr: str) -> str:
     )
 
 
+def _bpe_fold_col() -> F.Column:
+    """Spark mirror of _bpe_fold_sql over columns (s, a, b) — the
+    exact spelling the op ships, shared with the cross-engine fuzz
+    (tests/test_bpe_fold_fuzz.py) so the fuzz can't drift from
+    production."""
+    return F.split(
+        F.expr(
+            "substring(aggregate(s, '', (acc, x) -> "
+            "concat(acc, CASE WHEN x = b "
+            "AND endswith(acc, concat(chr(31), a)) "
+            "THEN '' ELSE chr(31) END, x)), 2)"
+        ),
+        "\x1f",
+    )
+
+
 def _bpe_oracle() -> str:
     parts = [
         f"WITH {_TOKS_CTE}, ",
@@ -436,17 +452,7 @@ def txt_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         applied = v.crossJoin(F.broadcast(m)).select(
-            "w",
-            "c",
-            F.split(
-                F.expr(
-                    "substring(aggregate(s, '', (acc, x) -> "
-                    "concat(acc, CASE WHEN x = b "
-                    f"AND endswith(acc, concat(chr(31), a)) "
-                    "THEN '' ELSE chr(31) END, x)), 2)"
-                ),
-                us,
-            ).alias("s"),
+            "w", "c", _bpe_fold_col().alias("s")
         )
         # per-round barrier: round r+1's statistics read these encoded
         # symbols, and the tokens_after aggregate reads them too.
