@@ -504,6 +504,29 @@ def _bigrams_of(docs: DataFrame) -> DataFrame:
     return toks.select("doc_id", distinct_ngrams(F.col("tk"), 2).alias("bg"))
 
 
+def _admit_build_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted index: bands + verification shingle sets for the
+    already-admitted corpus (doc_id % 3 <> 0). Eagerly checkpointed
+    ONCE before the stream starts — per-trigger jobs read the
+    materialized RDDs, never the signature pipeline (and no join
+    pipeline ever sits under the per-batch broadcast futures).
+    Extracted so tests can assert the materialization property on the
+    index tables themselves (tests/test_plan_shape.py)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    idx_bands = _bands_of(ensure_parallelism(corpus)).localCheckpoint(
+        eager=True
+    )
+    idx_bg = (
+        _bigrams_of(ensure_parallelism(corpus))
+        .select(F.col("doc_id").alias("_idb"), F.col("bg").alias("bg_b"))
+        .localCheckpoint(eager=True)
+    )
+    return idx_bands, idx_bg
+
+
 @register(
     "ext_stream_dedup_admit",
     oracle=(
@@ -570,22 +593,9 @@ def _bigrams_of(docs: DataFrame) -> DataFrame:
 )
 def ext_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 3 != 0)
     incoming = docs.filter(F.col("doc_id") % 3 == 0)
 
-    # The persisted index: bands + verification shingle sets for the
-    # already-admitted corpus. Eagerly checkpointed ONCE before the
-    # stream starts — per-trigger jobs read the materialized RDDs,
-    # never the signature pipeline (and no join pipeline ever sits
-    # under the per-batch broadcast futures).
-    idx_bands = _bands_of(ensure_parallelism(corpus)).localCheckpoint(
-        eager=True
-    )
-    idx_bg = (
-        _bigrams_of(ensure_parallelism(corpus))
-        .select(F.col("doc_id").alias("_idb"), F.col("bg").alias("bg_b"))
-        .localCheckpoint(eager=True)
-    )
+    idx_bands, idx_bg = _admit_build_index(spark, sf_dir)
 
     # Two real micro-batches: parity split, one file per trigger.
     src_dir = tempfile.mkdtemp(prefix="dedup_admit_src_")
@@ -608,6 +618,21 @@ def ext_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
+        # DEFENSIVE: the oracle's same-parity dup_batch predicate is
+        # correct only because each micro-batch holds exactly one
+        # doc_id parity class (one file per parity write +
+        # maxFilesPerTrigger=1). If a batching-semantics change ever
+        # coalesces the files, fail LOUDLY here instead of surfacing
+        # as an opaque cross-engine hash mismatch (ADVICE r13).
+        n_par = batch.select(
+            F.countDistinct(F.pmod("doc_id", F.lit(2))).alias("k")
+        ).first()["k"]
+        if n_par > 1:
+            raise AssertionError(
+                "ext_stream_dedup_admit: micro-batch mixes doc_id "
+                "parities — the intra-batch pair rule no longer "
+                "matches the oracle's same-parity predicate"
+            )
         nb = _bands_of(batch).localCheckpoint(eager=True)
         bga = _bigrams_of(batch).select(
             F.col("doc_id").alias("_ida"), F.col("bg").alias("bg_a")
@@ -1016,10 +1041,14 @@ def ext_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # its 1-row total feeds a broadcast — materialize once.
         .localCheckpoint(eager=True)
     )
+    # Integer floor division (DIV), matching the oracle's `tt // N`:
+    # float `/` would round past ~2^53 total corpus tokens and
+    # silently diverge — this is the one budget quantity, keep it in
+    # the same exact-BIGINT arithmetic as fl_alloc below.
     b = avail.agg(
-        (F.sum("avail_tokens") / F.lit(_CUR_BUDGET_DIV))
-        .cast("bigint")
-        .alias("budget")
+        F.expr(
+            f"CAST(SUM(avail_tokens) DIV {_CUR_BUDGET_DIV} AS BIGINT)"
+        ).alias("budget")
     )
     steps = spark.range(_CUR_STEPS).select(F.col("id").cast("bigint").alias("step"))
     w0 = F.expr(

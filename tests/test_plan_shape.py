@@ -687,11 +687,26 @@ def test_walk_physical_descends_adaptive_plan(spark):
 def test_stream_admit_reads_checkpointed_index(spark):
     """ext_stream_dedup_admit's per-trigger verdict jobs must read the
     PERSISTED index as materialized RDDs — the corpus signature
-    pipeline runs once before the stream starts, never per batch. The
-    accumulated output plan is therefore a union of checkpoint scans
-    with no parquet scan of the documents table anywhere."""
-    from duckdb_data_eng_proj_spark.plans import physical_plan
+    pipeline runs once before the stream starts, never per batch.
 
+    Asserted on the index tables THEMSELVES (ADVICE r13: the old
+    union-plan check was vacuous because each per-batch verdict DF is
+    eagerly localCheckpointed inside foreachBatch, so the accumulator
+    plan never contains a parquet scan regardless of whether the
+    per-trigger joins recompute the signature pipeline). If the eager
+    localCheckpoint is removed, both plans below regrow the
+    documents.parquet scan + minhash pipeline and this fails."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+    from duckdb_data_eng_proj_spark.queries.extras_r13 import (
+        _admit_build_index,
+    )
+
+    idx_bands, idx_bg = _admit_build_index(spark, SF_DIR)
+    for name, idx in (("idx_bands", idx_bands), ("idx_bg", idx_bg)):
+        plan = physical_plan(idx)
+        assert "documents.parquet" not in plan, (name, plan)
+        assert "ExistingRDD" in plan, (name, plan)
+    # and the verdict accumulator itself stays checkpoint-scan only
     df = REGISTRY["ext_stream_dedup_admit"].fn(spark, SF_DIR)
     assert "documents.parquet" not in physical_plan(df)
 
