@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "txt_bpe_apply",       # 3-round BPE train-and-encode (r13)
     "sim_ann_ivf_repair",  # drift-triggered partial IVF retrain (r13)
     "ext_curriculum_mix",  # step-scheduled mix w/ exact apportionment (r13)
+    # r14 additions
+    "txt_bpe_train",       # 6-merge BPE trainer -> learned merge table (r14)
+    "txt_bpe_encode_docs", # corpus encode via trained vocab join (r14)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -134,6 +137,8 @@ TIMED_BUILD = {
     "txt_bpe_apply",       # checkpoints vocab + per-round merge state
     "sim_ann_ivf_repair",  # checkpoints stale/flag/repaired centroid tables
     "ext_curriculum_mix",  # checkpoints avail/grid/floor-alloc tables
+    "txt_bpe_train",       # checkpoints vocab + per-round merge state
+    "txt_bpe_encode_docs",  # checkpoints the trained-vocab merge chain
 }
 
 

@@ -96,3 +96,90 @@ def test_bpe_fold_three_way(spark):
         want = _bpe_merge_word(s, a, b)
         assert got_spark[i] == want, (i, s, a, b, got_spark[i], want)
         assert got_duck[i] == want, (i, s, a, b, got_duck[i], want)
+
+
+# ---------------------------------------------------------------------------
+# Sequential trained-table fuzz (round 14): txt_bpe_train applies a
+# CHAIN of merges, where later merges consume symbols earlier merges
+# minted. One divergent intermediate fold changes every later round's
+# statistics — so the three-way equality must hold for sequential
+# application, not just single merges. Directed cases seed chains that
+# re-merge minted symbols ((a,b) then (ab,c)), retire operands, and
+# collide with literal symbols; random cases draw 3-merge chains over
+# the small alphabet.
+
+_CHAIN_ROUNDS = 3
+
+
+def _gen_chain_cases(n: int, seed: int) -> list:
+    rng = random.Random(seed)
+    directed = [
+        # minted symbol feeds the next merge: classic trained table
+        (["a", "b", "c", "a", "b", "c"], [("a", "b"), ("ab", "c"), ("abc", "abc")]),
+        # second merge's left operand is the first merge's output
+        (["a", "a", "a", "a"], [("a", "a"), ("aa", "aa"), ("aaaa", "a")]),
+        # literal 'ab' symbol vs minted 'ab' collision across rounds
+        (["ab", "a", "b", "c"], [("a", "b"), ("ab", "c"), ("b", "c")]),
+        # retirement: all 'a','b' consumed round 1, later merges no-op
+        (["a", "b", "a", "b"], [("a", "b"), ("a", "b"), ("ab", "ab")]),
+        # interleaved: (b,c) first, then (a,bc)
+        (["a", "b", "c", "b", "c"], [("b", "c"), ("a", "bc"), ("bc", "bc")]),
+    ]
+    cases = list(directed)
+    for _ in range(n):
+        k = rng.randint(1, 12)
+        word = [rng.choice(_SYMS) for _ in range(k)]
+        merges = []
+        pool = list(_SYMS)
+        for _r in range(_CHAIN_ROUNDS):
+            a, b = rng.choice(pool), rng.choice(pool)
+            merges.append((a, b))
+            pool.append(a + b)  # minted symbols join the pool
+        cases.append((word, merges))
+    return cases
+
+
+def test_bpe_fold_chain_three_way(spark):
+    cases = _gen_chain_cases(200, seed=41414)
+    rows = [
+        (i, s, [m[0] for m in ms], [m[1] for m in ms])
+        for i, (s, ms) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, s array<string>, as array<string>, bs array<string>"
+    )
+    for r in range(_CHAIN_ROUNDS):
+        df = (
+            df.withColumn("a", F.element_at("as", r + 1))
+            .withColumn("b", F.element_at("bs", r + 1))
+            .withColumn("s", _bpe_fold_col())
+        )
+    got_spark = {r.id: list(r.s) for r in df.select("id", "s").collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, [%s], [%s], [%s])"
+            % (
+                i,
+                ", ".join(f"'{x}'" for x in s),
+                ", ".join(f"'{a}'" for a, _ in ms),
+                ", ".join(f"'{b}'" for _, b in ms),
+            )
+            for i, (s, ms) in enumerate(cases)
+        )
+        + ") v(id, s, \"as\", bs)"
+    )
+    inner = "SELECT id, \"as\", bs, s FROM t"
+    for r in range(_CHAIN_ROUNDS):
+        fold = _bpe_fold_sql(f'"as"[{r + 1}]', f"bs[{r + 1}]")
+        inner = f'SELECT id, "as", bs, {fold} AS s FROM ({inner})'
+    got_duck = dict(con.execute(f"SELECT id, s FROM ({inner})").fetchall())
+
+    for i, (s, ms) in enumerate(cases):
+        want = list(s)
+        for a, b in ms:
+            want = _bpe_merge_word(want, a, b)
+        assert got_spark[i] == want, (i, s, ms, got_spark[i], want)
+        assert got_duck[i] == want, (i, s, ms, got_duck[i], want)

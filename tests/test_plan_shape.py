@@ -666,6 +666,29 @@ def test_r13_op_exchange_budget(spark, qid, budget):
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
 
 
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # visible plan: 6 per-round scalar stamps over the
+        # checkpointed vocab, each a 2-exchange countDistinct +
+        # sum aggregate — ALL vocab-bounded (the one corpus-sized
+        # exchange, the v0 word groupBy, runs behind the trainer
+        # loop's eager checkpoints)
+        ("txt_bpe_train", 12),
+        # visible plan: explode(words) ⋈ trained vocab (optimizer-
+        # chosen broadcast at this SF — no code-forced broadcast, so
+        # at 1e9-word vocabs it degrades to a hash join, +1 exchange
+        # headroom) + the doc_id re-aggregation + result sort
+        ("txt_bpe_encode_docs", 4),
+    ],
+)
+def test_r14_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r14 operators (scale contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
 def test_walk_physical_descends_adaptive_plan(spark):
     """Vacuity guard for the audit walk (ADVICE r12): under AQE,
     executedPlan() is a childless AdaptiveSparkPlan leaf, and a naive
