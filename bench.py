@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     # r14 additions
     "txt_bpe_train",       # 6-merge BPE trainer -> learned merge table (r14)
     "txt_bpe_encode_docs", # corpus encode via trained vocab join (r14)
+    "join_interval_overlap",  # grid-cell interval overlap join (r14)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

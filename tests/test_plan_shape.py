@@ -680,6 +680,13 @@ def test_r13_op_exchange_budget(spark, qid, budget):
         # at 1e9-word vocabs it degrades to a hash join, +1 exchange
         # headroom) + the doc_id re-aggregation + result sort
         ("txt_bpe_encode_docs", 4),
+        # visible plan: the per-supplier row_number window (one
+        # suppkey exchange), the (suppkey, cell) hash partition the
+        # self-join consumes (one per side at scale; broadcast-chosen
+        # at this SF), the suppkey re-aggregation + result sort —
+        # and NO BroadcastNestedLoopJoin anywhere (the naive
+        # inequality-join shape this op exists to avoid)
+        ("join_interval_overlap", 5),
     ],
 )
 def test_r14_op_exchange_budget(spark, qid, budget):
@@ -732,6 +739,19 @@ def test_stream_admit_reads_checkpointed_index(spark):
     # and the verdict accumulator itself stays checkpoint-scan only
     df = REGISTRY["ext_stream_dedup_admit"].fn(spark, SF_DIR)
     assert "documents.parquet" not in physical_plan(df)
+
+
+def test_interval_overlap_never_nested_loop(spark):
+    """join_interval_overlap's entire reason to exist: the overlap
+    predicate must ride a (suppkey, cell) EQUI-join, never a
+    BroadcastNestedLoopJoin — the naive inequality-join plan Spark
+    produces for a raw `a.s <= b.e AND b.s <= a.e` join, which is
+    quadratic per key and the 100 TB failure mode."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["join_interval_overlap"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_vacuum_is_join_free(spark):

@@ -182,3 +182,53 @@ def test_bpe_encode_conservation(spark):
             == ((r.chars_total - r.toks_encoded) * 1000) // r.chars_total
         ), r
         assert 0 <= r.saved_permille < 1000, r
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap
+
+
+def test_interval_overlap_python_replay(spark, oracle_con):
+    """Brute-force O(n²)-per-key replay vs the binned equi-join plan:
+    proves the grid-cell decomposition + first-cell dedup rule count
+    each overlapping pair EXACTLY once (the rule is the only thing
+    standing between the plan and double counting — a pair spanning
+    2-3 shared cells appears once per shared cell before the filter)."""
+    from datetime import date
+
+    rows = oracle_con.execute(
+        "SELECT l_suppkey, l_orderkey * 10 + l_linenumber, "
+        "CAST(l_shipdate AS DATE), l_partkey FROM lineitem"
+    ).fetchall()
+    epoch = date(1992, 1, 1)
+    by_k = {}
+    for k, iid, ship, pk in rows:
+        s = (ship - epoch).days
+        by_k.setdefault(k, []).append((iid, s, s + 1 + pk % 21))
+    want = {}
+    for k, ivs in by_k.items():
+        n = tot = 0
+        ivs = sorted(ivs)
+        for i in range(len(ivs)):
+            for j in range(i + 1, len(ivs)):
+                (_, sa, ea), (_, sb, eb) = ivs[i], ivs[j]
+                if sa <= eb and sb <= ea:
+                    n += 1
+                    tot += min(ea, eb) - max(sa, sb) + 1
+        if n:
+            want[k] = (n, tot)
+    got = {
+        r.suppkey: (r.n_pairs, r.overlap_days)
+        for r in REGISTRY["join_interval_overlap"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_interval_overlap_structural_laws(spark):
+    rows = REGISTRY["join_interval_overlap"].fn(spark, SF_DIR).collect()
+    assert rows, "sf0.001 must produce overlapping transit pairs"
+    for r in rows:
+        # closed intervals: every overlapping pair shares >= 1 day,
+        # and widths are <= 22 days so overlap <= 22 days per pair
+        assert r.n_pairs >= 1, r
+        assert r.n_pairs <= r.overlap_days <= 22 * r.n_pairs, r
