@@ -391,6 +391,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suppkey", F.row_number().over(wn).alias("iid"), "s", "e"
     )
     w = _IVL_CELL_DAYS
+    # Explicit-width repartition on the join key: the self-join is
+    # OUTPUT-explosive (candidate pairs ≫ input rows), but AQE sizes
+    # shuffle widths on INPUT bytes — under the default profile it
+    # coalesced this stage to a few tasks and ran 3.3× slower
+    # (5.8 s vs 1.8 s, BASELINE §round-14) — the dedup_lsh_tune r12
+    # trap verbatim. Pinning the width keeps pair formation at full
+    # parallelism on any profile.
+    width = spark.sparkContext.defaultParallelism
     cells = iv.select(
         "suppkey",
         "iid",
@@ -399,8 +407,11 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(f"sequence(CAST(s DIV {w} AS INT), CAST(e DIV {w} AS INT))")
         ).alias("cell"),
-    )
-    a, b = cells.alias("a"), cells.alias("b")
+    ).repartition(width, "suppkey", "cell")
+    # shuffle_hash, not sort-merge: both sides are already
+    # co-partitioned by the explicit repartition, and hashing the
+    # (bounded-occupancy) bucket beats sorting 2× the exploded cells.
+    a, b = cells.alias("a"), cells.hint("shuffle_hash").alias("b")
     ov = (
         F.least(F.col("a.e"), F.col("b.e"))
         - F.greatest(F.col("a.s"), F.col("b.s"))

@@ -681,12 +681,13 @@ def test_r13_op_exchange_budget(spark, qid, budget):
         # headroom) + the doc_id re-aggregation + result sort
         ("txt_bpe_encode_docs", 4),
         # visible plan: the per-supplier row_number window (one
-        # suppkey exchange), the (suppkey, cell) hash partition the
-        # self-join consumes (one per side at scale; broadcast-chosen
-        # at this SF), the suppkey re-aggregation + result sort —
-        # and NO BroadcastNestedLoopJoin anywhere (the naive
-        # inequality-join shape this op exists to avoid)
-        ("join_interval_overlap", 5),
+        # suppkey exchange, appearing under both self-join aliases in
+        # the walk), the explicit-width (suppkey, cell) repartition
+        # both join sides consume (also walked twice — it is ONE
+        # physical exchange reused), the suppkey re-aggregation +
+        # result sort — and NO BroadcastNestedLoopJoin anywhere (the
+        # naive inequality-join shape this op exists to avoid)
+        ("join_interval_overlap", 8),
     ],
 )
 def test_r14_op_exchange_budget(spark, qid, budget):
