@@ -95,6 +95,15 @@ def grouped_zscore(events: DataFrame) -> DataFrame:
     for few huge groups, pre-aggregate the moments JVM-side instead
     (that variant is ext_udf-free and lives in the oracle SQL).
     """
-    return events.select("event_id", "event_type", "value").groupBy(
-        "event_type"
-    ).applyInPandas(_zscore_pdf, schema=ZSCORE_SCHEMA)
+    # Explicit-width repartition: AQE coalesces shuffle reads on
+    # BYTES, and a byte-small / Python-compute-heavy grouped stage can
+    # get fed to one worker (the ts_ewma 6.4× finding, BASELINE
+    # §round-14). Parallelism is still bounded by the type count —
+    # the pin just stops AQE from merging distinct types' partitions.
+    width = events.sparkSession.sparkContext.defaultParallelism
+    return (
+        events.select("event_id", "event_type", "value")
+        .repartition(width, "event_type")
+        .groupBy("event_type")
+        .applyInPandas(_zscore_pdf, schema=ZSCORE_SCHEMA)
+    )

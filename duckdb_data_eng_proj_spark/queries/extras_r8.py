@@ -214,7 +214,21 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket_ts")
         .agg(F.sum("v").alias("v_c100"))
     )
-    return buckets.groupBy("user_id").applyInPandas(_ewma_pdf, _EWMA_SCHEMA)
+    # Explicit-width repartition on the grouping key: the bucket agg's
+    # output is BYTE-small but the per-user Arrow recursion is
+    # COMPUTE-heavy, and AQE coalesces shuffle reads on bytes — under
+    # the default profile it fed the entire applyInPandas stage to ONE
+    # Python worker (measured 6.52 s vs 1.02 s pinned at sf0.1, a
+    # 6.4× serialization penalty; BASELINE §round-14). Same trap
+    # class as the dedup_lsh_tune output-explosive join, compute-cost
+    # flavor. The repartition satisfies applyInPandas' hash
+    # requirement, so it replaces (not adds to) the exchange.
+    width = spark.sparkContext.defaultParallelism
+    return (
+        buckets.repartition(width, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_ewma_pdf, _EWMA_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -814,7 +828,15 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket_ts")
         .agg(F.sum("v").cast("long").alias("v_c100"))
     )
-    return buckets.groupBy("user_id").applyInPandas(_holt_pdf, _HOLT_SCHEMA)
+    # Same AQE byte-based-coalesce pin as ts_ewma above: the Python
+    # recursion's cost is per-row compute, not bytes — keep it at
+    # full width on every profile.
+    width = spark.sparkContext.defaultParallelism
+    return (
+        buckets.repartition(width, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(_holt_pdf, _HOLT_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------

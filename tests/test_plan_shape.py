@@ -742,6 +742,23 @@ def test_stream_admit_reads_checkpointed_index(spark):
     assert "documents.parquet" not in physical_plan(df)
 
 
+@pytest.mark.parametrize(
+    "qid", ["ts_ewma", "ts_holt_linear"]
+)
+def test_pandas_stage_width_pinned(spark, qid):
+    """The per-user Arrow recursion must keep explicit shuffle width:
+    its input is BYTE-small but Python-COMPUTE-heavy, and AQE
+    coalesces shuffle reads on bytes — without the pin the default
+    profile fed the whole applyInPandas stage to ONE Python worker
+    (ts_ewma 6.52 s vs 1.02 s at sf0.1, BASELINE §round-14). A
+    user-specified repartition-by-num is exactly the exchange AQE is
+    contractually forbidden to coalesce — assert it is present."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY[qid].fn(spark, SF_DIR))
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
 def test_interval_overlap_never_nested_loop(spark):
     """join_interval_overlap's entire reason to exist: the overlap
     predicate must ride a (suppkey, cell) EQUI-join, never a
