@@ -505,7 +505,7 @@ def _bigrams_of(docs: DataFrame) -> DataFrame:
 
 
 def _admit_build_index(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The persisted index: bands + verification shingle sets for the
     already-admitted corpus (doc_id % 3 <> 0). Eagerly checkpointed
@@ -513,8 +513,11 @@ def _admit_build_index(
     materialized RDDs, never the signature pipeline (and no join
     pipeline ever sits under the per-batch broadcast futures).
     Extracted so tests can assert the materialization property on the
-    index tables themselves (tests/test_plan_shape.py)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    index tables themselves (tests/test_plan_shape.py). The caller may
+    pass its docs DF so the source table is defined exactly once
+    across the op (ADVICE r14)."""
+    if docs is None:
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     idx_bands = _bands_of(ensure_parallelism(corpus)).localCheckpoint(
         eager=True
@@ -595,7 +598,7 @@ def ext_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     incoming = docs.filter(F.col("doc_id") % 3 == 0)
 
-    idx_bands, idx_bg = _admit_build_index(spark, sf_dir)
+    idx_bands, idx_bg = _admit_build_index(spark, sf_dir, docs=docs)
 
     # Two real micro-batches: parity split, one file per trigger.
     src_dir = tempfile.mkdtemp(prefix="dedup_admit_src_")
@@ -618,21 +621,6 @@ def ext_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)
-        # DEFENSIVE: the oracle's same-parity dup_batch predicate is
-        # correct only because each micro-batch holds exactly one
-        # doc_id parity class (one file per parity write +
-        # maxFilesPerTrigger=1). If a batching-semantics change ever
-        # coalesces the files, fail LOUDLY here instead of surfacing
-        # as an opaque cross-engine hash mismatch (ADVICE r13).
-        n_par = batch.select(
-            F.countDistinct(F.pmod("doc_id", F.lit(2))).alias("k")
-        ).first()["k"]
-        if n_par > 1:
-            raise AssertionError(
-                "ext_stream_dedup_admit: micro-batch mixes doc_id "
-                "parities — the intra-batch pair rule no longer "
-                "matches the oracle's same-parity predicate"
-            )
         nb = _bands_of(batch).localCheckpoint(eager=True)
         bga = _bigrams_of(batch).select(
             F.col("doc_id").alias("_ida"), F.col("bg").alias("bg_a")
@@ -695,6 +683,10 @@ def ext_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("pc"), F.col("pb"), F.lit(-1))
                 .cast("long")
                 .alias("partner_id"),
+                # batch tag feeds the one post-stream parity assert —
+                # dropped before return (see below; ADVICE r14 moved
+                # the per-trigger countDistinct job here).
+                F.lit(batch_id).alias("_bid"),
             )
             .localCheckpoint(eager=True)
         )
@@ -715,7 +707,26 @@ def ext_stream_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     qy.awaitTermination()
     out = acc["df"]
     assert out is not None
-    return out
+    # DEFENSIVE: the oracle's same-parity dup_batch predicate is
+    # correct only because each micro-batch holds exactly one doc_id
+    # parity class (one file per parity write + maxFilesPerTrigger=1).
+    # If a batching-semantics change ever coalesces the files, fail
+    # LOUDLY here instead of surfacing as an opaque cross-engine hash
+    # mismatch. ONE post-stream job over the checkpointed verdicts —
+    # not a dedicated job per trigger (ADVICE r13 + r14).
+    n_mixed = (
+        out.groupBy("_bid")
+        .agg(F.countDistinct(F.pmod("doc_id", F.lit(2))).alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    if n_mixed:
+        raise AssertionError(
+            "ext_stream_dedup_admit: a micro-batch mixed doc_id "
+            "parities — the intra-batch pair rule no longer matches "
+            "the oracle's same-parity predicate"
+        )
+    return out.drop("_bid")
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import random
+import shutil
 import tempfile
 from datetime import date, timedelta
 
@@ -126,25 +127,30 @@ def test_interval_overlap_fuzz_three_way(spark):
         "CAST(ship AS TIMESTAMP) AS l_shipdate",
     )
     tmp = tempfile.mkdtemp(prefix="ivl_fuzz_")
-    sdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "lineitem.parquet"))
+    try:
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "lineitem.parquet")
+        )
 
-    got_spark = {
-        r.suppkey: (r.n_pairs, r.overlap_days)
-        for r in REGISTRY["join_interval_overlap"].fn(spark, tmp).collect()
-    }
+        got_spark = {
+            r.suppkey: (r.n_pairs, r.overlap_days)
+            for r in REGISTRY["join_interval_overlap"].fn(spark, tmp).collect()
+        }
 
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW lineitem AS SELECT * FROM "
-        f"read_parquet('{os.path.join(tmp, 'lineitem.parquet')}/*.parquet')"
-    )
-    got_duck = {
-        k: (n, d)
-        for k, n, d in con.execute(
-            REGISTRY["join_interval_overlap"].oracle
-        ).fetchall()
-    }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{os.path.join(tmp, 'lineitem.parquet')}/*.parquet')"
+        )
+        got_duck = {
+            k: (n, d)
+            for k, n, d in con.execute(
+                REGISTRY["join_interval_overlap"].oracle
+            ).fetchall()
+        }
 
-    want = _brute(rows)
-    assert got_spark == want
-    assert got_duck == want
+        want = _brute(rows)
+        assert got_spark == want
+        assert got_duck == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -34,6 +34,7 @@ from duckdb_data_eng_proj_spark.queries.extras_r14 import (
     _BPE_TRAIN_MERGES,
     _ENC_ROUNDS,
 )
+from duckdb_data_eng_proj_spark.queries.training import _TOKS_CTE
 from tests.conftest import SF_DIR
 from tests.test_r13_laws import _bpe_merge_word, _py_tokens
 
@@ -89,16 +90,22 @@ def test_bpe_train_structural_laws(spark, oracle_con):
     assert [r.merge_rank for r in rows] == list(
         range(1, _BPE_TRAIN_MERGES + 1)
     )
+    # chars0/charset0 derive from the SHARED production tokenizer CTE
+    # (with v0's chr(31) word filter), not an inline re-spelling, so a
+    # tokenizer change can't leave the law testing a stale definition
+    # (ADVICE r14).
     (chars0,) = oracle_con.execute(
-        "SELECT CAST(SUM(len(u.w)) AS BIGINT) FROM "
-        "(SELECT unnest(list_filter(string_split_regex(lower(trim(text)),"
-        " '\\s+'), x -> x <> '')) AS w FROM documents) u"
+        f"WITH {_TOKS_CTE}, "
+        "u AS (SELECT unnest(tk) AS w FROM toks) "
+        "SELECT CAST(SUM(len(w)) AS BIGINT) FROM u "
+        "WHERE NOT contains(w, chr(31))"
     ).fetchone()
     (charset0,) = oracle_con.execute(
-        "SELECT COUNT(DISTINCT u.ch) FROM "
-        "(SELECT unnest(string_split(w, '')) AS ch FROM "
-        "(SELECT unnest(list_filter(string_split_regex(lower(trim(text)),"
-        " '\\s+'), x -> x <> '')) AS w FROM documents)) u"
+        f"WITH {_TOKS_CTE}, "
+        "u AS (SELECT unnest(tk) AS w FROM toks) "
+        "SELECT COUNT(DISTINCT ch) FROM "
+        "(SELECT unnest(string_split(w, '')) AS ch FROM u "
+        "WHERE NOT contains(w, chr(31)))"
     ).fetchone()
     prev, prev_f = chars0, None
     for r in rows:
