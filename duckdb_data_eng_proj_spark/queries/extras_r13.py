@@ -170,11 +170,15 @@ def _rrf_term_sql(rk: str) -> str:
         "a list miss contributes 0 and reports rank 0. Scale shape: "
         "the semantic half is ONE corpus pass (map-side packed-"
         "centroid argmax + broadcast probe join — sim_ann_ivf_search's "
-        "plan); the lexical half is a token-keyed postings self-join "
-        "with the query side filtered BEFORE the join (postings-sized "
-        "shuffles; production adds a document-frequency cutoff to cap "
-        "the hottest posting lists — the dedup_ngram_jaccard DF-cutoff "
-        "pattern); fusion itself touches only two |Q|×k ranked lists "
+        "plan); the lexical half BROADCASTS the query-token set "
+        "(bounded by the query workload, like the probe list) onto a "
+        "map-side postings join — the corpus's (doc_id, token) pairs "
+        "never shuffle by token; the only exchange is the "
+        "count-distinct over pairs that already matched a query token "
+        "(selectivity-sized; production adds a document-frequency "
+        "cutoff to cap the hottest posting lists — the "
+        "dedup_ngram_jaccard DF-cutoff pattern); fusion itself "
+        "touches only two |Q|×k ranked lists "
         "— broadcast-trivial. The fused lists feed the same top-k "
         "window as each half. At 100 TB nothing beyond the two "
         "candidate stages moves: fusion adds zero corpus work."
@@ -242,18 +246,27 @@ def txt_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- lexical half: distinct-token overlap, k=10 -------------------
+    # The query-token set is bounded by the query workload (10 docs),
+    # so broadcast it and keep the corpus-side postings MAP-SIDE: the
+    # r13 shape shuffled every distinct (doc_id, token) pair by token
+    # just to meet 10 documents' tokens. Here the only corpus exchange
+    # left is the (query_id, doc_id) count-distinct over rows that
+    # already matched a query token — selectivity-sized, not
+    # postings-sized (r15 bisect; equal output, plan-tested).
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
-    occ = d.select(
+    raw = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    ).distinct()
-    qocc = occ.filter(F.col("doc_id") < _RRF_NQ).select(
-        F.col("doc_id").alias("query_id"), "token"
+    )
+    qocc = (
+        raw.filter(F.col("doc_id") < _RRF_NQ)
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
     )
     lshared = (
-        occ.join(qocc, "token")
+        raw.join(F.broadcast(qocc), "token")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
-        .agg(F.count("*").cast("bigint").alias("shared"))
+        .agg(F.count_distinct("token").cast("bigint").alias("shared"))
     )
     wl = Window.partitionBy("query_id").orderBy(
         F.desc("shared"), F.asc("doc_id")

@@ -666,6 +666,23 @@ def test_r13_op_exchange_budget(spark, qid, budget):
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
 
 
+def test_hybrid_rrf_postings_join_is_map_side(spark):
+    """txt_hybrid_rrf's lexical half must join the corpus postings
+    against the BROADCAST query-token set — the corpus's (doc_id,
+    token) pairs never shuffle by token (r15 rebuild: the only
+    corpus exchange left is the selectivity-sized count-distinct).
+    If the broadcast regresses to a sort-merge join this fails."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["txt_hybrid_rrf"].fn(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and "token" in line:
+            raise AssertionError(f"postings join shuffled by token: {line}")
+    assert "BroadcastHashJoin [token" in plan or (
+        "BroadcastHashJoin" in plan and "token" in plan
+    ), plan[:2000]
+
+
 @pytest.mark.parametrize(
     ("qid", "budget"),
     [
