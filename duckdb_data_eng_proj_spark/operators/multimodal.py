@@ -392,6 +392,42 @@ def encode_bmp_pattern(width: int, height: int, seed: int) -> bytes:
     return header + b"".join(rows)
 
 
+def resize_bmp_nearest(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """Pure-stdlib nearest-neighbor resize of a 24-bpp BMP: decode the
+    source pixel grid (bottom-up rows, stride padding), sample src
+    pixel (x·sw // dst_w, y·sh // dst_h) for each destination pixel,
+    and re-encode a REAL BMP of the new dimensions. Integer-only
+    sampling, so the resized raster is expressible closed-form in SQL
+    for synthetic gradients (the mm_image_resize oracle)."""
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _, sw, sh, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bpp BMP is supported")
+    sh = abs(sh)
+    src_stride = bmp_stride(sw)
+
+    def src_px(x: int, y: int) -> bytes:
+        # bottom-up storage: image row y sits at file row (sh-1-y)
+        start = offset + (sh - 1 - y) * src_stride + 3 * x
+        return payload[start : start + 3]
+
+    dst_stride = bmp_stride(dst_w)
+    image_size = dst_stride * dst_h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", _BMP_HEADER_SIZE + image_size, 0, 0, _BMP_HEADER_SIZE,
+        40, dst_w, dst_h, 1, 24, 0, image_size, 2835, 2835, 0, 0,
+    )
+    rows = []
+    for y in range(dst_h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(dst_w):
+            row += src_px((x * sw) // dst_w, (y * sh) // dst_h)
+        row += b"\x00" * (dst_stride - 3 * dst_w)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
 def dhash_bmp(payload: bytes) -> int:
     """Difference hash (dHash) of a 24-bpp BMP: sample the first
     channel on a 9×8 grid (sx = i·w//9, sy = j·h//8), emit bit
