@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "txt_bpe_train",       # 6-merge BPE trainer -> learned merge table (r14)
     "txt_bpe_encode_docs", # corpus encode via trained vocab join (r14)
     "join_interval_overlap",  # grid-cell interval overlap join (r14)
+    # r15 additions
+    "evt_session_paths",   # sessionize -> ordered path prefixes top-k (r15)
+    "mm_image_resize",     # narrow BMP resize + dhash round-trip (r15)
+    "graph_mst_boruvka",   # Borůvka rounds + Kruskal crossover MSF (r15)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -140,6 +144,7 @@ TIMED_BUILD = {
     "ext_curriculum_mix",  # checkpoints avail/grid/floor-alloc tables
     "txt_bpe_train",       # checkpoints vocab + per-round merge state
     "txt_bpe_encode_docs",  # checkpoints the trained-vocab merge chain
+    "graph_mst_boruvka",   # checkpoints edges/labels per Borůvka round
 }
 
 

@@ -714,6 +714,68 @@ def test_r14_op_exchange_budget(spark, qid, budget):
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
 
 
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # ONE user-keyed exchange serves the lag window, the running
+        # sum AND the per-session ordered agg (hash(user_id) satisfies
+        # the (user_id, session_id) clustering) + the combinable path
+        # groupBy + the top-k singleton window
+        ("evt_session_paths", 3),
+        # two narrow Arrow stages, no shuffle at all
+        ("mm_image_resize", 0),
+    ],
+)
+def test_r15_op_exchange_budget(spark, qid, budget):
+    """Exchange budgets for the r15 operators (scale contract)."""
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+def test_session_paths_single_user_exchange(spark):
+    """evt_session_paths' three user-side window/agg stages must share
+    ONE user-keyed exchange: hash(user_id) co-locates every
+    (user_id, session_id) group, so a second exchange between the
+    windows and the per-session agg means Catalyst stopped reusing
+    the partitioning — the corpus-scale regression this pin exists
+    to catch."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+
+    plan = physical_plan(REGISTRY["evt_session_paths"].fn(spark, SF_DIR))
+    user_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "user_id" in line
+    ]
+    assert len(user_exchanges) <= 1, plan[:3000]
+
+
+def test_mst_tail_width_pinned_and_scan_free(spark):
+    """graph_mst_boruvka's Kruskal tail is a Python-compute grouped
+    stage, so it must carry the explicit-width repartition AQE may
+    not coalesce (the r14 standing rule) — asserted on the forced
+    rounds=0 variant, where the crossover ALWAYS runs (at sf0.001 the
+    shipped 2 rounds converge first and emit no tail). Both variants
+    must keep every corpus-scale input behind the round checkpoints:
+    a documents.parquet scan in the visible plan means a stage
+    stopped materializing."""
+    from duckdb_data_eng_proj_spark.plans import physical_plan
+    from duckdb_data_eng_proj_spark.queries.extras_r15 import (
+        _mst_boruvka_rounds,
+    )
+
+    tail_plan = physical_plan(_mst_boruvka_rounds(spark, SF_DIR, 0))
+    assert "REPARTITION_BY_NUM" in tail_plan, tail_plan[:2000]
+    for plan in (
+        tail_plan,
+        physical_plan(REGISTRY["graph_mst_boruvka"].fn(spark, SF_DIR)),
+    ):
+        assert "documents.parquet" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
+
+
 def test_walk_physical_descends_adaptive_plan(spark):
     """Vacuity guard for the audit walk (ADVICE r12): under AQE,
     executedPlan() is a childless AdaptiveSparkPlan leaf, and a naive
