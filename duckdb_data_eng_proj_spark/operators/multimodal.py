@@ -7,15 +7,17 @@ extraction, resize, frame sampling) runs as ``mapInPandas`` over
 Arrow batches — the Spark-side plumbing (schema, batch shape,
 partition-preserving narrow execution) is real and tested here.
 
-Codec status (round 3): UNCOMPRESSED formats are decoded for real
-with pure stdlib — ``decode_image`` parses 24-bpp BMP (struct) and
-binary PPM, ``decode_audio`` parses RIFF/WAV (wave module) — and the
-matching encoders let the pipeline synthesize genuine fixture bytes,
-so the mm_decode_bmp / mm_audio_wav paths are end-to-end real:
-encode → binary column → mapInPandas parse → features. COMPRESSED
-formats (JPEG/PNG/MP3/H.264) still need external libraries this
-container lacks; ``fake_decode_features`` remains the deterministic
-stand-in for that path (mm_decode_stub), documented as such.
+Codec status (round 3, video added round 15): UNCOMPRESSED formats
+are decoded for real with pure stdlib — ``decode_image`` parses
+24-bpp BMP (struct) and binary PPM, ``decode_audio`` parses RIFF/WAV
+(wave module), ``decode_y4m`` parses YUV4MPEG2 video (text header +
+raw planar 4:2:0 frames) — and the matching encoders let the pipeline
+synthesize genuine fixture bytes, so the mm_decode_bmp /
+mm_audio_wav / mm_frame_sample paths are end-to-end real: encode →
+binary column → mapInPandas parse → features. COMPRESSED formats
+(JPEG/PNG/MP3/H.264) still need external libraries this container
+lacks; ``fake_decode_features`` remains the deterministic stand-in
+for that path (mm_decode_stub), documented as such.
 
 Scale notes: mapInPandas is narrow (no shuffle); batch size is
 governed by spark.sql.execution.arrow.maxRecordsPerBatch — for
@@ -356,16 +358,143 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
 
 
-def sample_frames(features: DataFrame, every_n: int = 30) -> DataFrame:
-    """Frame-sampling plan for video payloads: pretend each item has
-    n_bytes/100 frames, emit every ``every_n``-th index. Pure builtin
-    (sequence + explode) — sampling needs no Python; only the decode
-    of the *sampled* frames would, downstream."""
-    n_frames = (F.col("n_bytes") / 100).cast("int") + 1
-    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-    return features.select(
-        "doc_id", F.explode(idx).alias("frame_idx"), "content_md5"
-    )
+def encode_y4m(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Minimal real YUV4MPEG2 (Y4M) writer — the standard UNCOMPRESSED
+    video container (plain-text stream header, then per-frame
+    ``FRAME\\n`` markers followed by raw planar YUV). 4:2:0 chroma
+    (``C420``) requires even dimensions; frame ``k``'s Y plane is the
+    constant luma ``(seed + 11*k) % 256`` (the constant-raster pattern
+    ``encode_bmp`` established — makes the full-plane mean closed-form
+    for the oracle), chroma planes are neutral 128."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (width, height)]
+    chroma = b"\x80" * ((width // 2) * (height // 2) * 2)
+    for k in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(bytes([(seed + 11 * k) % 256]) * (width * height))
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes, every_n: int = 1) -> dict:
+    """Real Y4M parse: read the stream header (W/H/C tokens), derive
+    the fixed frame size, validate EVERY frame's ``FRAME`` marker and
+    the total stream length, and full-scan the Y plane of every
+    ``every_n``-th frame for its mean luma. Marker validation is O(1)
+    per frame; plane scans run only on the sampled frames — fixed
+    frame size gives random access by offset, which is exactly why
+    frame sampling over an uncompressed container is cheap at scale.
+    Inter-frame compressed codecs (H.264/VP9) need external decoders
+    this container lacks — route those through the mm_decode_stub
+    template."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].split(b" ")
+    if header[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    for tok in header[1:]:
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+            raise ValueError(f"unsupported chroma subsampling {tok!r}")
+    if not width or not height:
+        raise ValueError("missing W/H in stream header")
+    y_size = width * height
+    frame_size = 6 + y_size + (width // 2) * (height // 2) * 2
+    body = len(payload) - (nl + 1)
+    if body % frame_size:
+        raise ValueError("truncated frame payload")
+    n_frames = body // frame_size
+    means = {}
+    for k in range(n_frames):
+        off = nl + 1 + k * frame_size
+        if payload[off : off + 6] != b"FRAME\n":
+            raise ValueError(f"bad FRAME marker at frame {k}")
+        if k % every_n == 0:
+            y = payload[off + 6 : off + 6 + y_size]
+            means[k] = sum(y) / y_size
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "frame_means": means,
+    }
+
+
+def synthesize_y4m_media(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL Y4M video payloads (doc_id-keyed even dimensions,
+    1–90 frames, per-frame luma ramp) into the binary media column.
+    Narrow mapInPandas, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": "video/y4m",
+                    "payload": [
+                        encode_y4m(
+                            2 * (int(i) % 8 + 1),
+                            2 * (int(i) % 6 + 1),
+                            int(i) % 90 + 1,
+                            (int(i) * 7) % 256,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+Y4M_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("frame_idx", LongType(), True),
+        StructField("mean_y", DoubleType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def sample_y4m_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL frame sampling: parse each Y4M payload, emit one row per
+    every ``every_n``-th frame with that frame's full-scan mean luma.
+    One narrow Arrow stage after the synthesis stage — no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {c: [] for c in Y4M_FRAME_SCHEMA.fieldNames()}
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_y4m(p, every_n=every_n)
+                for k, mean in d["frame_means"].items():
+                    rows["doc_id"].append(int(i))
+                    rows["width"].append(d["width"])
+                    rows["height"].append(d["height"])
+                    rows["n_frames"].append(d["n_frames"])
+                    rows["frame_idx"].append(k)
+                    rows["mean_y"].append(mean)
+                    rows["n_bytes"].append(len(p))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int64"),
+                    "mean_y": pd.Series(rows["mean_y"], dtype="float64"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=Y4M_FRAME_SCHEMA)
 
 
 def encode_bmp_pattern(width: int, height: int, seed: int) -> bytes:

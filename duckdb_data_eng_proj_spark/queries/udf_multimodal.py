@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession
 from duckdb_data_eng_proj_spark.operators.multimodal import (
     attach_payload,
     extract_features,
-    sample_frames,
 )
 from duckdb_data_eng_proj_spark.operators.udfs import grouped_zscore, ws_token_count
 from duckdb_data_eng_proj_spark.queries.registry import register, t
@@ -276,16 +275,41 @@ def mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_frame_sample",
     oracle=(
-        "SELECT doc_id, unnest(range(0, "
-        "CAST(floor(octet_length(encode(text)) / 100) AS INT) + 1, 30)) AS frame_idx, "
-        f"{_MD5} AS content_md5 FROM documents"
+        "WITH v AS (SELECT doc_id, 2 * (doc_id % 8 + 1) AS w, "
+        "2 * (doc_id % 6 + 1) AS h, doc_id % 90 + 1 AS nf FROM documents), "
+        "f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf, 30)) AS k FROM v) "
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+        "CAST(nf AS BIGINT) AS n_frames, CAST(k AS BIGINT) AS frame_idx, "
+        "CAST((doc_id * 7 + 11 * k) % 256 AS DOUBLE) AS mean_y, "
+        "CAST(length('YUV4MPEG2 W' || w || ' H' || h || "
+        "' F25:1 Ip A1:1 C420') + 1 + nf * (6 + 3 * w * h // 2) AS BIGINT) "
+        "AS n_bytes FROM f"
     ),
     doc=(
-        "Video frame-sampling plan: every-30th frame index per item "
-        "(frame count derived from payload size in the stub). Pure "
-        "builtin sequence+explode — sampling itself needs no Python."
+        "END-TO-END REAL video frame sampling (round 15 — joins "
+        "mm_decode_bmp/mm_audio_wav as the third real codec): genuine "
+        "YUV4MPEG2 payloads (the standard uncompressed video container "
+        "— text stream header + raw planar 4:2:0 frames, 1–90 frames "
+        "per doc) are synthesized per doc, carried as a binary column, "
+        "then PARSED back in a second mapInPandas stage — header "
+        "W/H/C tokens, every frame's FRAME marker validated, total "
+        "length checked, and a full Y-plane scan of every 30th frame "
+        "for its mean luma. Fixed frame size gives random access by "
+        "offset, so only SAMPLED frames are scanned — the reason "
+        "frame sampling over an uncompressed container stays cheap at "
+        "100 TB. Features are closed-form in doc_id, so the SQL "
+        "oracle independently proves the encoder→parser round-trip. "
+        "Two narrow Arrow stages, no shuffle (plan-pinned). Inter-"
+        "frame compressed codecs (H.264/VP9) remain stubbed "
+        "(mm_decode_stub template)."
     ),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(attach_payload(t(spark, sf_dir, "documents")))
-    return sample_frames(feats, every_n=30)
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        sample_y4m_frames,
+        synthesize_y4m_media,
+    )
+
+    return sample_y4m_frames(
+        synthesize_y4m_media(t(spark, sf_dir, "documents")), every_n=30
+    )

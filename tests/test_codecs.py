@@ -71,3 +71,67 @@ def test_wav_roundtrip(n_samples, amplitude, rate):
     assert f["duration_ms"] == n_samples * 1000 // rate
     if n_samples:
         assert f["peak_amp"] == amplitude
+
+
+@given(
+    width=st.integers(1, 16).map(lambda v: 2 * v),
+    height=st.integers(1, 12).map(lambda v: 2 * v),
+    n_frames=st.integers(0, 40),
+    seed=st.integers(0, 255),
+)
+@settings(max_examples=60, deadline=None)
+def test_y4m_roundtrip(width, height, n_frames, seed):
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    payload = encode_y4m(width, height, n_frames, seed)
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (width, height)
+    assert payload.startswith(header)
+    assert len(payload) == len(header) + n_frames * (
+        6 + width * height * 3 // 2
+    )
+    f = decode_y4m(payload)  # every_n=1 → scan ALL frames
+    assert (f["width"], f["height"], f["n_frames"]) == (width, height, n_frames)
+    assert f["frame_means"] == {
+        k: float((seed + 11 * k) % 256) for k in range(n_frames)
+    }
+
+
+@given(n_frames=st.integers(1, 90), every_n=st.integers(1, 30))
+@settings(max_examples=40, deadline=None)
+def test_y4m_sampling_is_offset_exact(n_frames, every_n):
+    """Sampling at every_n must return exactly the frames a full decode
+    returns at those indices — the random-access-by-offset law that
+    makes uncompressed frame sampling cheap."""
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    payload = encode_y4m(4, 2, n_frames, 123)
+    full = decode_y4m(payload)["frame_means"]
+    sampled = decode_y4m(payload, every_n=every_n)["frame_means"]
+    assert sampled == {k: full[k] for k in range(0, n_frames, every_n)}
+
+
+def test_y4m_rejects_corruption():
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    good = encode_y4m(4, 4, 3, 10)
+    with pytest.raises(ValueError):  # not a Y4M stream
+        decode_y4m(b"RIFF" + good[4:])
+    with pytest.raises(ValueError):  # truncated mid-frame
+        decode_y4m(good[:-5])
+    # clobber the second frame's marker
+    off = good.index(b"\n") + 1 + (6 + 4 * 4 * 3 // 2)
+    with pytest.raises(ValueError):
+        decode_y4m(good[:off] + b"XRAME\n" + good[off + 6 :])
+    with pytest.raises(ValueError):  # 4:2:2 chroma unsupported
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\n")
+    with pytest.raises(ValueError):  # odd dims can't be 4:2:0 encoded
+        encode_y4m(3, 4, 1, 0)

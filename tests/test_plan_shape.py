@@ -724,6 +724,9 @@ def test_r14_op_exchange_budget(spark, qid, budget):
         ("evt_session_paths", 3),
         # two narrow Arrow stages, no shuffle at all
         ("mm_image_resize", 0),
+        # same contract for the real-Y4M upgrade: synthesize + sample
+        # are both narrow mapInPandas stages, zero exchanges
+        ("mm_frame_sample", 0),
     ],
 )
 def test_r15_op_exchange_budget(spark, qid, budget):

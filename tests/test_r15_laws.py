@@ -263,3 +263,34 @@ def test_mst_forced_rounds_invariance(spark):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert len(outs[0]) > 0
+
+
+# ---------------------------------------------------------------------------
+# mm_frame_sample (upgraded to the real Y4M path late in round 15)
+
+
+def _py_frame_rows(doc_id: int):
+    """Expected rows derived from the SYNTHESIS FORMULA alone — never
+    calling the codec (the codec round-trip has its own laws in
+    tests/test_codecs.py)."""
+    w, h = 2 * (doc_id % 8 + 1), 2 * (doc_id % 6 + 1)
+    nf = doc_id % 90 + 1
+    header = len("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h))
+    n_bytes = header + nf * (6 + 3 * w * h // 2)
+    return [
+        (doc_id, w, h, nf, k, float((doc_id * 7 + 11 * k) % 256), n_bytes)
+        for k in range(0, nf, 30)
+    ]
+
+
+def test_frame_sample_python_replay(spark, oracle_con):
+    ids = [r[0] for r in oracle_con.execute(
+        "SELECT doc_id FROM documents"
+    ).fetchall()]
+    want = sorted(row for i in ids for row in _py_frame_rows(i))
+    got = sorted(
+        (r.doc_id, r.width, r.height, r.n_frames, r.frame_idx, r.mean_y,
+         r.n_bytes)
+        for r in REGISTRY["mm_frame_sample"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want
