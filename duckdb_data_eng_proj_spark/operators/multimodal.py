@@ -162,20 +162,6 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-AUDIO_FEATURE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType(), True),
-        StructField("n_bytes", LongType(), True),
-        StructField("content_md5", StringType(), True),
-        StructField("n_samples", LongType(), True),
-        StructField("duration_ms", LongType(), True),
-        StructField("out_samples_8k", LongType(), True),
-    ]
-)
-
-_PCM_RATE = 16_000  # fake payloads are treated as 16-bit mono @ 16 kHz
-
-
 def encode_wav(n_samples: int, amplitude: int, rate: int = 8000) -> bytes:
     """Real RIFF/WAV writer (stdlib wave): 16-bit mono PCM, every
     sample ``amplitude`` — a genuine, parseable audio file whose
@@ -214,31 +200,127 @@ def decode_audio(payload: bytes) -> dict:
     }
 
 
-def extract_audio_features(media: DataFrame) -> DataFrame:
-    """Audio-path mapInPandas: payload treated as 16-bit mono PCM at
-    16 kHz (deterministic fake in place of a real codec): sample
-    count, duration, and the 2:1 downsample (16 k → 8 k) output size —
-    the resample PLAN is real arithmetic; only the waveform math is
-    stubbed. Narrow stage, no shuffle."""
+def encode_wav_wave(n_samples: int, seed: int, rate: int = 8000) -> bytes:
+    """Real RIFF/WAV writer with a VARYING waveform: sample ``k`` is
+    ``((seed + 97*k) % 65536) - 32768`` — a deterministic sawtooth-like
+    sweep over the full int16 range, so DSP features (zero crossings,
+    magnitude sums) are non-trivial yet exactly replayable by an
+    integer SQL oracle. The constant-amplitude ``encode_wav`` remains
+    the mm_audio_wav fixture."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            struct.pack(
+                f"<{n_samples}h",
+                *(((seed + 97 * k) % 65536) - 32768 for k in range(n_samples)),
+            )
+        )
+    return buf.getvalue()
+
+
+def decode_wav_dsp(payload: bytes, decimate: int = 2) -> dict:
+    """Real WAV decode + integer DSP: wave-parse the header, unpack the
+    full 16-bit PCM stream, and compute exact-integer features — total
+    magnitude (sum |s|), strict zero crossings (s[k]*s[k-1] < 0), and a
+    TRUE ``decimate``:1 decimation resample (every ``decimate``-th
+    sample kept) with the resampled stream's own magnitude sum. Only
+    16-bit mono is supported — other layouts raise, like the chroma
+    guard in ``decode_y4m``."""
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("DSP path supports 16-bit mono PCM only")
+        rate = w.getframerate()
+        n = w.getnframes()
+        frames = w.readframes(n)
+    s = struct.unpack(f"<{n}h", frames)
+    rs = s[::decimate]
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate if rate else 0,
+        "sum_abs": sum(abs(v) for v in s),
+        "n_zero_cross": sum(
+            1 for a, b in zip(s, s[1:]) if a * b < 0
+        ),
+        "rs_n": len(rs),
+        "rs_sum_abs": sum(abs(v) for v in rs),
+    }
+
+
+def synthesize_wav_wave_media(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL varying-waveform RIFF/WAV payloads (doc_id-keyed
+    length and waveform seed) into the binary media column."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_bytes = pdf["payload"].map(len).astype("int64")
-            n_samples = n_bytes // 2
+            ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes,
-                    "content_md5": [
-                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    "doc_id": ids,
+                    "media_type": "audio/wav",
+                    "payload": [
+                        encode_wav_wave(int(i) % 400 + 16, (int(i) * 131) % 65536)
+                        for i in ids
                     ],
-                    "n_samples": n_samples,
-                    "duration_ms": n_samples * 1000 // _PCM_RATE,
-                    "out_samples_8k": (n_samples + 1) // 2,
                 }
             )
 
-    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+AUDIO_DSP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("n_zero_cross", LongType(), True),
+        StructField("rs_n", LongType(), True),
+        StructField("rs_sum_abs", LongType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def extract_audio_dsp(media: DataFrame) -> DataFrame:
+    """REAL audio DSP per payload (wave-parse + full PCM unpack +
+    exact-integer feature math incl. a true 2:1 decimation resample).
+    Narrow mapInPandas stage, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_wav_dsp(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(pdf["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(
+                        [f["sample_rate"] for f in feats], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [f["n_samples"] for f in feats], dtype="int64"
+                    ),
+                    "duration_ms": pd.Series(
+                        [f["duration_ms"] for f in feats], dtype="int64"
+                    ),
+                    "sum_abs": pd.Series(
+                        [f["sum_abs"] for f in feats], dtype="int64"
+                    ),
+                    "n_zero_cross": pd.Series(
+                        [f["n_zero_cross"] for f in feats], dtype="int64"
+                    ),
+                    "rs_n": pd.Series([f["rs_n"] for f in feats], dtype="int64"),
+                    "rs_sum_abs": pd.Series(
+                        [f["rs_sum_abs"] for f in feats], dtype="int64"
+                    ),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_DSP_SCHEMA)
 
 
 def synthesize_bmp_media(docs: DataFrame) -> DataFrame:

@@ -178,36 +178,50 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_audio_features",
     oracle=(
-        "SELECT doc_id, "
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
-        f"{_MD5} AS content_md5, "
-        "CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples, "
-        "CAST((octet_length(encode(text)) // 2) * 1000 // 16000 AS BIGINT) "
-        "AS duration_ms, "
-        "CAST((octet_length(encode(text)) // 2 + 1) // 2 AS BIGINT) "
-        "AS out_samples_8k "
-        "FROM documents"
+        "WITH a AS (SELECT doc_id, doc_id % 400 + 16 AS n, "
+        "(doc_id * 131) % 65536 AS seed FROM documents), "
+        "s AS (SELECT doc_id, n, k, ((seed + 97 * k) % 65536) - 32768 AS v "
+        "FROM a, unnest(range(n)) AS u(k)), "
+        "w AS (SELECT doc_id, n, k, v, "
+        "lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv FROM s) "
+        "SELECT doc_id, CAST(8000 AS INT) AS sample_rate, "
+        "CAST(max(n) AS BIGINT) AS n_samples, "
+        "CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms, "
+        "CAST(SUM(abs(v)) AS BIGINT) AS sum_abs, "
+        "CAST(COUNT(*) FILTER (WHERE pv IS NOT NULL AND v * pv < 0) AS BIGINT) "
+        "AS n_zero_cross, "
+        "CAST((max(n) + 1) // 2 AS BIGINT) AS rs_n, "
+        "CAST(SUM(abs(v)) FILTER (WHERE k % 2 = 0) AS BIGINT) AS rs_sum_abs, "
+        "CAST(44 + 2 * max(n) AS BIGINT) AS n_bytes "
+        "FROM w GROUP BY doc_id"
     ),
     doc=(
-        "Audio-modality plumbing (north star names image/audio/video): "
-        "binary payload → mapInPandas feature extraction treating the "
-        "payload as 16-bit mono PCM @ 16 kHz — sample count, duration, "
-        "and the 2:1 resample output size (the resample PLAN is real "
-        "arithmetic over a headerless fake payload; for the end-to-end "
-        "REAL codec path see mm_audio_wav). Narrow stage; the "
-        "oracle reproduces the deterministic arithmetic in SQL. Kept "
-        "registered alongside mm_audio_wav for the same reason "
-        "mm_decode_stub stays next to mm_decode_bmp: the synthetic "
-        "variant is the drop-in template for codecs the runtime lacks, "
-        "with the Spark-side plumbing oracle-checked."
+        "END-TO-END REAL audio DSP (round 15 — upgraded from the "
+        "headerless-fake-PCM template): genuine RIFF/WAV payloads with "
+        "a VARYING waveform (sample k = ((seed + 97k) mod 2¹⁶) − 2¹⁵, "
+        "a full-range integer sweep) are synthesized per doc, then "
+        "wave-PARSED back with a full PCM unpack and exact-integer "
+        "feature math — total magnitude, strict zero crossings "
+        "(s[k]·s[k−1] < 0), and a TRUE 2:1 decimation resample with "
+        "the resampled stream's own magnitude sum. The oracle "
+        "re-derives every sample from the same integer recurrence via "
+        "range-unnest + a lag window, so the encoder→decoder→DSP "
+        "chain is proven sample-exactly, not just header-deep "
+        "(contrast mm_audio_wav, which proves header + peak on the "
+        "constant-amplitude fixture). Two narrow Arrow stages, no "
+        "shuffle (plan-pinned). Compressed audio (MP3/AAC) remains on "
+        "the mm_decode_stub template."
     ),
 )
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_data_eng_proj_spark.operators.multimodal import (
-        extract_audio_features,
+        extract_audio_dsp,
+        synthesize_wav_wave_media,
     )
 
-    return extract_audio_features(attach_payload(t(spark, sf_dir, "documents")))
+    return extract_audio_dsp(
+        synthesize_wav_wave_media(t(spark, sf_dir, "documents"))
+    )
 
 
 @register(

@@ -135,3 +135,73 @@ def test_y4m_rejects_corruption():
         decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\n")
     with pytest.raises(ValueError):  # odd dims can't be 4:2:0 encoded
         encode_y4m(3, 4, 1, 0)
+
+
+@given(n_samples=st.integers(1, 200), seed=st.integers(0, 65535))
+@settings(max_examples=60, deadline=None)
+def test_wav_wave_dsp_roundtrip(n_samples, seed):
+    """encode_wav_wave → decode_wav_dsp must reproduce the features an
+    independent pure-formula replay predicts — sample-exact, through
+    the real RIFF container."""
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        decode_wav_dsp,
+        encode_wav_wave,
+    )
+
+    payload = encode_wav_wave(n_samples, seed)
+    assert len(payload) == 44 + 2 * n_samples
+    s = [((seed + 97 * k) % 65536) - 32768 for k in range(n_samples)]
+    f = decode_wav_dsp(payload)
+    assert f["sample_rate"] == 8000
+    assert f["n_samples"] == n_samples
+    assert f["sum_abs"] == sum(abs(v) for v in s)
+    assert f["n_zero_cross"] == sum(
+        1 for a, b in zip(s, s[1:]) if a * b < 0
+    )
+    assert f["rs_n"] == (n_samples + 1) // 2
+    assert f["rs_sum_abs"] == sum(abs(v) for v in s[::2])
+
+
+@given(
+    n_samples=st.integers(1, 120),
+    seed=st.integers(0, 65535),
+    decimate=st.integers(1, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_dsp_decimation_law(n_samples, seed, decimate):
+    """decimate:1 resample features must equal the features of the
+    signal re-encoded from every decimate-th sample — the resample is
+    a true subsequence, not an approximation."""
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        decode_wav_dsp,
+        encode_wav_wave,
+    )
+
+    payload = encode_wav_wave(n_samples, seed)
+    f = decode_wav_dsp(payload, decimate=decimate)
+    s = [((seed + 97 * k) % 65536) - 32768 for k in range(n_samples)]
+    kept = s[::decimate]
+    assert f["rs_n"] == len(kept)
+    assert f["rs_sum_abs"] == sum(abs(v) for v in kept)
+
+
+def test_wav_dsp_rejects_unsupported_layouts():
+    import io
+    import struct
+    import wave
+
+    from duckdb_data_eng_proj_spark.operators.multimodal import decode_wav_dsp
+
+    def make(channels, sampwidth):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(sampwidth)
+            w.setframerate(8000)
+            w.writeframes(b"\x00" * (channels * sampwidth * 4))
+        return buf.getvalue()
+
+    with pytest.raises(ValueError):
+        decode_wav_dsp(make(2, 2))  # stereo
+    with pytest.raises(ValueError):
+        decode_wav_dsp(make(1, 1))  # 8-bit

@@ -727,6 +727,8 @@ def test_r14_op_exchange_budget(spark, qid, budget):
         # same contract for the real-Y4M upgrade: synthesize + sample
         # are both narrow mapInPandas stages, zero exchanges
         ("mm_frame_sample", 0),
+        # and for the real-DSP audio upgrade (synthesize + dsp extract)
+        ("mm_audio_features", 0),
     ],
 )
 def test_r15_op_exchange_budget(spark, qid, budget):

@@ -294,3 +294,40 @@ def test_frame_sample_python_replay(spark, oracle_con):
         for r in REGISTRY["mm_frame_sample"].fn(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_features (upgraded to the real varying-waveform DSP path
+# late in round 15)
+
+
+def _py_audio_row(doc_id: int):
+    """Expected row derived from the SYNTHESIS FORMULA alone — never
+    calling the codec (codec round-trip laws live in test_codecs.py)."""
+    n = doc_id % 400 + 16
+    seed = (doc_id * 131) % 65536
+    s = [((seed + 97 * k) % 65536) - 32768 for k in range(n)]
+    return (
+        doc_id,
+        8000,
+        n,
+        n * 1000 // 8000,
+        sum(abs(v) for v in s),
+        sum(1 for a, b in zip(s, s[1:]) if a * b < 0),
+        (n + 1) // 2,
+        sum(abs(v) for v in s[::2]),
+        44 + 2 * n,
+    )
+
+
+def test_audio_dsp_python_replay(spark, oracle_con):
+    ids = [r[0] for r in oracle_con.execute(
+        "SELECT doc_id FROM documents"
+    ).fetchall()]
+    want = sorted(_py_audio_row(i) for i in ids)
+    got = sorted(
+        (r.doc_id, r.sample_rate, r.n_samples, r.duration_ms, r.sum_abs,
+         r.n_zero_cross, r.rs_n, r.rs_sum_abs, r.n_bytes)
+        for r in REGISTRY["mm_audio_features"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want
