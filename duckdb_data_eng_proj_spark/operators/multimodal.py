@@ -162,17 +162,25 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def encode_wav(n_samples: int, amplitude: int, rate: int = 8000) -> bytes:
-    """Real RIFF/WAV writer (stdlib wave): 16-bit mono PCM, every
-    sample ``amplitude`` — a genuine, parseable audio file whose
-    content features are closed-form predictable."""
+def _write_wav16(samples, rate: int) -> bytes:
+    """Shared 16-bit mono RIFF/WAV writer (stdlib wave) — the single
+    place the container layout lives, so the constant-amplitude and
+    varying-waveform fixtures can never diverge."""
+    samples = list(samples)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(rate)
-        w.writeframes(struct.pack("<h", amplitude) * n_samples)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     return buf.getvalue()
+
+
+def encode_wav(n_samples: int, amplitude: int, rate: int = 8000) -> bytes:
+    """Real RIFF/WAV writer: 16-bit mono PCM, every sample
+    ``amplitude`` — a genuine, parseable audio file whose content
+    features are closed-form predictable."""
+    return _write_wav16([amplitude] * n_samples, rate)
 
 
 def decode_audio(payload: bytes) -> dict:
@@ -207,18 +215,9 @@ def encode_wav_wave(n_samples: int, seed: int, rate: int = 8000) -> bytes:
     magnitude sums) are non-trivial yet exactly replayable by an
     integer SQL oracle. The constant-amplitude ``encode_wav`` remains
     the mm_audio_wav fixture."""
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
-        w.setframerate(rate)
-        w.writeframes(
-            struct.pack(
-                f"<{n_samples}h",
-                *(((seed + 97 * k) % 65536) - 32768 for k in range(n_samples)),
-            )
-        )
-    return buf.getvalue()
+    return _write_wav16(
+        (((seed + 97 * k) % 65536) - 32768 for k in range(n_samples)), rate
+    )
 
 
 def decode_wav_dsp(payload: bytes, decimate: int = 2) -> dict:
@@ -235,6 +234,10 @@ def decode_wav_dsp(payload: bytes, decimate: int = 2) -> dict:
         rate = w.getframerate()
         n = w.getnframes()
         frames = w.readframes(n)
+    if len(frames) != 2 * n:
+        # header claims more frames than the data chunk holds — keep
+        # the module-wide ValueError contract instead of struct.error
+        raise ValueError("truncated PCM payload")
     s = struct.unpack(f"<{n}h", frames)
     rs = s[::decimate]
     return {
@@ -482,8 +485,10 @@ def decode_y4m(payload: bytes, every_n: int = 1) -> dict:
             height = int(tok[1:])
         elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
             raise ValueError(f"unsupported chroma subsampling {tok!r}")
-    if not width or not height:
-        raise ValueError("missing W/H in stream header")
+    if width is None or height is None or width <= 0 or height <= 0:
+        raise ValueError("missing or non-positive W/H in stream header")
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
     y_size = width * height
     frame_size = 6 + y_size + (width // 2) * (height // 2) * 2
     body = len(payload) - (nl + 1)

@@ -205,3 +205,28 @@ def test_wav_dsp_rejects_unsupported_layouts():
         decode_wav_dsp(make(2, 2))  # stereo
     with pytest.raises(ValueError):
         decode_wav_dsp(make(1, 1))  # 8-bit
+
+
+def test_y4m_rejects_bad_header_params():
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    with pytest.raises(ValueError):  # negative dims must not "decode"
+        decode_y4m(b"YUV4MPEG2 W-2 H-2 C420\n")
+    with pytest.raises(ValueError):  # zero dims likewise
+        decode_y4m(b"YUV4MPEG2 W0 H4 C420\n")
+    with pytest.raises(ValueError):  # every_n=0 fails fast, not deep
+        decode_y4m(encode_y4m(4, 4, 2, 0), every_n=0)
+
+
+def test_wav_dsp_rejects_truncated_payload():
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        decode_wav_dsp,
+        encode_wav_wave,
+    )
+
+    good = encode_wav_wave(100, 7)
+    with pytest.raises(ValueError):  # data chunk shorter than header n
+        decode_wav_dsp(good[:-10])
