@@ -219,7 +219,6 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_data_eng_proj_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         bmp_stride,
-        decode_image,
         dhash_bmp,
         encode_bmp_pattern,
         resize_bmp_nearest,
@@ -261,8 +260,14 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, payload in zip(
                 pdf["doc_id"].astype("int64"), pdf["payload"]
             ):
-                src = decode_image(bytes(payload))
-                rs = resize_bmp_nearest(bytes(payload), n, n)
+                pb = bytes(payload)
+                # Header-only dimension read (O(1)) — decode_image
+                # would full-scan every source pixel for a mean this
+                # op never uses (round-15 review).
+                _, src_w, src_h, _, _, _ = _struct.unpack_from(
+                    "<IiiHHI", pb, 14
+                )
+                rs = resize_bmp_nearest(pb, n, n)
                 offset = _struct.unpack_from("<I", rs, 10)[0]
                 pix_sum = sum(
                     rs[offset + r * stride + 3 * x]
@@ -270,8 +275,8 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(n)
                 )
                 rows["doc_id"].append(int(i))
-                rows["src_w"].append(src["width"])
-                rows["src_h"].append(src["height"])
+                rows["src_w"].append(src_w)
+                rows["src_h"].append(src_h)
                 rows["dst_w"].append(n)
                 rows["dst_h"].append(n)
                 rows["dst_bytes"].append(len(rs))
@@ -560,18 +565,24 @@ def _ptr_contract(pick: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    prev = None
     for _ in range(64):
-        sig = tuple(p.agg(F.count("*"), F.sum("p")).first())
-        if sig == prev:
-            break
-        prev = sig
+        # Converge on the EXACT fixpoint p == p∘p, not a (count, sum)
+        # signature: a doubling can move labels with a net-zero sum
+        # change (e.g. one pointer −4, two pointers +2 — found by the
+        # round-15 review's 20k-graph emulation at ~0.5% of random
+        # graphs), and the signature break would then keep unrooted
+        # labels, split a merged component, and re-emit its bridging
+        # edge as a duplicate MST row. The doubled join is computed
+        # anyway, so the exact check costs one existence probe on it.
         pj = p.select(F.col("c").alias("c2"), F.col("p").alias("p2"))
-        p = (
+        j = (
             p.join(pj, p["p"] == pj["c2"])
-            .select("c", F.col("p2").alias("p"))
+            .select("c", "p", "p2")
             .localCheckpoint(eager=False)
         )
+        if j.filter(F.col("p") != F.col("p2")).limit(1).count() == 0:
+            break
+        p = j.select("c", F.col("p2").alias("p")).localCheckpoint(eager=False)
     return p.select(F.col("c").alias("lbl"), F.col("p").alias("_root"))
 
 

@@ -331,3 +331,23 @@ def test_audio_dsp_python_replay(spark, oracle_con):
         for r in REGISTRY["mm_audio_features"].fn(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_ptr_contract_sum_collision_regression(spark):
+    """Round-15 review regression: a doubling can move pointers with a
+    NET-ZERO sum change (here 7:9→5 = −4 while 6,3:7→9 = +2 each), so
+    the old (count, sum) signature break kept unrooted labels, split
+    the merged component, and re-emitted its bridging edge as a
+    duplicate MST row. The exact p == p∘p check must drive every
+    label to the root."""
+    from duckdb_data_eng_proj_spark.queries.extras_r15 import _ptr_contract
+
+    # Round-1 struct-min picks for edges (5,9,1),(6,7,6),(3,7,6),
+    # (7,9,5): comps 5 and 9 choose each other (the 2-cycle), 7
+    # chooses (7,9), 6 and 3 choose their edge to 7.
+    pick = spark.createDataFrame(
+        [(5, 5, 9), (9, 5, 9), (7, 7, 9), (6, 6, 7), (3, 3, 7)],
+        "comp long, ca long, cb long",
+    )
+    roots = {r.lbl: r._root for r in _ptr_contract(pick).collect()}
+    assert roots == {5: 5, 9: 5, 7: 5, 6: 5, 3: 5}
