@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,10 +29,12 @@ _RUN_TS = dt.datetime(2026, 1, 23, 12, 30, 57)
 def split_lms_csv(src: str, n_head: int = 90) -> str:
     """Split the LMS CSV into two header-carrying 'daily' files in a
     fresh temp dir (simulates two file-drop days)."""
+    from duckdb_data_eng_proj_spark.streaming.ingest import _scratch_tmp
+
     with open(src, encoding="utf-8") as f:
         lines = f.read().splitlines()
     header, rows = lines[0], lines[1:]
-    out_dir = tempfile.mkdtemp(prefix="lms_days_")
+    out_dir = _scratch_tmp("lms_days_")
     for i, chunk in enumerate([rows[:n_head], rows[n_head:]]):
         with open(os.path.join(out_dir, f"day{i}.csv"), "w", encoding="utf-8") as f:
             f.write("\n".join([header, *chunk]) + "\n")
@@ -169,11 +170,23 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_stream_session",
+    # Gap rule mirrors session_window's MICROSECOND-exact semantics,
+    # pinned empirically (round 15): Spark merges at a gap of exactly
+    # 1800.000000 s and splits strictly above it, so the oracle
+    # compares epoch_us deltas. The earlier date_diff('second') form
+    # counted whole-second boundary crossings and would MERGE a
+    # fractional gap in (1800 s, 1801 s) that session_window splits —
+    # latent until a data generation landed a gap in that zone (real
+    # per-user gaps sit within 0.7 s of the boundary). NB this is
+    # deliberately NOT ext_sessionize's rule: that batch pair uses
+    # whole-second floors on BOTH sides (self-consistent); this oracle
+    # must instead match what session_window actually computes.
     oracle=(
         "WITH flagged AS ("
         "  SELECT user_id, ts, event_id, "
         "  CASE WHEN lag(ts) OVER w IS NULL "
-        "       OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END "
+        "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
+        "  THEN 1 ELSE 0 END "
         "  AS new_session "
         "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "sessions AS ("
@@ -187,8 +200,9 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "STREAMING session windows (30-min gap) with stateful "
         "session_window + watermark, flushed via a sentinel far-future "
         "event so availableNow emits every session (streaming/ingest.py). "
-        "Oracle = the batch lag/cumsum sessionization — the streaming/"
-        "batch unification law for session state."
+        "Oracle = the batch lag/cumsum sessionization with the "
+        "microsecond-exact gap rule — the streaming/batch unification "
+        "law for session state."
     ),
 )
 def ext_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:

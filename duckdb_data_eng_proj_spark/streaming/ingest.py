@@ -40,7 +40,68 @@ from duckdb_data_eng_proj_spark.etl.loan_pipeline import (
     clean_lms,
     dupe_keys,
 )
+from duckdb_data_eng_proj_spark.io.scratch import scratch_root
 from duckdb_data_eng_proj_spark.io.sources import all_varchar_schema
+
+
+def _scratch_tmp(prefix: str) -> str:
+    """Unique-per-call scratch directory under the process scratch
+    root (io/scratch.py): honors SPARK_GRAFT_TMP and is removed at
+    interpreter exit. Uniqueness matters — streaming checkpoints must
+    NEVER be reused across invocations (a reused checkpoint makes a
+    re-run see every source file as already processed and emit
+    nothing), so this is mkdtemp under the managed root, not a fixed
+    scratch_dir(name)."""
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+
+
+def _symlink_events_dir(sf_dir: str, prefix: str) -> str:
+    """Expose the single events parquet file through a fresh temp dir
+    (streaming file sources need a DIRECTORY). The link target is
+    abspath'd: a relative sf_dir would otherwise resolve relative to
+    the temp dir and dangle."""
+    src_dir = _scratch_tmp(prefix)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    return src_dir
+
+
+def _parity_split_dir(raw: DataFrame, prefix: str) -> str:
+    """Re-write the events table as two parquet chunks split by
+    event_id parity so maxFilesPerTrigger=1 yields two genuine
+    micro-batches (cross-batch state is actually exercised)."""
+    src_dir = _scratch_tmp(prefix)
+    half = F.pmod(F.col("event_id"), F.lit(2))
+    for part in (0, 1):
+        raw.filter(half == part).coalesce(1).write.mode("append").parquet(src_dir)
+    return src_dir
+
+
+def _drain_stream(
+    plan: DataFrame, ckpt: str, output_mode: str | None = None
+) -> DataFrame | None:
+    """Run ``plan`` as an availableNow foreachBatch stream and return
+    the union of all emitted micro-batches (None if nothing emitted).
+    Each batch is eagerly localCheckpoint'ed so the union stays valid
+    after the stream terminates."""
+    acc: dict[str, DataFrame | None] = {"df": None}
+
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)
+        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
+
+    writer = plan.writeStream.foreachBatch(absorb)
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
+    q = (
+        writer.option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return acc["df"]
 
 
 def stream_clean_lms(
@@ -65,24 +126,7 @@ def stream_clean_lms(
         .csv(input_dir)
     )
 
-    acc: dict[str, DataFrame | None] = {"df": None}
-
-    def absorb(batch_df: DataFrame, batch_id: int) -> None:
-        # localCheckpoint pins the micro-batch's rows so the union
-        # stays valid after the stream terminates.
-        pinned = batch_df.localCheckpoint(eager=True)
-        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
-
-    ckpt = tempfile.mkdtemp(prefix="lms_stream_ckpt_")
-    q = (
-        stream.writeStream.foreachBatch(absorb)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    raw = acc["df"]
+    raw = _drain_stream(stream, _scratch_tmp("lms_stream_ckpt_"))
     if raw is None:
         raw = spark.createDataFrame([], schema)
     loan_dupes = dupe_keys(raw, "loan_id", exclude_blank=True)
@@ -116,8 +160,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="events_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    src_dir = _symlink_events_dir(sf_dir, "events_stream_src_")
     stream = spark.readStream.schema(raw.schema).parquet(src_dir)
     ts = _event_ts(raw)
     agg = (
@@ -128,7 +171,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
     name = f"win_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="win_stream_ckpt_")
+    ckpt = _scratch_tmp("win_stream_ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -166,10 +209,7 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="events_state_src_")
-    half = F.pmod(F.col("event_id"), F.lit(2))
-    for part in (0, 1):
-        raw.filter(half == part).coalesce(1).write.mode("append").parquet(src_dir)
+    src_dir = _parity_split_dir(raw, "events_state_src_")
 
     stream = (
         spark.readStream.schema(raw.schema)
@@ -201,27 +241,25 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    acc: dict[str, DataFrame | None] = {"df": None}
-
-    def absorb(batch_df: DataFrame, batch_id: int) -> None:
-        pinned = batch_df.localCheckpoint(eager=True)
-        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
-
-    ckpt = tempfile.mkdtemp(prefix="state_stream_ckpt_")
-    q = (
-        agg.writeStream.foreachBatch(absorb)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = acc["df"]
+    out = _drain_stream(agg, _scratch_tmp("state_stream_ckpt_"), "update")
     assert out is not None
-    # counters are monotone: the max row per user is the final state
-    return out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        (F.max("cents").cast("double") / 100).alias("total_value"),
+    # The final state is the row from the user's LAST batch. n_events
+    # strictly increases across a user's batches, so max over the
+    # (n_events, cents) STRUCT selects that row atomically. A separate
+    # max per column was wrong for negative amounts: cents is only
+    # monotone for non-negative values (the state fn itself handles
+    # negatives via copysign), so max(cents) could resurrect an
+    # earlier batch's larger running sum — latent on the all-positive
+    # fixtures, caught by the round-15 review.
+    final = F.max(F.struct("n_events", "cents")).alias("m")
+    return (
+        out.groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            (F.col("m.cents").cast("double") / 100).alias("total_value"),
+        )
     )
 
 
@@ -230,8 +268,7 @@ def stream_topk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch; the memory sink holds the current top 5."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="events_topk_src_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    src_dir = _symlink_events_dir(sf_dir, "events_topk_src_")
     stream = spark.readStream.schema(raw.schema).parquet(src_dir)
     ranked = (
         stream.groupBy("event_type")
@@ -240,7 +277,7 @@ def stream_topk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
     )
     name = f"topk_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="topk_stream_ckpt_")
+    ckpt = _scratch_tmp("topk_stream_ckpt_")
     q = (
         ranked.writeStream.format("memory")
         .queryName(name)
@@ -267,8 +304,7 @@ def stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="events_enrich_src_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    src_dir = _symlink_events_dir(sf_dir, "events_enrich_src_")
     stream = spark.readStream.schema(raw.schema).parquet(src_dir)
 
     from duckdb_data_eng_proj_spark.io.sources import load_table
@@ -280,7 +316,7 @@ def stream_enrich_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n_events"))
 
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="enrich_stream_ckpt_")
+    ckpt = _scratch_tmp("enrich_stream_ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -312,10 +348,7 @@ def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="events_dedup_src_")
-    half = F.pmod(F.col("event_id"), F.lit(2))
-    for part in (0, 1):
-        raw.filter(half == part).coalesce(1).write.mode("append").parquet(src_dir)
+    src_dir = _parity_split_dir(raw, "events_dedup_src_")
 
     stream = (
         spark.readStream.schema(raw.schema)
@@ -326,22 +359,7 @@ def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
 
-    acc: dict[str, DataFrame | None] = {"df": None}
-
-    def absorb(batch_df: DataFrame, batch_id: int) -> None:
-        pinned = batch_df.localCheckpoint(eager=True)
-        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
-
-    ckpt = tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
-    q = (
-        dedup.writeStream.foreachBatch(absorb)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = acc["df"]
+    out = _drain_stream(dedup, _scratch_tmp("dedup_stream_ckpt_"), "append")
     assert out is not None
     return out
 
@@ -367,20 +385,15 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="events_session_src_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
-    ckpt = tempfile.mkdtemp(prefix="session_stream_ckpt_")
+    src_dir = _symlink_events_dir(sf_dir, "events_session_src_")
+    ckpt = _scratch_tmp("session_stream_ckpt_")
 
     ts = _event_ts(raw)
     ts_type = dict(raw.dtypes).get("ts")
 
-    acc: dict[str, DataFrame | None] = {"df": None}
-
-    def absorb(batch_df: DataFrame, batch_id: int) -> None:
-        pinned = batch_df.localCheckpoint(eager=True)
-        acc["df"] = pinned if acc["df"] is None else acc["df"].unionByName(pinned)
-
-    def run_pass() -> None:
+    def run_pass() -> DataFrame | None:
+        # Both passes share ONE checkpoint (the second must resume the
+        # first's session state); each returns only what it emitted.
         stream = spark.readStream.schema(raw.schema).parquet(src_dir)
         agg = (
             stream.withColumn("__ts", ts)
@@ -393,16 +406,9 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events",
             )
         )
-        q = (
-            agg.writeStream.foreachBatch(absorb)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        return _drain_stream(agg, ckpt, "append")
 
-    run_pass()  # drains real data; final sessions still in state
+    first = run_pass()  # drains real data; final sessions still in state
 
     # state-flush pass: one far-future sentinel event
     far_future = raw.sparkSession.createDataFrame(
@@ -419,10 +425,13 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         far_future = far_future.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     far_future.select(*raw.columns).coalesce(1).write.mode("append").parquet(src_dir)
-    run_pass()  # watermark jumps to 2100 → every real session emits
+    flushed = run_pass()  # watermark jumps to 2100 → every real session emits
 
-    out = acc["df"]
-    assert out is not None
+    parts = [df for df in (first, flushed) if df is not None]
+    assert parts
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
     return out.filter(F.col("user_id") != SENTINEL_USER)
 
 
@@ -497,11 +506,15 @@ def stream_watermark_late_counts(
         F.col("event_id").cast("long").alias("event_id"),
         _event_ts(raw).alias("__ts"),
     ).withColumn("__b", _arrival_batch(F.col("__ts"), F.col("event_id")))
+    # Materialize once: ev feeds the three wave writes AND the totals
+    # aggregate — without this the events scan + projection executes
+    # four times (round-15 review).
+    ev = ev.localCheckpoint()
 
-    src_dir = tempfile.mkdtemp(prefix="events_late_src_")
+    src_dir = _scratch_tmp("events_late_src_")
     now = _time.time()
     for wave in range(3):
-        stage = tempfile.mkdtemp(prefix=f"late_wave{wave}_")
+        stage = _scratch_tmp(f"late_wave{wave}_")
         ev.filter(F.col("__b") == wave).drop("__b").coalesce(1).write.mode(
             "overwrite"
         ).parquet(stage)
@@ -535,7 +548,7 @@ def stream_watermark_late_counts(
         .select(F.col("w.start").alias("window_start"), "n_accepted")
     )
     name = f"late_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="late_stream_ckpt_")
+    ckpt = _scratch_tmp("late_stream_ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
