@@ -859,8 +859,12 @@ def ext_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ta", "tb")
         .agg(F.count("*").cast("bigint").alias("true_inter"))
     )
+    # COALESCE n_common INSIDE the estimate, mirroring the oracle: on
+    # a disjoint pair with a full sketch (k_eff = 64) the left join
+    # yields NULL here, and the oracle emits 0.0, not NULL (round-15
+    # review; latent — current fixtures have no disjoint type pair).
     est_full = F.round(
-        F.col("n_common")
+        F.coalesce("n_common", F.lit(0))
         * (
             F.lit(float(_KMVI_K - 1))
             * F.lit(float(1 << 60))
@@ -1350,8 +1354,9 @@ def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z AS (SELECT b.event_type, CAST(b.bucket AS TIMESTAMP) AS bucket, "
         "b.n, "
         "(CAST(b.n AS DOUBLE) - CAST(m.s1 AS DOUBLE) / CAST(m.nb AS DOUBLE)) "
-        "/ sqrt(CAST(m.nb * m.s2 - m.s1 * m.s1 AS DOUBLE) "
-        "/ CAST(m.nb * (m.nb - 1) AS DOUBLE)) AS zval "
+        "/ sqrt((CAST(m.nb AS DOUBLE) * CAST(m.s2 AS DOUBLE) "
+        "- CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)) "
+        "/ (CAST(m.nb AS DOUBLE) * (CAST(m.nb AS DOUBLE) - 1))) AS zval "
         "FROM b JOIN m ON m.event_type = b.event_type WHERE m.nb > 1) "
         "SELECT event_type, bucket, n, round(zval, 4) AS z "
         "FROM z WHERE zval >= 2.0 OR zval <= -2.0"
@@ -1380,9 +1385,13 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = b.join(F.broadcast(m), "event_type").filter(F.col("nb") > 1)
     mean = F.col("s1").cast("double") / F.col("nb").cast("double")
-    var = (F.col("nb") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-        "double"
-    ) / (F.col("nb") * (F.col("nb") - 1)).cast("double")
+    # Products in DOUBLE, not int64: nb*s2 and s1*s1 overflow BIGINT
+    # once a type holds ~3e9 events (round-15 review) — the sums stay
+    # exact BIGINT (order-independent), only the closed form is IEEE.
+    nb_d = F.col("nb").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var = (nb_d * s2_d - s1_d * s1_d) / (nb_d * (nb_d - F.lit(1.0)))
     zval = (F.col("n").cast("double") - mean) / F.sqrt(var)
     return (
         j.select(
@@ -1581,7 +1590,7 @@ def _dhash_oracle() -> str:
     # w = h = seed % 4 + 8; bit (j*8+i) set when the 9x8-grid sample
     # at column i exceeds column i+1.
     def px(sx: str, sy: str) -> str:
-        return f"((seed * 31 + ({sx}) * 97 + ({sy}) * 13) %% 251)"
+        return f"((seed * 31 + ({sx}) * 97 + ({sy}) * 13) % 251)"
 
     terms = []
     for j in range(8):
@@ -1596,7 +1605,10 @@ def _dhash_oracle() -> str:
                 f"(CASE WHEN {a} > {b} THEN CAST({val} AS BIGINT) "
                 "ELSE 0 END)"
             )
-    expr = (" + ".join(terms)) % ()
+    # Plain join — px emits a literal '% 251' now; the old '%%' +
+    # printf-collapse ('expr % ()') raised ValueError at import time
+    # the moment any term contained an unescaped '%' (round-15 review).
+    expr = " + ".join(terms)
     return (
         "WITH img AS (SELECT doc_id, doc_id % 16 AS seed, "
         "(doc_id % 16) % 4 + 8 AS w, (doc_id % 16) % 4 + 8 AS h "
@@ -1720,8 +1732,11 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
+    # Integer division, mirroring the oracle's user_id // 32: the old
+    # double divide + truncate rounds 2^55-scale ids into the WRONG
+    # bucket (round-15 review; amplified/stress id spaces reach it).
     w = e.groupBy(
-        "event_type", (F.col("user_id") / 32).cast("bigint").alias("bucket")
+        "event_type", F.expr("user_id div 32").alias("bucket")
     ).agg(
         F.bit_or(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
@@ -1846,25 +1861,56 @@ def _modality_split_oracle() -> str:
     ),
 )
 def pipe_modality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.queries.training import txt_fingerprint
+    from duckdb_data_eng_proj_spark.operators.textops import word_ngrams
 
-    gate = txt_code_detect(spark, sf_dir).select("doc_id", "is_code")
-    fuzzy = txt_fingerprint(spark, sf_dir).select(
-        "doc_id", F.col("fingerprint").alias("fuzzy_key")
+    # ONE documents scan: is_code, exact_key, and fuzzy_key are all
+    # per-row map-side expressions, so computing them in a single
+    # projection keeps the op's "one shuffle keyed by (modality,
+    # dedup_key)" contract at ANY scale. The earlier form invoked
+    # txt_code_detect and txt_fingerprint as sub-plans and joined the
+    # three scans on doc_id — fine while documents broadcasts, but
+    # two corpus-sized sort-merge joins beyond 64 MB (round-15
+    # review). Semantic alignment with the two source ops is pinned
+    # by test_modality_split_composes_verified_ops.
+    d = t(spark, sf_dir, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    sig = d.select(
+        "doc_id",
+        s.alias("s"),
+        F.length(F.trim(F.col("text"))).cast("bigint").alias("n_chars"),
+        tokens(F.col("text")).alias("tk"),
+    ).select(
+        "doc_id",
+        "tk",
+        F.md5("s").alias("exact_key"),
+        (F.length("s") - F.length(F.regexp_replace("s", _CODE_SYM_RE, "")))
+        .cast("bigint")
+        .alias("sym_cnt"),
+        F.size(F.regexp_extract_all("s", F.lit(_CODE_KW_RE), 0))
+        .cast("bigint")
+        .alias("kw_cnt"),
+        F.col("n_chars"),
     )
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("exact_key")
-    )
-    keyed = (
-        d.join(gate, "doc_id")
-        .join(fuzzy, "doc_id")
-        .select(
-            "doc_id",
-            F.when(F.col("is_code"), "code").otherwise("prose").alias("modality"),
-            F.when(F.col("is_code"), F.col("exact_key"))
-            .otherwise(F.col("fuzzy_key"))
-            .alias("dedup_key"),
+    score = F.when(F.col("n_chars") == 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.col("sym_cnt") * 50 + F.col("kw_cnt") * 200)
+            * F.lit(100.0)
+            / F.col("n_chars")
         )
+    )
+    has5 = F.size(F.col("tk")) >= 5
+    fuzzy_key = F.when(
+        has5,
+        F.array_min(
+            F.transform(word_ngrams(F.col("tk"), 5), lambda g: F.md5(g))
+        ),
+    ).otherwise(F.md5(F.array_join(F.col("tk"), " ")))
+    keyed = sig.select(
+        "doc_id",
+        F.when(score >= 100, "code").otherwise("prose").alias("modality"),
+        F.when(score >= 100, F.col("exact_key"))
+        .otherwise(fuzzy_key)
+        .alias("dedup_key"),
     )
     w = Window.partitionBy("modality", "dedup_key")
     return keyed.select(

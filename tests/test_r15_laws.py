@@ -351,3 +351,45 @@ def test_ptr_contract_sum_collision_regression(spark):
     )
     roots = {r.lbl: r._root for r in _ptr_contract(pick).collect()}
     assert roots == {5: 5, 9: 5, 7: 5, 6: 5, 3: 5}
+
+
+# ---------------------------------------------------------------------------
+# pipe_modality_split single-scan rewrite (round-15 review)
+
+
+def test_modality_split_composes_verified_ops(spark):
+    """pipe_modality_split inlines txt_code_detect's gate and
+    txt_fingerprint's prose key into ONE documents scan (the old form
+    joined three corpus scans). This law pins the inlined expressions
+    to the two source operators: for every doc, modality must follow
+    is_code and dedup_key must equal the branch-appropriate key."""
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+    from duckdb_data_eng_proj_spark.queries.extras_r6b import txt_code_detect
+    from duckdb_data_eng_proj_spark.queries.training import txt_fingerprint
+    from pyspark.sql import functions as F
+
+    split = {
+        r.doc_id: (r.modality, r.dedup_key)
+        for r in REGISTRY["pipe_modality_split"].fn(spark, SF_DIR).collect()
+    }
+    gate = {
+        r.doc_id: r.is_code
+        for r in txt_code_detect(spark, SF_DIR).collect()
+    }
+    fuzzy = {
+        r.doc_id: r.fingerprint
+        for r in txt_fingerprint(spark, SF_DIR).collect()
+    }
+    from duckdb_data_eng_proj_spark.queries.registry import t as _t
+
+    exact = {
+        r.doc_id: r.k
+        for r in _t(spark, SF_DIR, "documents")
+        .select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("k"))
+        .collect()
+    }
+    assert split.keys() == gate.keys()
+    for doc, (modality, key) in split.items():
+        want_mod = "code" if gate[doc] else "prose"
+        want_key = exact[doc] if gate[doc] else fuzzy[doc]
+        assert (modality, key) == (want_mod, want_key), doc
