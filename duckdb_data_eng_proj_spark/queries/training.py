@@ -31,6 +31,7 @@ from duckdb_data_eng_proj_spark.operators.textops import (
     BPE_TOKEN_RE,
     EN_STOPWORDS,
     LANG_MARKERS,
+    MINHASH_P,
     distinct_ngrams,
     hex_nibble,
     lsh_band_buckets,
@@ -71,7 +72,12 @@ _ROWS_PER_BAND = 2
 # Every CTE is referenced exactly once (DuckDB inlines CTEs per
 # reference — a UNION ALL over sig would re-run the whole hash
 # pipeline per band; the struct-unnest keeps it single-pass).
-_MINHASH_P = (1 << 61) - 1
+# ONE source of truth for the minhash modulus: the Spark signatures
+# come from operators/textops.minhash_from_pairs, which uses
+# textops.MINHASH_P — a separate literal here would let the two
+# constants drift and silently break Spark/oracle parity for the
+# whole LSH family (round-15 review).
+_MINHASH_P = MINHASH_P
 
 _HS_CTE = "hs AS (SELECT doc_id, list_transform(bg, s -> md5(s)) AS hs FROM bg)"
 
@@ -251,8 +257,13 @@ _LANG_PRED_SQL = (
 )
 def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    tk = tokens(F.col("text"))
-    hits = d.select(
+    # Materialize the token array behind a projection barrier: inlined
+    # into the four hit columns, the interpreted HOF re-tokenizes every
+    # row 4x (no CSE across expressions — the measured 6x pattern the
+    # _lsh_bands_df comment documents).
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
+    hits = toks.select(
         "doc_id", *[_lang_hits_spark(tk, lg).alias(f"{lg}_hits") for lg in LANG_MARKERS]
     )
     en, de, fr, es = [F.col(f"{lg}_hits") for lg in ("en", "de", "fr", "es")]
@@ -302,8 +313,6 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     ),
 )
 def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
-
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     # Token array behind a projection barrier (defensive — the r6 x8
@@ -438,7 +447,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _lsh_bands_df(spark, sf_dir)
+    # Same checkpoint-the-front-half pattern as dedup_simhash_pairs /
+    # dedup_fuzzy_edit: bands feed both self-join sides, sets feed
+    # both verification sides, on different partition keys each time.
+    bands = _lsh_bands_df(spark, sf_dir).localCheckpoint()
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -450,7 +462,7 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = _bigram_sets_df(spark, sf_dir)
+    sets = _bigram_sets_df(spark, sf_dir).localCheckpoint()
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
     inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
@@ -739,6 +751,13 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
             F.col("_best")["cid"].alias("centroid_id"),
             (-F.col("_best")["neg_cos"]).alias("cos_raw"),
         )
+        # Fail EMPTY like the oracle's CROSS JOIN, not open: with no
+        # vec_id<16 centroids the packed row holds an empty array and
+        # array_min yields NULL — the old plan then emitted every
+        # vector with centroid_id=NULL while the oracle emits zero
+        # rows (round-15 review; fires if embeddings are regenerated
+        # with ids not starting at 0).
+        .filter(F.col("centroid_id").isNotNull())
     )
     return en, cent, assign
 
@@ -891,7 +910,6 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import re
     import shutil
 
@@ -937,24 +955,31 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id: long, centroid_id: long",
     )
 
+    # Candidates carry their OWN embedding/nrm straight from the
+    # pruned index read — the columns the index stores precisely for
+    # rescoring. The earlier form joined neighbor vectors back from
+    # the raw embeddings parquet (a full-corpus scan defeating the
+    # PartitionFilters contract, with the stored vectors never read)
+    # and broadcast the UNFILTERED en as the query side — corpus-sized
+    # at 100 TB; q (vec_id < 10) is the bounded side (round-15 review).
     cand = (
         idx.filter(F.col("centroid_id").isin(probe_cents))  # partition pruning
         .join(F.broadcast(probe_df), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("nrm").alias("n_nrm"),
+        )
     )
-    qv = en.select(
+    qv = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    nv = en.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        F.col("nrm").alias("n_nrm"),
-    )
     cos = dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
-    scored = cand.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id").select(
+    scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id", "neighbor_id", cos.alias("cos_raw")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
@@ -1007,7 +1032,12 @@ def _simhash_chunk(col: str, c: int):
     ),
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _simhash_select(spark, sf_dir)
+    # Materialize the simhash table ONCE: it feeds both self-join
+    # sides AND the a/b verification joins, which partition on
+    # different keys, so ReuseExchange cannot dedupe them and the
+    # explode + 64-column conditional aggregation would run up to 4x
+    # (the dedup_fuzzy_edit checkpoint pattern; round-15 review).
+    sh = _simhash_select(spark, sf_dir).localCheckpoint()
     chunks = sh.select(
         "doc_id",
         F.posexplode(
@@ -1076,10 +1106,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n-gram stage), the training branch is repartitioned to full "
         "parallelism (the corpus arrives as one parquet split at toy "
         "scale; the n-gram explode was the single most expensive "
-        "stage, 0.43s -> 0.20s at sf0.1 measured), and the "
-        "contaminated-id distinct is dropped — a left-anti join "
-        "dedupes its build side by construction, so the extra "
-        "exchange bought nothing. Broadcast-build sizes stay bounded: "
+        "stage, 0.43s -> 0.20s at sf0.1 measured). The contaminated-"
+        "id .distinct() was dropped in r5 (an anti-join dedupes its "
+        "build side) but REINSTATED with the r13 eager-checkpoint "
+        "rework: the hit list is now materialized and broadcast as a "
+        "value, so shrinking it to unique ids before the checkpoint "
+        "pays for its exchange. Broadcast-build sizes stay bounded: "
         "eval grams by the benchmark suite, hit ids by contaminated "
         "docs x matched grams per doc."
     ),
@@ -1494,12 +1526,23 @@ def _hp_sig_sql() -> str:
 def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
     planes = _hyperplanes()
+    # Slice the plane literal to the embedding's length so the dot is
+    # the PARTIAL dot the oracle computes (it iterates
+    # range(len(embedding))). Unsliced, zip_with null-pads a dim<64
+    # embedding and the whole dot goes NULL → every sig bit falls to
+    # otherwise(0) → one bucket → O(n²) candidates, while the oracle
+    # keeps real sign bits (round-15 review, verified live on both
+    # engines with a 32-dim vector).
     sig = sum(
         [
             F.when(
                 dot(
                     F.col("embedding"),
-                    F.array(*[F.lit(v) for v in plane]),
+                    F.slice(
+                        F.array(*[F.lit(v) for v in plane]),
+                        1,
+                        F.size(F.col("embedding")),
+                    ),
                 )
                 >= 0,
                 F.lit(1 << p),
