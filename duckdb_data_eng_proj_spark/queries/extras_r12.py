@@ -42,7 +42,7 @@ aliases in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
@@ -196,12 +196,13 @@ def sim_ann_ivf_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_after", F.col("n_existing") + F.col("n_incoming"))
     )
     # Balanced-share window over the 16-row report (result-sized).
-    total = F.sum("n_after").over(
-        Window.partitionBy(F.lit(1)).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
+    # Exact integer ceiling-share, mirroring the oracle's // — a
+    # double divide + floor rounds across an integer boundary near
+    # 2^53 totals and flips needs_split (round-15 review; growth_pml
+    # below already used the DIV form).
+    balanced = F.expr(
+        f"CAST((SUM(n_after) OVER () + {_ADMIT_K - 1}) DIV {_ADMIT_K} AS BIGINT)"
     )
-    balanced = (total + F.lit(_ADMIT_K - 1)) / F.lit(_ADMIT_K)
     return (
         g.select(
             "centroid_id",
@@ -214,7 +215,7 @@ def sim_ann_ivf_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("growth_pml"),
             F.when(
                 F.col("n_after")
-                > F.lit(_ADMIT_SPLIT_FACTOR) * F.floor(balanced).cast("long"),
+                > F.lit(_ADMIT_SPLIT_FACTOR) * balanced,
                 F.lit(1),
             )
             .otherwise(F.lit(0))
@@ -439,11 +440,15 @@ _VACUUM_REWRITE_PML = 200
         "batches against evicted documents. Per band, the compaction "
         "planner's inputs: total buckets, fully-dead buckets (every "
         "member deleted — the posting lists compaction drops "
-        "outright), ORPHANED buckets (exactly one live member left — "
-        "they can never generate a candidate pair again, so a "
-        "candidate-only index can drop them too; admission still "
-        "needs them, which is why they are reported, not folded into "
-        "dead), posting totals, the dead share per-mille, and "
+        "outright), ORPHANED buckets (exactly one live member left, "
+        "INCLUDING buckets that were always single-member with no "
+        "delete involved — either way they can never generate a "
+        "candidate pair, so a candidate-only index can drop them; "
+        "admission still needs them, which is why they are reported, "
+        "not folded into dead — a planner reading this as delete-"
+        "induced reclaim would over-estimate on corpora with many "
+        "naturally-unique buckets), posting totals, the dead share "
+        "per-mille, and "
         f"rewrite = 1 at >= {_VACUUM_REWRITE_PML} pml dead — the "
         "vacuum trigger. Scale shape: the index table (never the "
         "corpus text) flows through two map-side-combinable "
@@ -503,7 +508,10 @@ def dedup_band_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SAME fully-parenthesized expression tree on both engines (IEEE
 # multiply is deterministic given identical association).
 _TUNE_GRID: tuple[tuple[int, int], ...] = ((8, 1), (4, 2), (2, 4), (1, 8))
-_TUNE_FP = 1_000_000
+# Fixed-point scale is the LITERAL 1000000 at every site (both the
+# oracle SQL and the Spark expressions) — a named constant here was
+# dead (no site read it), which made it a silent-drift trap
+# (round-15 review): edit all sites together or none.
 _LOG2 = {1: 0, 2: 1, 4: 2, 8: 3}
 
 
@@ -645,6 +653,12 @@ def dedup_lsh_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = bg.select(
         "doc_id", "bg", minhash_pairs(F.col("bg")).alias("ps")
     )
+    # NO checkpoint here, by measured negative A/B (round-15 review
+    # suggested the ext_dedup_near front-half pattern because the allb
+    # occupancy branch re-runs the md5 minima chain; measured at
+    # sf0.1: 8.15 s checkpointed vs 7.6-8.1 s without — materializing
+    # the bg shingle payload costs what the saved recompute buys, the
+    # dedup_minhash_incremental no-pin class).
     sig = ps.select(
         "doc_id", "bg", *minhash_from_pairs(F.col("ps"), _N_HASHES)
     )
