@@ -9,10 +9,15 @@ Both fully oracle-checked; the oracle SQL is composed from the same
 mirrored fragments as the individual operators.
 
 Scale shape: every stage is either a narrow map or a key-bounded
-join/aggregate — quality+language prune FIRST (cheapest filters drop
-the most bytes before any hashing), fingerprint dedup is one
-groupBy(fingerprint), near-dup removal is the LSH bucket join on the
-already-pruned survivor set. Stage order is the optimization.
+join/aggregate. ACTUAL stage order (round-15 review corrected this
+text — it previously described an order the code never had): the
+near-dup LSH/minhash stage hashes the FULL corpus (its loser set is
+defined corpus-wide, matching the oracle), the quality/language
+filters and the near-dup anti-join apply to the scored rows, and the
+fingerprint keep-first window runs LAST over the surviving set —
+WHERE before QUALIFY, exactly as the oracle states it. The orders
+are not interchangeable: a near-dup loser that shares a fingerprint
+with a survivor changes the keep-first winner.
 """
 
 from __future__ import annotations
@@ -176,13 +181,15 @@ _QL_CTE = (
         "SELECT doc_id, n_tokens, quality_score FROM kept"
     ),
     doc=(
-        "END-TO-END training-corpus cleaning: quality score ≥ 0.5 → "
-        "language = en → exact dedup (keep first doc per 5-gram "
-        "fingerprint) → near-dup removal (LSH + Jaccard survivor "
-        "rule). Cheap filters run first so the hash stages see only "
-        "survivors; exact dedup is one groupBy(fingerprint); near-dup "
-        "is the bucket join. This is the 100 TB pretraining-data "
-        "pipeline in one lazy plan."
+        "END-TO-END training-corpus cleaning: quality score ≥ 0.5 AND "
+        "language = en AND not a near-dup loser (LSH + Jaccard "
+        "survivor rule over the FULL corpus — the loser set is "
+        "corpus-wide by definition), THEN exact dedup keeps the first "
+        "doc per 5-gram fingerprint among the survivors (WHERE before "
+        "QUALIFY, mirroring the oracle; the orders differ observably "
+        "when a loser shares a fingerprint with a survivor — round-15 "
+        "review corrected this text). One lazy plan: narrow scoring "
+        "maps, the bucket join, one keep-first window."
     ),
 )
 def pipe_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
