@@ -462,6 +462,15 @@ def encode_y4m(width: int, height: int, n_frames: int, seed: int) -> bytes:
     return b"".join(out)
 
 
+# 8-bit 4:2:0 chroma tags whose planes are 1 byte/sample — the only
+# layouts the fixed-offset frame math below is valid for. EXACT match
+# (r16, ADVICE r15): a startswith("420") guard also accepted the
+# 10/12-bit variants (C420p10/C420p12, 2-byte samples), which usually
+# fail the length check downstream but can silently mis-decode when
+# lengths happen to align.
+_Y4M_C420_8BIT = (b"420", b"420jpeg", b"420mpeg2", b"420paldv")
+
+
 def decode_y4m(payload: bytes, every_n: int = 1) -> dict:
     """Real Y4M parse: read the stream header (W/H/C tokens), derive
     the fixed frame size, validate EVERY frame's ``FRAME`` marker and
@@ -470,6 +479,13 @@ def decode_y4m(payload: bytes, every_n: int = 1) -> dict:
     per frame; plane scans run only on the sampled frames — fixed
     frame size gives random access by offset, which is exactly why
     frame sampling over an uncompressed container is cheap at scale.
+
+    Accepted layouts: 8-bit 4:2:0 only (``_Y4M_C420_8BIT`` exact
+    allowlist) and bare ``FRAME\\n`` markers — spec-legal frame-level
+    parameters (``FRAME <params>\\n``) from external encoders are
+    rejected closed rather than parsed, since variable-length markers
+    would forfeit the fixed-offset random access this operator's scale
+    story depends on (documented restriction, ADVICE r15).
     Inter-frame compressed codecs (H.264/VP9) need external decoders
     this container lacks — route those through the mm_decode_stub
     template."""
@@ -483,7 +499,7 @@ def decode_y4m(payload: bytes, every_n: int = 1) -> dict:
             width = int(tok[1:])
         elif tok[:1] == b"H":
             height = int(tok[1:])
-        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+        elif tok[:1] == b"C" and tok[1:] not in _Y4M_C420_8BIT:
             raise ValueError(f"unsupported chroma subsampling {tok!r}")
     if width is None or height is None or width <= 0 or height <= 0:
         raise ValueError("missing or non-positive W/H in stream header")

@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 # dropped so trailing separators don't produce phantom tokens.
 TOKEN_SPLIT_RE = r"\s+"
 
+# The DuckDB-SQL mirror of ``tokens()`` below — THE single source for
+# every oracle that tokenizes (r16 consolidation: training.py and
+# extras_r6b.py previously carried byte-identical private copies, the
+# r4 tokens() drift incident's exact setup). Any change here must
+# change ``tokens()`` in lockstep; the pair is what keeps Spark/oracle
+# parity exact for the whole text family.
+TOK_SQL = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+
 # "BPE-ish" sub-token pattern: letter runs, digit runs, single
 # punctuation marks — a deterministic stand-in for a real BPE vocab.
 BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"

@@ -27,11 +27,14 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_data_eng_proj_spark.functions.scalars import doc_bucket100
 from duckdb_data_eng_proj_spark.queries.registry import register
 from duckdb_data_eng_proj_spark.queries.training import (
     _LANG_PRED_SQL,
     _LSH_PRELUDE,
+    _LSH_PRELUDE_BODY,
     _bigram_sets_df,
+    _fp_sql,
     _lang_hits_sql,
     _lsh_bands_df,
 )
@@ -60,9 +63,20 @@ def _state_sized_shuffle(spark: SparkSession, state_rows: int, rows_per_part: in
         spark.conf.set(key, old)
 
 
-def _near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+def _near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    keep_sizes: bool = False,
+) -> DataFrame:
     """Verified near-dup pairs (doc_a < doc_b, exact Jaccard ≥
     threshold) from the LSH band-bucket candidate join.
+
+    ``keep_sizes`` additionally returns the exact intersection/union
+    cardinalities (``inter``/``uni`` BIGINT columns) for callers that
+    weight the pair, e.g. graph_mst_boruvka's integer dissimilarity
+    (r16: that caller previously carried a full copy of this
+    pipeline).
 
     The band table feeds BOTH sides of the candidate self-join and
     the shingle-set table BOTH sides of the verify join — each is
@@ -88,12 +102,15 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataF
     inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
     union = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
     jac = inter.cast("double") / union
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b")
-    )
+    verified = cand.join(a, "doc_a").join(b, "doc_b").filter(jac >= threshold)
+    if keep_sizes:
+        return verified.select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter"),
+            union.cast("long").alias("uni"),
+        )
+    return verified.select("doc_a", "doc_b")
 
 
 def _near_dup_losers(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
@@ -158,10 +175,15 @@ _QL_CTE = (
     "/ nullif(length(trim(d.text)), 0))), 4) AS quality_score, "
     + ", ".join(f"{_lang_hits_sql(lg)} AS {lg}_hits" for lg in ("en", "de", "fr", "es"))
     + ", "
-    "CASE WHEN len(t.tk) >= 5 THEN list_aggregate(list_transform("
-    "list_transform(range(len(t.tk) - 4), "
-    "i -> array_to_string(t.tk[i+1:i+5], ' ')), "
-    "s -> md5(s)), 'min') ELSE md5(array_to_string(t.tk, ' ')) END AS fingerprint "
+    # txt_fingerprint's fragment (training._fp_sql) with the shingle
+    # expression inlined — no sh CTE here, the composite computes the
+    # fingerprint in the same projection as quality/lang.
+    + _fp_sql(
+        "t.tk",
+        "list_transform(range(len(t.tk) - 4), "
+        "i -> array_to_string(t.tk[i+1:i+5], ' '))",
+    )
+    + " AS fingerprint "
     "FROM documents d JOIN toks t USING (doc_id))"
 )
 
@@ -277,17 +299,35 @@ def _label_prop_rounds(edges: DataFrame, max_rounds: int):
 def _star_fixpoint(edges: DataFrame) -> DataFrame:
     """Alternating large-star/small-star to fixpoint over canonical
     (u < v) edges; returns the fixpoint star edges (root u -> member
-    v). Convergence = unchanged (count, Σu, Σv) edge signature."""
+    v).
+
+    Convergence probe (r16, VERDICT r15 item 1): the cheap
+    (count, Σu, Σv) signature SCREENS each round, and a signature
+    match is then CONFIRMED by an exact set no-change check — with
+    equal counts, one-sided ``exceptAll`` emptiness proves multiset
+    equality. The signature alone has no monotonicity proof (unlike
+    label-prop's non-increasing label sum), and an unconfirmed
+    signature exit is exactly the collision class that was REAL in
+    graph_mst_boruvka's pointer-doubling probe (r15, fixed 3907a9b).
+    The confirm join is state-sized and only runs on candidate-exit
+    rounds (once, at the true fixpoint, on every graph observed).
+    Raises instead of returning a non-fixpoint edge set if the round
+    cap exhausts — callers must never treat a truncated contraction
+    as converged components."""
     prev_sig = None
     for _ in range(_CC_MAX_ROUNDS):
         # Lazy checkpoint: the signature agg is the materializing
         # action — one job per star round.
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).first())
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    return edges
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        sig = tuple(nxt.agg(F.count("*"), F.sum("u"), F.sum("v")).first())
+        if sig == prev_sig and nxt.exceptAll(edges).isEmpty():
+            return nxt
+        prev_sig, edges = sig, nxt
+    raise RuntimeError(
+        f"_star_fixpoint: no fixpoint within {_CC_MAX_ROUNDS} alternating "
+        "star rounds — refusing to return a non-fixpoint edge set "
+        "(components would be silently under-merged)"
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -330,7 +370,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 _CC_ORACLE = (
     "WITH RECURSIVE "
-    + _LSH_PRELUDE[len("WITH ") :]
+    + _LSH_PRELUDE_BODY
     + ", "
     + _PAIRS_SQL.format(thr=0.05)
     + ", edges AS MATERIALIZED ("
@@ -415,10 +455,16 @@ def _cluster_cc_crossover(
             roots = stars.select(
                 F.col("v").alias("lbl"), F.col("u").alias("_root")
             )
+            # Eager checkpoint INSIDE the width context: the closing
+            # label join is lazy, and the caller's action runs after
+            # the finally restores the conf — materializing here is
+            # what actually executes it at the hand-sized width
+            # (r16; previously it ran at the session default).
             lab = (
                 lab.join(roots, "lbl", "left")
                 .groupBy("doc_id")
                 .agg(F.min(F.coalesce("_root", "lbl")).alias("lbl"))
+                .localCheckpoint()
             )
     return lab.select("doc_id", F.col("lbl").alias("cluster_id"))
 
@@ -442,29 +488,36 @@ def _cluster_cc_crossover(
     ),
 )
 def dedup_cluster_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _near_dup_pairs(spark, sf_dir, 0.05)
+    # Checkpoint the verified-pair tail ONCE: verts and edges both
+    # derive from it (r16 — previously each re-ran the LSH
+    # candidate+verify joins through its own lineage).
+    pairs = _near_dup_pairs(spark, sf_dir, 0.05).localCheckpoint()
     verts = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
-        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).distinct().localCheckpoint()
     with _state_sized_shuffle(spark, edges.count()):
         edges = _star_fixpoint(edges)
-    # fixpoint edges form stars (root=u → member=v); roots label
-    # themselves, as do vertices whose edges all collapsed away
-    members = edges.select(F.col("v").alias("doc_id"), F.col("u").alias("_root"))
-    return (
-        verts.join(members, "doc_id", "left")
-        .groupBy("doc_id")
-        .agg(F.min("_root").alias("_root"))
-        .select(
-            "doc_id",
-            F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
+        # fixpoint edges form stars (root=u → member=v); roots label
+        # themselves, as do vertices whose edges all collapsed away.
+        # Eager checkpoint INSIDE the width context so the closing
+        # label join/groupBy run at the hand-sized width (r16).
+        members = edges.select(
+            F.col("v").alias("doc_id"), F.col("u").alias("_root")
         )
+        labels = (
+            verts.join(members, "doc_id", "left")
+            .groupBy("doc_id")
+            .agg(F.min("_root").alias("_root"))
+            .localCheckpoint()
+        )
+    return labels.select(
+        "doc_id",
+        F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
     )
 
 
@@ -647,11 +700,7 @@ def pipe_corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(losers, "doc_id", "left_anti")
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
-    )
+    bucket = doc_bucket100(F.col("doc_id"))
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
     )

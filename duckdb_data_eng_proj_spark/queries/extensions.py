@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.functions.scalars import exact_units
+from duckdb_data_eng_proj_spark.operators.sessions import sessionized
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 
@@ -140,18 +141,7 @@ def ext_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    gap_s = F.col("ts").cast("long") - prev_ts.cast("long")
-    flagged = e.withColumn(
-        "new_session",
-        F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0),
-    )
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run).cast("bigint"))
-    return sessions.groupBy("user_id", "session_id").agg(
+    return sessionized(e, 1800).groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),

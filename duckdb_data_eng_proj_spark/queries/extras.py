@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from duckdb_data_eng_proj_spark.functions.scalars import exact_units
+from duckdb_data_eng_proj_spark.functions.scalars import doc_bucket100, exact_units
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 from duckdb_data_eng_proj_spark.io.scratch import scratch_dir as _scratch
@@ -768,11 +768,7 @@ def fn_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_split_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
-    )
+    bucket = doc_bucket100(F.col("doc_id"))
     return d.select("doc_id", bucket.alias("bucket")).select(
         "doc_id",
         "bucket",

@@ -387,7 +387,17 @@ def _drift_assign_cte(name: str, src: str, cent: str) -> str:
     """Argmax-cosine assignment of ``src`` vectors to ``cent`` —
     ml_iter._assign_cte parameterized by the vector source (the stale
     index assigns yesterday's corpus, the drift scan assigns today's;
-    citing ml_iter.py:47)."""
+    citing ml_iter.py:47).
+
+    Zero norms are excluded on BOTH sides (r16): a zero CENTROID
+    makes every cosine NaN and the two engines break the NaN tie
+    differently (DuckDB's ORDER BY cos DESC sorts NaN first, Spark's
+    struct array_min picks the best finite); a zero VECTOR divides by
+    zero, which Spark's ANSI mode raises on outright. Cosine to/from
+    the zero vector is undefined, so both engines drop such rows from
+    assignment — the Spark side of every consumer filters the same
+    two predicates (centroids before packing, vectors before the
+    broadcast scan)."""
     cos = (
         _DOT_SQL.format(a="v.embedding", b="c.c_emb") + " / (v.nrm * c.c_nrm)"
     )
@@ -395,7 +405,8 @@ def _drift_assign_cte(name: str, src: str, cent: str) -> str:
         f"{name} AS (SELECT vec_id, cid FROM ("
         f"SELECT v.vec_id, c.cid, row_number() OVER ("
         f"PARTITION BY v.vec_id ORDER BY {cos} DESC, c.cid) AS rn "
-        f"FROM {src} v CROSS JOIN {cent} c) WHERE rn = 1)"
+        f"FROM {src} v CROSS JOIN {cent} c "
+        "WHERE c.c_nrm > 0 AND v.nrm > 0) WHERE rn = 1)"
     )
 
 
@@ -519,12 +530,18 @@ def sim_ann_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(src: DataFrame, cent: DataFrame) -> DataFrame:
-        packed = pack_centroids(cent, cid="cid", emb="c_emb", nrm="c_nrm")
+        # c_nrm > 0 / nrm > 0 mirror _drift_assign_cte's zero-norm
+        # guards (r16) — see that helper's docstring.
+        packed = pack_centroids(
+            cent.filter(F.col("c_nrm") > 0), cid="cid", emb="c_emb", nrm="c_nrm"
+        )
         best = F.array_min(
             scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
         )
-        return src.crossJoin(F.broadcast(packed)).select(
-            "vec_id", best["cid"].alias("cid")
+        return (
+            src.filter(F.col("nrm") > 0)
+            .crossJoin(F.broadcast(packed))
+            .select("vec_id", best["cid"].alias("cid"))
         )
 
     def update(assigned: DataFrame) -> DataFrame:

@@ -66,9 +66,13 @@ from duckdb_data_eng_proj_spark.queries.registry import register, t
 from duckdb_data_eng_proj_spark.queries.training import (
     _LSH_PRELUDE,
     _N_HASHES,
+    _TOKS_CTE,
     _bigram_sets_df,
     _dot_sql,
+    _fingerprint_expr,
+    _fp_sql,
     _lsh_bands_df,
+    _shingles_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -153,8 +157,6 @@ def sim_ann_ivf_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    eo = e.filter(F.col("vec_id") % 3 != 0)
-    nb = e.filter(F.col("vec_id") % 3 == 0)
     cent = e.filter(
         (F.col("vec_id") < _DRIFT_SEED_LIMIT) & (F.col("vec_id") % 3 != 0)
     ).select(
@@ -163,30 +165,43 @@ def sim_ann_ivf_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     # Eager-checkpoint the centroid table before packing: it feeds a
-    # broadcast consumed by two concurrent assignment jobs (the r10
-    # lesson — lazily-shared subplans under broadcasts race into
-    # concurrent recomputes).
+    # broadcast (the r10 lesson — lazily-shared subplans under
+    # broadcasts race into concurrent recomputes). c_nrm > 0 mirrors
+    # _drift_assign_cte's zero-norm centroid guard (r16).
     cent = cent.localCheckpoint()
-    packed = pack_centroids(cent, cid="cid", emb="c_emb", nrm="c_nrm")
+    packed = pack_centroids(
+        cent.filter(F.col("c_nrm") > 0), cid="cid", emb="c_emb", nrm="c_nrm"
+    )
     best = F.array_min(
         scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
     )
 
-    def counts(src: DataFrame, name: str) -> DataFrame:
-        return (
-            src.crossJoin(F.broadcast(packed))
-            .select(best["cid"].alias("cid"))
-            .groupBy("cid")
-            .agg(F.count("*").cast("long").alias(name))
+    # ONE corpus pass (r16 — previously two disjoint scans, one per
+    # generation): existing (vec_id % 3 <> 0) and incoming batch
+    # (vec_id % 3 = 0) partition e exactly, so conditional counts over
+    # a single assignment scan produce both columns. The oracle keeps
+    # the two-CTE spec form; the counts are identical by partition.
+    # nrm > 0 mirrors _drift_assign_cte's zero-norm vector guard.
+    cnts = (
+        e.filter(F.col("nrm") > 0)
+        .crossJoin(F.broadcast(packed))
+        .select(
+            best["cid"].alias("cid"),
+            (F.col("vec_id") % 3 == 0).alias("_incoming"),
         )
-
-    co = counts(eo, "n_existing")
-    cn = counts(nb, "n_incoming")
+        .groupBy("cid")
+        .agg(
+            F.count(F.when(~F.col("_incoming"), F.lit(1)))
+            .cast("long")
+            .alias("n_existing"),
+            F.count(F.when(F.col("_incoming"), F.lit(1)))
+            .cast("long")
+            .alias("n_incoming"),
+        )
+    )
     g = (
         cent.select(F.col("cid").alias("centroid_id"))
-        .join(F.broadcast(co), F.col("centroid_id") == co["cid"], "left")
-        .drop("cid")
-        .join(F.broadcast(cn), F.col("centroid_id") == cn["cid"], "left")
+        .join(F.broadcast(cnts), F.col("centroid_id") == cnts["cid"], "left")
         .drop("cid")
         .select(
             "centroid_id",
@@ -238,17 +253,11 @@ _REL_TOTAL = "__total__"
 @register(
     "ext_corpus_release_diff",
     oracle=(
-        "WITH toks AS (SELECT doc_id, "
-        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
-        "x -> x <> '') AS tk FROM documents), "
-        "sh AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 5 THEN "
-        "list_transform(range(len(tk) - 4), "
-        "i -> array_to_string(tk[i+1:i+5], ' ')) "
-        "ELSE []::VARCHAR[] END AS shingles FROM toks), "
+        f"WITH {_TOKS_CTE}, "
+        "sh AS (SELECT doc_id, tk, "
+        f"{_shingles_sql('tk')} AS shingles FROM toks), "
         "base AS (SELECT d.doc_id, d.lang, len(s.tk) AS n_tok, "
-        "CASE WHEN len(s.tk) >= 5 THEN "
-        "list_aggregate(list_transform(s.shingles, x -> md5(x)), 'min') "
-        "ELSE md5(array_to_string(s.tk, ' ')) END AS fingerprint, "
+        f"{_fp_sql('s.tk', 's.shingles')} AS fingerprint, "
         "d.doc_id % 3 <> 0 AS is_old "
         "FROM documents d JOIN sh s ON s.doc_id = d.doc_id), "
         "per AS (SELECT lang AS section, "
@@ -317,20 +326,24 @@ def ext_corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select(
         "doc_id", "lang", "tk", word_ngrams(F.col("tk"), 5).alias("shingles")
     )
-    has5 = F.size(F.col("tk")) >= 5
     base = sh.select(
         "lang",
         F.size(F.col("tk")).alias("n_tok"),
-        F.when(
-            has5, F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s)))
-        )
-        .otherwise(F.md5(F.array_join(F.col("tk"), " ")))
-        .alias("fingerprint"),
+        # txt_fingerprint's shared expression (training._fingerprint_expr)
+        _fingerprint_expr(F.col("tk"), F.col("shingles")).alias("fingerprint"),
         (F.col("doc_id") % 3 != 0).alias("is_old"),
     )
 
-    def stats(grouped) -> DataFrame:
-        return grouped.agg(
+    # ONE corpus scan via rollup (r16 — previously a per-lang groupBy
+    # UNION a second full-scan global aggregate): rollup("lang") emits
+    # the |langs| groups AND the grand-total group in one aggregate;
+    # F.grouping distinguishes the total row (lang itself is non-null
+    # in the schema, but grouping() is the correct discriminator
+    # regardless). The oracle keeps its two-branch UNION ALL spec form.
+    per = (
+        base.rollup("lang")
+        .agg(
+            F.grouping("lang").alias("_total_row"),
             F.count(F.when(F.col("is_old"), F.lit(1)))
             .cast("long")
             .alias("n_docs_old"),
@@ -346,12 +359,16 @@ def ext_corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("uq_old"),
             F.countDistinct("fingerprint").cast("long").alias("uq_new"),
         )
-
-    per = stats(
-        base.groupBy(F.col("lang").alias("section"))
-    ).unionByName(
-        stats(base.groupBy()).select(
-            F.lit(_REL_TOTAL).alias("section"), "*"
+        .select(
+            F.when(F.col("_total_row") == 1, F.lit(_REL_TOTAL))
+            .otherwise(F.col("lang"))
+            .alias("section"),
+            "n_docs_old",
+            "n_docs_new",
+            "tokens_old",
+            "tokens_new",
+            "uq_old",
+            "uq_new",
         )
     )
     tot_new = d.agg(F.count("*").cast("long").alias("_tn"))

@@ -864,12 +864,18 @@ def sim_ann_ivf_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicated rather than refactored so the verified drift op's
     # core hash stays untouched.
     def assign(src: DataFrame, cent: DataFrame) -> DataFrame:
-        packed = pack_centroids(cent, cid="cid", emb="c_emb", nrm="c_nrm")
+        # c_nrm > 0 / nrm > 0 mirror _drift_assign_cte's zero-norm
+        # guards (r16) — see that helper's docstring.
+        packed = pack_centroids(
+            cent.filter(F.col("c_nrm") > 0), cid="cid", emb="c_emb", nrm="c_nrm"
+        )
         best = F.array_min(
             scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
         )
-        return src.crossJoin(F.broadcast(packed)).select(
-            "vec_id", best["cid"].alias("cid")
+        return (
+            src.filter(F.col("nrm") > 0)
+            .crossJoin(F.broadcast(packed))
+            .select("vec_id", best["cid"].alias("cid"))
         )
 
     def update(assigned: DataFrame) -> DataFrame:

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from duckdb_data_eng_proj_spark.operators.sessions import sessionized
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 # ---------------------------------------------------------------------------
@@ -90,17 +91,9 @@ _SESSION_GAP_S = 1800  # ext_sessionize's 30-min rule, shared verbatim
 )
 def evt_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    gap_s = F.col("ts").cast("long") - prev_ts.cast("long")
-    flagged = e.withColumn(
-        "new_session",
-        F.when(prev_ts.isNull() | (gap_s > _SESSION_GAP_S), 1).otherwise(0),
-    )
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = flagged.withColumn(
-        "session_id", F.sum("new_session").over(run).cast("bigint")
-    )
+    # Shared lag→flag→running-sum block: operators/sessions.sessionized
+    # (r16 — previously re-inlined from ext_sessionize).
+    sess = sessionized(e, _SESSION_GAP_S)
     wn = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
     numbered = sess.withColumn("rn", F.row_number().over(wn)).filter(
         F.col("rn") <= _PATH_DEPTH
@@ -292,13 +285,12 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from duckdb_data_eng_proj_spark.queries.corpus import (  # noqa: E402
     _PAIRS_SQL,
+    _near_dup_pairs,
     _star_fixpoint,
     _state_sized_shuffle,
 )
 from duckdb_data_eng_proj_spark.queries.training import (  # noqa: E402
-    _LSH_PRELUDE,
-    _bigram_sets_df,
-    _lsh_bands_df,
+    _LSH_PRELUDE_BODY,
 )
 
 # 0.10, NOT the cc family's 0.05: at 0.05 this testdata's topical
@@ -329,7 +321,7 @@ _MST_BORUVKA_ROUNDS = 2
 # as dedup_cluster_cc's reachability oracle.
 _MST_ORACLE = (
     "WITH RECURSIVE "
-    + _LSH_PRELUDE[len("WITH ") :]
+    + _LSH_PRELUDE_BODY
     + ", "
     + _PAIRS_SQL.format(thr=_MST_THR)
     + ", wnd AS MATERIALIZED (SELECT p.doc_a, p.doc_b, "
@@ -353,43 +345,18 @@ _MST_ORACLE = (
 
 
 def _weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """_near_dup_pairs (corpus.py:58) with the integer dissimilarity
-    kept: w = 1000 - (1000·|A∩B|) DIV |A∪B| — BIGINT floor division on
-    both engines, so weights are cross-engine exact."""
-    bands = _lsh_bands_df(spark, sf_dir).localCheckpoint()
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    sets = _bigram_sets_df(spark, sf_dir).localCheckpoint()
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
-    inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
-    union = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
-    jac = inter.cast("double") / union
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .filter(jac >= _MST_THR)
-        .withColumn("inter", inter)
-        .withColumn("uni", union)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(
-                "CAST(1000 AS BIGINT) - (CAST(1000 AS BIGINT) * "
-                "CAST(inter AS BIGINT)) DIV CAST(uni AS BIGINT)"
-            ).alias("w_permille"),
-        )
+    """corpus._near_dup_pairs(keep_sizes=True) with the integer
+    dissimilarity attached: w = 1000 - (1000·|A∩B|) DIV |A∪B| —
+    BIGINT floor division on both engines, so weights are
+    cross-engine exact. (r16: previously a full copy of the
+    candidate+verify pipeline; now the one helper serves both.)"""
+    return _near_dup_pairs(spark, sf_dir, _MST_THR, keep_sizes=True).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CAST(1000 AS BIGINT) - (CAST(1000 AS BIGINT) * "
+            "CAST(inter AS BIGINT)) DIV CAST(uni AS BIGINT)"
+        ).alias("w_permille"),
     )
 
 

@@ -29,13 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
-from duckdb_data_eng_proj_spark.operators.textops import tokens
+from duckdb_data_eng_proj_spark.operators.textops import TOK_SQL, tokens, word_ngrams
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
-_TOKS_SQL = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
-    "x -> x <> '')"
-)
+# Oracle tokenizer fragment — single-sourced from operators/textops
+# (r16: this file previously carried a byte-identical private copy).
+_TOKS_SQL = TOK_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -84,14 +83,12 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
         F.size("tk") >= _SPAN_W
     )
-    # Window array behind its own barrier: slice+concat_ws runs once
-    # per window, not once per downstream reference.
+    # Window array behind its own barrier: the n-gram join runs once
+    # per window, not once per downstream reference. word_ngrams is
+    # textops' shared sliding-window expression (r16: this block
+    # previously re-inlined it).
     spans = toks.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.size("tk") - _SPAN_W),
-            lambda i: F.concat_ws(" ", F.slice("tk", i + 1, _SPAN_W)),
-        ).alias("spans"),
+        "doc_id", word_ngrams(F.col("tk"), _SPAN_W).alias("spans")
     ).select("doc_id", F.explode("spans").alias("span"))
     return (
         spans.groupBy(F.md5("span").alias("span_hash"))
@@ -1861,8 +1858,6 @@ def _modality_split_oracle() -> str:
     ),
 )
 def pipe_modality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.operators.textops import word_ngrams
-
     # ONE documents scan: is_code, exact_key, and fuzzy_key are all
     # per-row map-side expressions, so computing them in a single
     # projection keeps the op's "one shuffle keyed by (modality,

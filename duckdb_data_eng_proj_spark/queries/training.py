@@ -37,9 +37,11 @@ from duckdb_data_eng_proj_spark.operators.textops import (
     lsh_band_buckets,
     minhash_from_pairs,
     minhash_pairs,
+    TOK_SQL,
     tokens,
     word_ngrams,
 )
+from duckdb_data_eng_proj_spark.functions.scalars import doc_bucket100
 from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
 from duckdb_data_eng_proj_spark.operators.vectors import (
     dot,
@@ -52,9 +54,46 @@ from duckdb_data_eng_proj_spark.queries.registry import register, t
 # Shared DuckDB oracle fragments (mirror the Spark expressions 1:1)
 # ---------------------------------------------------------------------------
 
-# tokens(text): lower → trim → split \s+ → drop empties
-_TOK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+# tokens(text): lower → trim → split \s+ → drop empties — single-
+# sourced from operators/textops.TOK_SQL (lives next to tokens() so
+# the Spark/SQL pair can't drift; r16 consolidation).
+_TOK = TOK_SQL
 _TOKS_CTE = f"toks AS (SELECT doc_id, {_TOK} AS tk FROM documents)"
+
+
+def _shingles_sql(tk: str) -> str:
+    """Rolling 5-gram shingle list over token column ``tk`` — the SQL
+    mirror of ``word_ngrams(tk, 5)`` (typed-empty when < 5 tokens).
+    Parameterized by the column reference so every oracle renders the
+    byte-identical fragment it carried before the r16 consolidation."""
+    return (
+        f"CASE WHEN len({tk}) >= 5 THEN list_transform(range(len({tk}) - 4), "
+        f"i -> array_to_string({tk}[i+1:i+5], ' ')) ELSE []::VARCHAR[] END"
+    )
+
+
+def _fp_sql(tk: str, shingles: str) -> str:
+    """Winnowing fingerprint: min md5 over the 5-gram shingles, whole-
+    text md5 fallback for short docs — the SQL mirror of
+    ``_fingerprint_expr`` below. ``shingles`` may be a column reference
+    or an inline shingle expression (pipe_corpus_clean's _QL_CTE)."""
+    return (
+        f"CASE WHEN len({tk}) >= 5 THEN "
+        f"list_aggregate(list_transform({shingles}, s -> md5(s)), 'min') "
+        f"ELSE md5(array_to_string({tk}, ' ')) END"
+    )
+
+
+def _fingerprint_expr(tk, shingles):
+    """Spark twin of ``_fp_sql``: min md5 shingle / whole-text md5
+    fallback, shared by txt_fingerprint and ext_corpus_release_diff."""
+    return (
+        F.when(
+            F.size(tk) >= 5,
+            F.array_min(F.transform(shingles, lambda s: F.md5(s))),
+        )
+        .otherwise(F.md5(F.array_join(tk, " ")))
+    )
 
 # distinct word bigrams (the shingle set for MinHash / Jaccard)
 _BG = (
@@ -111,9 +150,14 @@ _BANDS_CTE = (
     + "]) AS u FROM sig))"
 )
 
-_LSH_PRELUDE = (
-    f"WITH {_TOKS_CTE}, {_BG_CTE}, {_HS_CTE}, {_PAIRS_CTE}, {_SIG_CTE}, {_BANDS_CTE}"
+# Body exposed separately so WITH-RECURSIVE composers (dedup_cluster_cc,
+# graph_mst_boruvka oracles) can prepend their own keyword instead of
+# slicing "WITH " off the front (r16: replaces the
+# _LSH_PRELUDE[len("WITH "):] string surgery at both sites).
+_LSH_PRELUDE_BODY = (
+    f"{_TOKS_CTE}, {_BG_CTE}, {_HS_CTE}, {_PAIRS_CTE}, {_SIG_CTE}, {_BANDS_CTE}"
 )
+_LSH_PRELUDE = f"WITH {_LSH_PRELUDE_BODY}"
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -364,13 +408,10 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "txt_fingerprint",
     oracle=(
         f"WITH {_TOKS_CTE}, sh AS (SELECT doc_id, tk, "
-        "CASE WHEN len(tk) >= 5 THEN list_transform(range(len(tk) - 4), "
-        "i -> array_to_string(tk[i+1:i+5], ' ')) ELSE []::VARCHAR[] END AS shingles "
+        f"{_shingles_sql('tk')} AS shingles "
         "FROM toks) "
         "SELECT doc_id, "
-        "CASE WHEN len(tk) >= 5 THEN "
-        "list_aggregate(list_transform(shingles, s -> md5(s)), 'min') "
-        "ELSE md5(array_to_string(tk, ' ')) END AS fingerprint, "
+        f"{_fp_sql('tk', 'shingles')} AS fingerprint, "
         "CASE WHEN len(tk) >= 5 THEN CAST(len(list_distinct(shingles)) AS BIGINT) "
         "ELSE CAST(1 AS BIGINT) END AS n_shingles FROM sh"
     ),
@@ -390,11 +431,7 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     has5 = F.size(F.col("tk")) >= 5
     return base.select(
         "doc_id",
-        F.when(
-            has5, F.array_min(F.transform(F.col("shingles"), lambda s: F.md5(s)))
-        )
-        .otherwise(F.md5(F.array_join(F.col("tk"), " ")))
-        .alias("fingerprint"),
+        _fingerprint_expr(F.col("tk"), F.col("shingles")).alias("fingerprint"),
         F.when(has5, F.size(F.array_distinct(F.col("shingles"))).cast("long"))
         .otherwise(F.lit(1).cast("long"))
         .alias("n_shingles"),
@@ -1298,11 +1335,7 @@ def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % 100
-    )
+    bucket = doc_bucket100(F.col("doc_id"))
     rate = (
         F.when(F.expr("TRY_CAST(substring(source, 4) AS INT) % 3") == 0, 100)
         .when(F.expr("TRY_CAST(substring(source, 4) AS INT) % 3") == 1, 50)

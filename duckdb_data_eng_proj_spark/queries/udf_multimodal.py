@@ -311,7 +311,11 @@ def mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "for its mean luma. Fixed frame size gives random access by "
         "offset, so only SAMPLED frames are scanned — the reason "
         "frame sampling over an uncompressed container stays cheap at "
-        "100 TB. Features are closed-form in doc_id, so the SQL "
+        "100 TB. Accepted input is 8-bit 4:2:0 with bare FRAME\\n "
+        "markers (exact tag allowlist; spec-legal FRAME parameters "
+        "and 10/12-bit chroma reject closed — variable-length markers "
+        "would forfeit the fixed-offset random access, ADVICE r15). "
+        "Features are closed-form in doc_id, so the SQL "
         "oracle independently proves the encoder→parser round-trip. "
         "Two narrow Arrow stages, no shuffle (plan-pinned). Inter-"
         "frame compressed codecs (H.264/VP9) remain stubbed "
