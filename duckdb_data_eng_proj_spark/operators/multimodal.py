@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 import wave
 from collections.abc import Iterator
@@ -253,6 +254,56 @@ def decode_wav_dsp(payload: bytes, decimate: int = 2) -> dict:
     }
 
 
+def resample_wav_linear(payload: bytes, dst_rate: int) -> dict:
+    """Real WAV decode → EXACT-INTEGER linear resample to ``dst_rate``
+    → re-encode → re-decode, returning features of the full chain.
+
+    The interpolation runs in the UNSIGNED domain u = s + 32768 with
+    the non-negative lerp form ``(u[i]·(D−r) + u[i+1]·r) // D`` where
+    the source position of output j is ``j·N/D`` (N/D = src/dst rate
+    reduced): every operand is a non-negative BIGINT, so floor and
+    truncate agree and a SQL oracle replays each output sample
+    bit-exactly (the signed form's ``(b−a)·r // D`` floor-divides a
+    negative delta, which Spark DIV and DuckDB // round differently).
+    Output sample count m = ((n−1)·D) // N + 1 — every j whose source
+    position does not pass the last input sample; r > 0 implies
+    i+1 ≤ n−1, so the lerp never reads past the stream. 16-bit mono
+    only, like ``decode_wav_dsp``."""
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("resample path supports 16-bit mono PCM only")
+        src_rate = w.getframerate()
+        n = w.getnframes()
+        frames = w.readframes(n)
+    if len(frames) != 2 * n:
+        raise ValueError("truncated PCM payload")
+    if dst_rate < 1 or src_rate < 1 or n < 2:
+        raise ValueError("need dst_rate >= 1 and at least 2 samples")
+    s = struct.unpack(f"<{n}h", frames)
+    u = [v + 32768 for v in s]
+    g = math.gcd(src_rate, dst_rate)
+    num, den = src_rate // g, dst_rate // g  # src step per output = num/den
+    m = ((n - 1) * den) // num + 1
+    out_u = []
+    for j in range(m):
+        p = j * num
+        i, r = p // den, p % den
+        a = u[i]
+        b = u[i + 1] if r else a
+        out_u.append((a * (den - r) + b * r) // den)
+    payload2 = _write_wav16([v - 32768 for v in out_u], dst_rate)
+    with wave.open(io.BytesIO(payload2)) as w2:
+        rs_rate, rs_n = w2.getframerate(), w2.getnframes()
+    return {
+        "src_rate": src_rate,
+        "dst_rate": rs_rate,
+        "n_in": n,
+        "n_out": rs_n,
+        "sum_u_out": sum(out_u),
+        "rs_bytes": len(payload2),
+    }
+
+
 def synthesize_wav_wave_media(docs: DataFrame) -> DataFrame:
     """Synthesize REAL varying-waveform RIFF/WAV payloads (doc_id-keyed
     length and waveform seed) into the binary media column."""
@@ -324,6 +375,52 @@ def extract_audio_dsp(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=AUDIO_DSP_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("src_rate", IntegerType(), True),
+        StructField("dst_rate", IntegerType(), True),
+        StructField("n_in", LongType(), True),
+        StructField("n_out", LongType(), True),
+        StructField("sum_u_out", LongType(), True),
+        StructField("rs_bytes", LongType(), True),
+    ]
+)
+
+
+def extract_audio_resample(media: DataFrame, dst_rate: int) -> DataFrame:
+    """REAL linear PCM resample per payload (wave-parse → exact-integer
+    lerp to ``dst_rate`` → re-encode → re-decode, resample_wav_linear).
+    Narrow mapInPandas stage, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [resample_wav_linear(p, dst_rate) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(pdf["doc_id"], dtype="int64"),
+                    "src_rate": pd.Series(
+                        [f["src_rate"] for f in feats], dtype="int32"
+                    ),
+                    "dst_rate": pd.Series(
+                        [f["dst_rate"] for f in feats], dtype="int32"
+                    ),
+                    "n_in": pd.Series([f["n_in"] for f in feats], dtype="int64"),
+                    "n_out": pd.Series(
+                        [f["n_out"] for f in feats], dtype="int64"
+                    ),
+                    "sum_u_out": pd.Series(
+                        [f["sum_u_out"] for f in feats], dtype="int64"
+                    ),
+                    "rs_bytes": pd.Series(
+                        [f["rs_bytes"] for f in feats], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_RESAMPLE_SCHEMA)
 
 
 def synthesize_bmp_media(docs: DataFrame) -> DataFrame:

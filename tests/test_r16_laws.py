@@ -198,3 +198,186 @@ def test_zero_norm_centroid_cross_engine(spark, zero_norm_dir, qid):
     con.close()
     assert sorted(c for c in sdf.columns) == sorted(cols)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_resample laws
+
+
+def _py_resample_row(doc_id: int):
+    """Expected row from the SYNTHESIS FORMULA alone — never calling
+    the codec (codec round-trip laws below and in test_codecs.py)."""
+    n = doc_id % 400 + 16
+    seed = (doc_id * 131) % 65536
+    u = [(seed + 97 * k) % 65536 for k in range(n)]
+    m = ((n - 1) * 3) // 2 + 1
+    total = 0
+    for j in range(m):
+        p = 2 * j
+        i, r = p // 3, p % 3
+        total += u[i] if r == 0 else (u[i] * (3 - r) + u[i + 1] * r) // 3
+    return (doc_id, 8000, 12000, n, m, total, 44 + 2 * m)
+
+
+def test_audio_resample_python_replay(spark, oracle_con):
+    ids = [
+        r[0]
+        for r in oracle_con.execute("SELECT doc_id FROM documents").fetchall()
+    ]
+    want = sorted(_py_resample_row(i) for i in ids)
+    got = sorted(
+        (r.doc_id, r.src_rate, r.dst_rate, r.n_in, r.n_out, r.sum_u_out,
+         r.rs_bytes)
+        for r in REGISTRY["mm_audio_resample"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want
+
+
+def test_resample_identity_and_decimation_laws():
+    """Codec-level laws: same-rate resample is the identity (every
+    r = 0), and a 2:1 downsample equals decode_wav_dsp's decimation
+    subsequence — the two ops' shared ground truth."""
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        decode_wav_dsp,
+        encode_wav_wave,
+        resample_wav_linear,
+    )
+
+    for doc_id in (0, 7, 123, 399):
+        n = doc_id % 400 + 16
+        seed = (doc_id * 131) % 65536
+        payload = encode_wav_wave(n, seed)
+        same = resample_wav_linear(payload, 8000)
+        u_sum = sum((seed + 97 * k) % 65536 for k in range(n))
+        assert (same["n_out"], same["sum_u_out"]) == (n, u_sum)
+        half = resample_wav_linear(payload, 4000)
+        dsp = decode_wav_dsp(payload, decimate=2)
+        assert half["n_out"] == dsp["rs_n"]
+        # decimation never interpolates: sum_u over s[::2] + shift
+        assert half["sum_u_out"] == sum(
+            ((seed + 97 * k) % 65536) for k in range(0, n, 2)
+        )
+
+
+def test_resample_rejects_unsupported_layouts():
+    import io
+    import struct
+    import wave
+
+    from duckdb_data_eng_proj_spark.operators.multimodal import (
+        encode_wav_wave,
+        resample_wav_linear,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:  # stereo — not the mono contract
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<4h", 1, 2, 3, 4))
+    with pytest.raises(ValueError, match="16-bit mono"):
+        resample_wav_linear(buf.getvalue(), 12000)
+    with pytest.raises(ValueError, match="at least 2"):
+        resample_wav_linear(encode_wav_wave(1, 5), 12000)
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_lttb laws
+
+
+def _lttb_frame(rows):
+    import pandas as pd
+
+    df = pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "tl", "y"]
+    )
+    df["ts"] = pd.to_datetime(df["tl"], unit="s")
+    return df
+
+
+def test_lttb_passthrough_short_series():
+    """Series with <= K points come back whole — the branch testdata
+    never exercises (every user there has >= 49 events)."""
+    from duckdb_data_eng_proj_spark.queries.extras_r16 import _lttb_pdf
+
+    rows = [(1, None, k, 1000 + 60 * k, k * 10) for k in range(8)]
+    out = _lttb_pdf(_lttb_frame(rows))
+    assert len(out) == 8
+    assert out["y_cents"].tolist() == [k * 10 for k in range(8)]
+
+
+def test_lttb_structural_laws():
+    """On a random 80-point series: exactly K points out; first and
+    last kept; one pick per bucket; and EVERY pick maximizes the exact
+    integer triangle score given the previous pick (ties to earliest)
+    — an independent verifier, not a second implementation."""
+    from duckdb_data_eng_proj_spark.queries.extras_r16 import (
+        _LTTB_B,
+        _LTTB_K,
+        _lttb_pdf,
+    )
+
+    rng = random.Random(9)
+    n = 80
+    rows = [
+        (7, None, k, 50_000 + 37 * k + rng.randrange(5), rng.randrange(10_000))
+        for k in range(n)
+    ]
+    pdf = _lttb_frame(rows)
+    out = _lttb_pdf(pdf)
+    assert len(out) == _LTTB_K
+    xs = [r[3] - rows[0][3] for r in rows]
+    ys = [r[4] for r in rows]
+    sel = [xs.index(int(t.timestamp()) - rows[0][3]) for t in out["ts"]]
+    assert sel[0] == 0 and sel[-1] == n - 1
+    nm = n - 2
+    bucket = lambda idx: ((idx - 1) * _LTTB_B) // nm
+    assert [bucket(i) for i in sel[1:-1]] == list(range(_LTTB_B))
+    for b in range(_LTTB_B):
+        a = sel[b]  # previous pick
+        members = [i for i in range(1, n - 1) if bucket(i) == b]
+        if b < _LTTB_B - 1:
+            nxt = [i for i in range(1, n - 1) if bucket(i) == b + 1]
+            c, sx, sy = len(nxt), sum(xs[i] for i in nxt), sum(ys[i] for i in nxt)
+        else:
+            c, sx, sy = 1, xs[n - 1], ys[n - 1]
+        score = lambda i: abs(
+            (xs[a] * c - sx) * (ys[i] - ys[a]) - (xs[a] - xs[i]) * (sy - ys[a] * c)
+        )
+        best = max(score(i) for i in members)
+        winners = [i for i in members if score(i) == best]
+        assert sel[b + 1] == winners[0], f"bucket {b}"
+
+
+def test_lttb_order_invariance():
+    """Input row order must not matter — the recursion sorts by
+    (ts, event_id) itself."""
+    from duckdb_data_eng_proj_spark.queries.extras_r16 import _lttb_pdf
+
+    rng = random.Random(3)
+    rows = [
+        (4, None, k, 9_000 + 13 * k, rng.randrange(1_000)) for k in range(40)
+    ]
+    a = _lttb_pdf(_lttb_frame(rows))
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    b = _lttb_pdf(_lttb_frame(shuffled))
+    assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # two narrow Arrow stages (synthesize + resample), no shuffle
+        ("mm_audio_resample", 0),
+        # ONE user-keyed exchange: the explicit-width repartition that
+        # also satisfies applyInPandas' clustering requirement
+        ("ts_downsample_lttb", 1),
+    ],
+)
+def test_r16_op_exchange_budget(spark, qid, budget):
+    from duckdb_data_eng_proj_spark.plans import count_exchanges
+
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
