@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "evt_session_paths",   # sessionize -> ordered path prefixes top-k (r15)
     "mm_image_resize",     # narrow BMP resize + dhash round-trip (r15)
     "graph_mst_boruvka",   # Borůvka rounds + Kruskal crossover MSF (r15)
+    # r16 additions
+    "mm_audio_resample",   # fractional-rate linear PCM resample (r16)
+    "ts_downsample_lttb",  # LTTB series downsampling, per-series Arrow (r16)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

@@ -116,7 +116,8 @@ def _rrf_term_sql(rk: str) -> str:
         "PARTITION BY q.vec_id ORDER BY "
         f"{_dot_sql('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm) DESC, "
         "c.centroid_id) AS prn "
-        f"FROM e q CROSS JOIN cent c WHERE q.vec_id < {_RRF_NQ}) "
+        f"FROM e q CROSS JOIN cent c WHERE q.vec_id < {_RRF_NQ} "
+        "AND q.nrm > 0) "
         "WHERE prn <= 4), "
         "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p "
         "JOIN assign a ON a.centroid_id = p.centroid_id "
@@ -194,7 +195,7 @@ def txt_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     en, cent, _ = _ivf_parts(spark, sf_dir)
-    q = en.filter(F.col("vec_id") < _RRF_NQ)
+    q = en.filter((F.col("vec_id") < _RRF_NQ) & (F.col("nrm") > 0))
     packed = pack_centroids(cent, cid="centroid_id", emb="c_emb", nrm="c_nrm")
     probes = (
         q.crossJoin(F.broadcast(packed))
@@ -218,7 +219,7 @@ def txt_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "q_emb", "q_nrm", F.col("_p")["cid"].alias("centroid_id")
         )
     )
-    corpus = en.crossJoin(F.broadcast(packed)).select(
+    corpus = en.filter(F.col("nrm") > 0).crossJoin(F.broadcast(packed)).select(
         "vec_id",
         "embedding",
         "nrm",

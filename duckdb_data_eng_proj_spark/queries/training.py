@@ -745,15 +745,21 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Zero norms excluded on both sides (r16, the _drift_assign_cte rule
+# extended to the read family): a zero-norm CENTROID makes every
+# cosine NaN and the engines break the argmax tie differently; a
+# zero-norm VECTOR divides by zero, which Spark's ANSI mode raises on.
+# Cosine to/from the zero vector is undefined, so both engines drop
+# such rows from assignment — _ivf_parts applies the same two filters.
 _ASSIGN_CTES = (
     f"{_EMB_CTE}, cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm "
-    "FROM e WHERE vec_id < 16), "
+    "FROM e WHERE vec_id < 16 AND nrm > 0), "
     "assign AS (SELECT vec_id, centroid_id, cos_raw FROM ("
     "SELECT v.vec_id, c.centroid_id, "
     f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm) AS cos_raw, "
     "row_number() OVER (PARTITION BY v.vec_id ORDER BY "
     f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm) DESC, c.centroid_id) AS rn "
-    "FROM e v CROSS JOIN cent c) WHERE rn = 1)"
+    "FROM e v CROSS JOIN cent c WHERE v.nrm > 0) WHERE rn = 1)"
 )
 
 
@@ -771,7 +777,9 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    cent = en.filter(F.col("vec_id") < 16).select(
+    # nrm > 0 filters mirror _ASSIGN_CTES' zero-norm guards (r16) —
+    # see that constant's comment.
+    cent = en.filter((F.col("vec_id") < 16) & (F.col("nrm") > 0)).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
@@ -781,7 +789,8 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
     )
     assign = (
-        en.crossJoin(F.broadcast(packed))
+        en.filter(F.col("nrm") > 0)
+        .crossJoin(F.broadcast(packed))
         .withColumn("_best", best)
         .select(
             "vec_id",
@@ -829,7 +838,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT q.vec_id AS query_id, c.centroid_id, row_number() OVER ("
         "PARTITION BY q.vec_id ORDER BY "
         f"{_dot_sql('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm) DESC, c.centroid_id) AS prn "
-        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE prn <= 4), "
+        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10 AND q.nrm > 0) WHERE prn <= 4), "
         "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p "
         "JOIN assign a ON a.centroid_id = p.centroid_id "
         "WHERE a.vec_id <> p.query_id), "
@@ -860,7 +869,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     en, cent, _ = _ivf_parts(spark, sf_dir)
-    q = en.filter(F.col("vec_id") < 10)
+    q = en.filter((F.col("vec_id") < 10) & (F.col("nrm") > 0))
     # top-nprobe centroids per query, map-side: sort the in-row scored
     # array and slice — no shuffle, no window stage. The query
     # embedding rides along so rescoring never rejoins the corpus.
@@ -889,7 +898,7 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash join against the tiny probe table (explicit hint — the
     # latency profile runs AQE-off, where an unhinted tiny side would
     # plan as a full sort-merge shuffle).
-    corpus = en.crossJoin(F.broadcast(packed)).select(
+    corpus = en.filter(F.col("nrm") > 0).crossJoin(F.broadcast(packed)).select(
         "vec_id",
         "embedding",
         "nrm",
@@ -919,7 +928,7 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT q.vec_id AS query_id, c.centroid_id, row_number() OVER ("
         "PARTITION BY q.vec_id ORDER BY "
         f"{_dot_sql('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm) DESC, c.centroid_id) AS prn "
-        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE prn <= 4), "
+        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10 AND q.nrm > 0) WHERE prn <= 4), "
         "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p "
         "JOIN assign a ON a.centroid_id = p.centroid_id "
         "WHERE a.vec_id <> p.query_id), "
@@ -965,7 +974,7 @@ def sim_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = spark.read.parquet(idx_dir)
 
-    q = en.filter(F.col("vec_id") < 10)
+    q = en.filter((F.col("vec_id") < 10) & (F.col("nrm") > 0))
     packed = pack_centroids(cent, cid="centroid_id", emb="c_emb", nrm="c_nrm")
     probes = (
         q.crossJoin(F.broadcast(packed))

@@ -149,6 +149,11 @@ def zero_norm_dir(tmp_path_factory):
         else:
             emb = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
         rows.append((vid, emb, vid % 10))
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(12)))
+        for i in range(60)
+    ]
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)"
@@ -157,6 +162,10 @@ def zero_norm_dir(tmp_path_factory):
     con.execute(
         f"COPY embeddings TO '{d}/embeddings.parquet' (FORMAT PARQUET)"
     )
+    # a tiny documents table so txt_hybrid_rrf's lexical half runs too
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    con.execute(f"COPY documents TO '{d}/documents.parquet' (FORMAT PARQUET)")
     con.close()
     return str(d)
 
@@ -175,12 +184,25 @@ def _norm_rows(rows):
 
 
 @pytest.mark.parametrize(
-    "qid", ["sim_ann_ivf_admit", "sim_ann_index_drift", "sim_ann_ivf_repair"]
+    "qid",
+    [
+        # write/maintenance family (guarded first, r16)
+        "sim_ann_ivf_admit",
+        "sim_ann_index_drift",
+        "sim_ann_ivf_repair",
+        # read family (_ASSIGN_CTES consumers, guarded same round)
+        "sim_ann_ivf",
+        "sim_ann_ivf_search",
+        "sim_ann_ivf_partitioned",
+        "txt_hybrid_rrf",
+    ],
 )
 def test_zero_norm_centroid_cross_engine(spark, zero_norm_dir, qid):
     """Spark fn and DuckDB oracle must agree value-exactly on the
     zero-vector fixture — the law the r15 review said a regen with a
-    zero embedding would break."""
+    zero embedding would break. vec_id 1 is BOTH a centroid seed and a
+    corpus vector, so the fixture exercises the centroid guard (NaN
+    argmax tie) and the vector guard (ANSI divide-by-zero) at once."""
     spec = REGISTRY[qid]
     sdf = spec.fn(spark, zero_norm_dir)
     got = _norm_rows(
@@ -190,6 +212,10 @@ def test_zero_norm_centroid_cross_engine(spark, zero_norm_dir, qid):
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{zero_norm_dir}/embeddings.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{zero_norm_dir}/documents.parquet')"
     )
     cur = con.execute(spec.oracle)
     cols = [d[0] for d in cur.description]
