@@ -421,7 +421,12 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cluster_cc_crossover(
     spark: SparkSession, sf_dir: str, lp_rounds: int
 ) -> DataFrame:
-    pairs = _near_dup_pairs(spark, sf_dir, 0.05)
+    # Checkpoint the verified-pair tail once (r16 review; cc_star's
+    # discipline). Measured A/B at sf0.1: a WASH warm — ReuseExchange
+    # already dedupes the twice-read unionAll branches — so this buys
+    # lineage robustness (no LSH replay on executor loss) and
+    # consistency, not wall-clock.
+    pairs = _near_dup_pairs(spark, sf_dir, 0.05).localCheckpoint()
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
@@ -580,7 +585,10 @@ def _pagerank_oracle() -> str:
     ),
 )
 def ml_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _near_dup_pairs(spark, sf_dir, 0.05)
+    # Checkpoint the verified-pair tail once (r16 review; cc_star's
+    # discipline — measured a warm WASH at sf0.1 since ReuseExchange
+    # dedupes the unionAll branches; kept for lineage robustness).
+    pairs = _near_dup_pairs(spark, sf_dir, 0.05).localCheckpoint()
     # Graph tables feed every iteration — localCheckpoint once (the
     # same per-round persist discipline as dedup_cluster_cc) so the
     # LSH pair derivation never replays inside the unrolled plan.
