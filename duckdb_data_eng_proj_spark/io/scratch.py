@@ -44,3 +44,24 @@ def scratch_root() -> str:
 def scratch_dir(name: str) -> str:
     """Path for a named scratch subdirectory (writers create it)."""
     return os.path.join(scratch_root(), name)
+
+
+def graft_warehouse(spark, *reset_tables: str) -> str:
+    """The ONE definition of the ``graft_wh`` managed-table warehouse:
+    create the database at the shared scratch location and idempotently
+    reset the named tables (catalog entry + on-disk directory — a
+    fresh session's in-memory catalog doesn't know the table, but its
+    location may survive from an earlier session).
+
+    Single-sourced (r16 review): ``CREATE DATABASE IF NOT EXISTS``
+    silently IGNORES the LOCATION clause when the database already
+    exists, so a second definition site with a different location
+    literal would silently land its tables under the first's directory
+    while its rmtree cleaned the wrong path — orphaned table data
+    surviving an "idempotent" reset."""
+    wh = scratch_dir("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '{wh}'")
+    for name in reset_tables:
+        spark.sql(f"DROP TABLE IF EXISTS graft_wh.{name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    return wh

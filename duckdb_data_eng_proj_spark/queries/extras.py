@@ -9,12 +9,12 @@ All oracle-checked.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.functions.scalars import doc_bucket100, exact_units
+from duckdb_data_eng_proj_spark.operators.textops import TOK_SQL
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 
 from duckdb_data_eng_proj_spark.io.scratch import scratch_dir as _scratch
@@ -279,6 +279,29 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _orders_month_sink(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Write orders month-partitioned to scratch ``name`` and read it
+    back (partition column re-pinned to string — partition-type
+    inference would otherwise read '1995-06-01' back as DATE). Shared
+    by snk_parquet_partitioned and join_dpp_pruned (r16 review — the
+    two previously carried verbatim copies of this block, so a fix to
+    one, e.g. the type pin, could miss the other).
+
+    One shuffle keyed by the partition column → one file per month
+    instead of (tasks × months) small files; at 100 TB the same move
+    (plus a salt for hot months) is what keeps the layout scannable."""
+    out = _scratch(name)
+    o = t(spark, sf_dir, "orders").withColumn(
+        "order_month", F.trunc("o_orderdate", "month").cast("string")
+    )
+    o.repartition("order_month").write.mode("overwrite").partitionBy(
+        "order_month"
+    ).parquet(out)
+    return spark.read.parquet(out).withColumn(
+        "order_month", F.col("order_month").cast("string")
+    )
+
+
 @register(
     "snk_parquet_partitioned",
     oracle=(
@@ -300,19 +323,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def snk_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _scratch("orders_part_sink")
-    o = t(spark, sf_dir, "orders").withColumn(
-        "order_month", F.trunc("o_orderdate", "month").cast("string")
-    )
-    # One shuffle keyed by the partition column → one file per month
-    # instead of (tasks × months) small files; at 100 TB the same move
-    # (plus a salt for hot months) is what keeps the layout scannable.
-    o.repartition("order_month").write.mode("overwrite").partitionBy(
-        "order_month"
-    ).parquet(out)
-    back = spark.read.parquet(out).withColumn(
-        "order_month", F.col("order_month").cast("string")
-    )
+    back = _orders_month_sink(spark, sf_dir, "orders_part_sink")
     return back.filter(F.col("order_month") >= "1995-06-01").groupBy(
         "order_month"
     ).agg(F.count("*").alias("n_orders"))
@@ -548,17 +559,16 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
+    from duckdb_data_eng_proj_spark.io.scratch import graft_warehouse
 
-    wh = _scratch("warehouse")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '{wh}'")
+    # shared warehouse helper: one location literal repo-wide (r16
+    # review — CREATE DATABASE IF NOT EXISTS ignores LOCATION when the
+    # db exists, so per-op literals could silently diverge)
+    graft_warehouse(spark, "orders_bkt", "customer_bkt")
     for name, df, key in (
         ("orders_bkt", t(spark, sf_dir, "orders"), "o_custkey"),
         ("customer_bkt", t(spark, sf_dir, "customer"), "c_custkey"),
     ):
-        spark.sql(f"DROP TABLE IF EXISTS graft_wh.{name}")
-        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         (
             df.write.bucketBy(8, key)
             .sortBy(key)
@@ -621,9 +631,10 @@ def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_array_suite",
     oracle=(
-        "WITH toks AS (SELECT doc_id, "
-        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
-        "x -> x <> '') AS tk FROM documents WHERE doc_id < 200) "
+        # tokenizer fragment single-sourced from operators/textops
+        # (r16 review — this was the one remaining inline copy)
+        f"WITH toks AS (SELECT doc_id, {TOK_SQL} AS tk "
+        "FROM documents WHERE doc_id < 200) "
         "SELECT doc_id, "
         "CAST(len(tk) AS INT) AS n_tokens, "
         "list_contains(tk, 'the') AS has_the, "
@@ -930,10 +941,11 @@ _SYNTH_VOCAB_SQL = (
 def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
     from duckdb_data_eng_proj_spark.io.pydatasource import SynthDocsSource
 
-    try:
-        spark.dataSource.register(SynthDocsSource)
-    except Exception:  # noqa: BLE001 — already registered in this session
-        pass
+    # register() is idempotent (re-registering overwrites, verified
+    # empirically r16) — the old blanket try/except here also swallowed
+    # GENUINE registration failures, surfacing them later as an opaque
+    # DATA_SOURCE_NOT_FOUND at read time with the root cause lost.
+    spark.dataSource.register(SynthDocsSource)
     return (
         spark.read.format("synthdocs")
         .option("n_docs", 1000)
@@ -1122,7 +1134,7 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COUNT(*) AS n, "
         "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
         "AS s1, "
-        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT) * "
+        "CAST(SUM(CAST(round(o_totalprice * 100, 0) AS HUGEINT) * "
         "CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) AS s2d "
         "FROM orders GROUP BY o_orderpriority) "
         "SELECT o_orderpriority, n, "
@@ -1137,10 +1149,12 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "can hash-differ between engines, so the moments are "
         "accumulated as exact integer cent sums (Σx, Σx²) — map-side "
         "combinable, one shuffle — and the statistics derived from "
-        "those scalars in identical double arithmetic. Σx² is "
-        "accumulated 128-bit wide (Spark DECIMAL(38,0) ≡ DuckDB "
-        "HUGEINT: BIGINT cents² would wrap near 2⁶³ at sf0.1 group "
-        "sizes) and converted to double only at the final scalar step "
+        "those scalars in identical double arithmetic. Σx² is exact "
+        "end-to-end: the PRODUCT is widened before multiplying (Spark "
+        "DECIMAL(18,0)² → DECIMAL(37,0), DuckDB HUGEINT·BIGINT — a "
+        "64-bit product would abort under ANSI past ~3e9 cents, r16 "
+        "review), the sum accumulates 128-bit wide, and the result is "
+        "converted to double only at the final scalar step "
         "— exact-integer→nearest-double is deterministic IEEE on both "
         "engines, and no DECIMAL/HUGEINT reaches a result column. The "
         "pattern generalizes to corr/covar: exact integer moment sums "
@@ -1150,10 +1164,17 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     cents = exact_units(F.col("o_totalprice"))
+    # Widen BEFORE multiplying (r16 review): LONG·LONG evaluates in
+    # 64-bit first — under ANSI a row with |cents| >= ~3.04e9 aborts
+    # the query before the decimal cast ever sees the product.
+    # DECIMAL(18,0)² → DECIMAL(37,0) is exact; the oracle widens the
+    # same product to HUGEINT. Both stay intermediate-only (no
+    # DECIMAL/HUGEINT result column — the type-sweep rule).
+    c18 = cents.cast("decimal(18,0)")
     m = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         F.sum(cents).cast("long").alias("s1"),
-        F.sum((cents * cents).cast("decimal(38,0)")).cast("double").alias("s2d"),
+        F.sum((c18 * c18).cast("decimal(38,0)")).cast("double").alias("s2d"),
     )
     s1d = F.col("s1").cast("double")
     nd = F.col("n")
@@ -1174,11 +1195,11 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sx, "
         "CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) "
         "AS sy, "
-        "CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT) * "
+        "CAST(SUM(CAST(round(l_quantity * 100, 0) AS HUGEINT) * "
         "CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS sxy, "
-        "CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT) * "
+        "CAST(SUM(CAST(round(l_quantity * 100, 0) AS HUGEINT) * "
         "CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) AS sxx, "
-        "CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+        "CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS HUGEINT) * "
         "CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS syy "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, n, "
@@ -1202,13 +1223,16 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     x = exact_units(F.col("l_quantity"))
     y = exact_units(F.col("l_extendedprice"))
+    # Widen BEFORE multiplying — agg_stats_exact's r16 rule (LONG·LONG
+    # aborts under ANSI past ~3e9 cents); oracle widens to HUGEINT.
+    x18, y18 = x.cast("decimal(18,0)"), y.cast("decimal(18,0)")
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(x).cast("long").alias("sx"),
         F.sum(y).cast("long").alias("sy"),
-        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
-        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
-        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((x18 * y18).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((x18 * x18).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y18 * y18).cast("decimal(38,0)")).cast("double").alias("syy"),
     )
     sxd, syd, nd = F.col("sx").cast("double"), F.col("sy").cast("double"), F.col("n")
     cov = F.col("sxy") - sxd * F.col("sy") / nd
@@ -1307,16 +1331,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _scratch("orders_dpp_sink")
-    o = t(spark, sf_dir, "orders").withColumn(
-        "order_month", F.trunc("o_orderdate", "month").cast("string")
-    )
-    o.repartition("order_month").write.mode("overwrite").partitionBy(
-        "order_month"
-    ).parquet(out)
-    fact = spark.read.parquet(out).withColumn(
-        "order_month", F.col("order_month").cast("string")
-    )
+    fact = _orders_month_sink(spark, sf_dir, "orders_dpp_sink")
     # independent dim: months from the ORIGINAL table, runtime-filtered
     dim = (
         t(spark, sf_dir, "orders")

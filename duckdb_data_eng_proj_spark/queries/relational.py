@@ -168,15 +168,12 @@ def src_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def src_table_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
+    from duckdb_data_eng_proj_spark.io.scratch import graft_warehouse
 
-    wh = _scratch("warehouse")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS graft_wh LOCATION '{wh}'")
-    # idempotent across sessions: a FRESH session's in-memory catalog
-    # doesn't know the table, but its on-disk location may survive from
-    # an earlier session — drop both sides before the managed write
-    spark.sql("DROP TABLE IF EXISTS graft_wh.customer_stage")
-    shutil.rmtree(os.path.join(wh, "customer_stage"), ignore_errors=True)
+    # shared warehouse helper: one location literal repo-wide (r16
+    # review — see graft_warehouse's docstring for the
+    # LOCATION-ignored trap this prevents)
+    graft_warehouse(spark, "customer_stage")
     staged = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
