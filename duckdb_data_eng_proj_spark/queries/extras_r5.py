@@ -64,10 +64,17 @@ from duckdb_data_eng_proj_spark.queries.registry import register, t
 )
 def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
+    # Each stage carries an explicit presence marker (in_*): the depth
+    # test must mirror the oracle's JOIN-PRESENCE semantics
+    # (v.user_id IS NOT NULL), not timestamp nullness — a user whose
+    # stage rows all have NULL ts produces a row with min(ts) = NULL,
+    # which the old t_*.isNotNull() test miscounted as depth 0
+    # (r16 review; latent — generated events carry no NULL ts).
     v = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_v"))
+        .withColumn("in_v", F.lit(1))
     )
     day = F.expr("INTERVAL 1 DAY")
     c = (
@@ -76,6 +83,7 @@ def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t_v")) & (F.col("ts") <= F.col("t_v") + day))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_c"))
+        .withColumn("in_c", F.lit(1))
     )
     p = (
         e.filter(F.col("event_type") == "purchase")
@@ -83,12 +91,13 @@ def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t_c")) & (F.col("ts") <= F.col("t_c") + day))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_p"))
+        .withColumn("in_p", F.lit(1))
     )
     u = e.select("user_id").distinct()
     steps = (
-        F.when(F.col("t_p").isNotNull(), 3)
-        .when(F.col("t_c").isNotNull(), 2)
-        .when(F.col("t_v").isNotNull(), 1)
+        F.when(F.col("in_p").isNotNull(), 3)
+        .when(F.col("in_c").isNotNull(), 2)
+        .when(F.col("in_v").isNotNull(), 1)
         .otherwise(0)
     )
     s = (
@@ -235,11 +244,17 @@ def existing_fingerprint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_dedup_incremental",
     oracle=(
+        # fingerprint IS NOT NULL: rows that cannot be fingerprinted
+        # (NULL text) are not admissible — made EXPLICIT on both sides
+        # (r16 review): the old oracle dropped them implicitly via its
+        # correlated =-comparison while Spark's row_number kept one,
+        # a latent one-row divergence on NULL-text data vintages.
         f"WITH fp AS ({_fp_sql()}), "
         "existing AS (SELECT fingerprint FROM fp "
         f"WHERE doc_id % {_INGEST_BATCH_MOD} <> 0), "
         "incoming AS (SELECT doc_id, fingerprint FROM fp "
-        f"WHERE doc_id % {_INGEST_BATCH_MOD} = 0), "
+        f"WHERE doc_id % {_INGEST_BATCH_MOD} = 0 "
+        "AND fingerprint IS NOT NULL), "
         "fresh AS (SELECT i.doc_id, i.fingerprint FROM incoming i "
         "WHERE NOT EXISTS (SELECT 1 FROM existing e "
         "WHERE e.fingerprint = i.fingerprint)) "
@@ -269,7 +284,12 @@ def etl_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = txt_fingerprint(spark, sf_dir).select("doc_id", "fingerprint")
     existing = existing_fingerprint_index(spark, sf_dir)
-    incoming = fp.filter(F.col("doc_id") % _INGEST_BATCH_MOD == 0)
+    # fingerprint IS NOT NULL mirrors the oracle (r16 review — see
+    # the oracle comment): unfingerprintable rows are not admissible.
+    incoming = fp.filter(
+        (F.col("doc_id") % _INGEST_BATCH_MOD == 0)
+        & F.col("fingerprint").isNotNull()
+    )
     fresh = incoming.join(existing, "fingerprint", "left_anti")
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
@@ -366,15 +386,15 @@ def _top_tokens_sql(k: int) -> str:
 def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
     from duckdb_data_eng_proj_spark.operators.textops import tokens
+    from duckdb_data_eng_proj_spark.queries.training_extra import top_tokens_df
 
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
     occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    vocab = (
-        occ.groupBy("token")
-        .agg(F.count("*").alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
-        .limit(_OOV_VOCAB_K)
-        .select("token", F.lit(1).alias("_in_vocab"))
+    # Vocabulary single-sourced from txt_top_tokens' Spark definition
+    # (r16 review — this block previously hand-copied its body while
+    # the oracle spliced txt_top_tokens' SQL).
+    vocab = top_tokens_df(spark, sf_dir, _OOV_VOCAB_K).select(
+        "token", F.lit(1).alias("_in_vocab")
     )
     cov = (
         occ.join(F.broadcast(vocab), "token", "left")
@@ -500,8 +520,13 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_tot = toks.agg(F.sum("n_tok").alias("total_tokens"))
     lc = d.groupBy("lang").agg(F.count("*").alias("n"))
     n_langs = lc.agg(F.count("*").alias("n_langs"))
+    # asc_nulls_last mirrors DuckDB's default NULLS LAST (r16 review):
+    # Spark's plain asc sorts NULLs FIRST, so a count-tie between a
+    # NULL lang group and a named language would pick opposite winners.
     top_lang = (
-        lc.orderBy(F.col("n").desc(), F.col("lang")).limit(1).select("lang")
+        lc.orderBy(F.col("n").desc(), F.col("lang").asc_nulls_last())
+        .limit(1)
+        .select("lang")
         .withColumnRenamed("lang", "top_lang")
     )
     fp = txt_fingerprint(spark, sf_dir).agg(
@@ -567,8 +592,12 @@ def snk_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = spark.read.parquet(stage)
     n_src = src.count()
-    n_staged = staged.count()
-    n_null_keys = staged.filter(F.col("o_orderkey").isNull()).count()
+    # One staged scan serves both audit counters (r16 review — the
+    # old two-action form re-read the staged parquet twice).
+    n_staged, n_null_keys = staged.agg(
+        F.count("*"),
+        F.count(F.when(F.col("o_orderkey").isNull(), F.lit(1))),
+    ).first()
     if n_staged != n_src or n_null_keys != 0:
         raise RuntimeError(
             f"audit failed: staged={n_staged} source={n_src} "
@@ -680,7 +709,11 @@ def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_data_eng_proj_spark.operators.textops import tokens
 
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
-    occ = d.select(F.explode(tokens(F.col("text"))).alias("token")).localCheckpoint()
+    # No checkpoint on the exploded token stream (r16 review): occ is
+    # consumed exactly once (the items count below); the eager
+    # checkpoint was a vestige of the pre-r6 four-groupBy version and
+    # pinned a corpus-sized token stream in block storage for nothing.
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("token"))
 
     def slot(j: int, item):
         return (

@@ -922,10 +922,17 @@ def pipe_ingest_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invariants before anything becomes visible to consumers.
     staged = spark.read.parquet(stage)
     n_plan = batch.count()
-    n_staged = staged.count()
-    n_null = staged.filter(
-        F.col("doc_id").isNull() | F.col("fingerprint").isNull()
-    ).count()
+    # One staged scan serves both audit counters (r16 review —
+    # snk_write_audit_publish's template fix, mirrored here).
+    n_staged, n_null = staged.agg(
+        F.count("*"),
+        F.count(
+            F.when(
+                F.col("doc_id").isNull() | F.col("fingerprint").isNull(),
+                F.lit(1),
+            )
+        ),
+    ).first()
     # Same index DataFrame the batch plan anti-joins against (shared
     # helper — the audit can never reconcile vs a diverged definition).
     existing = existing_fingerprint_index(spark, sf_dir)

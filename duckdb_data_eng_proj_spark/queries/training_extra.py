@@ -315,13 +315,23 @@ def txt_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def txt_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_tokens_df(spark, sf_dir, 100)
+
+
+def top_tokens_df(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """THE Spark-side top-k token-frequency definition, parameterized
+    by k — txt_top_tokens registers it at k=100 and txt_oov_rate
+    builds its vocabulary at k=20 (r16 review: oov previously
+    hand-copied this body while its oracle spliced txt_top_tokens'
+    SQL, so a logic tweak here would have flowed into oov's oracle
+    but not its Spark side — the one-sided-drift class)."""
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
     occ = d.select(F.explode(tokens(F.col("text"))).alias("token"))
     return (
         occ.groupBy("token")
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
-        .limit(100)
+        .limit(k)
     )
 
 

@@ -407,3 +407,80 @@ def test_r16_op_exchange_budget(spark, qid, budget):
     df = REGISTRY[qid].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+# ---------------------------------------------------------------------------
+# NULL-bearing data vintage laws (the extras_r5 review's latent class)
+
+
+@pytest.fixture(scope="module")
+def null_vintage_dir(tmp_path_factory):
+    """A data vintage the generator never produces: NULL text (an
+    unfingerprintable doc in the incoming batch), NULL event ts (a
+    user whose first-stage rows all lack timestamps), and a NULL lang
+    group that TIES the top named language on count — each previously
+    made Spark and DuckDB diverge (r16 extras_r5 review)."""
+    d = tmp_path_factory.mktemp("nullvintage")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars INT)"
+    )
+    rng = random.Random(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = []
+    for i in range(30):
+        if i in (6, 9):  # % 3 == 0 -> incoming batch, unfingerprintable
+            text = None
+        else:
+            text = " ".join(rng.choice(words) for _ in range(8))
+        # 5 docs NULL lang, 5 docs 'en' (the tie), rest 'de'/'fr'
+        lang = (
+            None if i < 5 else "en" if i < 10 else "de" if i < 20 else "fr"
+        )
+        rows.append((i, text, lang, f"src{i % 3}", len(text or "")))
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY documents TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    ev = [
+        # user 1: views with NULL ts only -> depth 1 (join presence)
+        (1, None, 1, "view", 1.0, "{}"),
+        (2, None, 1, "view", 1.0, "{}"),
+        # user 2: a full funnel with real timestamps
+        (3, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-01 10:30:00", 2, "click", 1.0, "{}"),
+        (5, "2024-01-01 11:00:00", 2, "purchase", 9.0, "{}"),
+        # user 3: view then a click outside the 1-day window -> depth 1
+        (6, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
+        (7, "2024-01-03 10:00:00", 3, "click", 1.0, "{}"),
+    ]
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", ev)
+    con.execute(f"COPY events TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qid", ["etl_dedup_incremental", "ext_funnel_steps", "ext_dataset_card"]
+)
+def test_null_vintage_cross_engine(spark, null_vintage_dir, qid):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, null_vintage_dir)
+    got = _norm_rows(
+        tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    for tbl in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{null_vintage_dir}/{tbl}.parquet')"
+        )
+    cur = con.execute(spec.oracle)
+    cols = [dd[0] for dd in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = _norm_rows(tuple(r[i] for i in order) for r in cur.fetchall())
+    con.close()
+    assert got == want, f"{qid}: {got[:5]} vs {want[:5]}"
