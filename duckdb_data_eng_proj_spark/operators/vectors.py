@@ -37,6 +37,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def hyperplane_sig(emb: Column, planes: list[list[float]]) -> Column:
+    """Packed sign-bit signature of ``emb`` against ``planes`` — THE
+    single Spark-side hyperplane-sketch builder (r16 consolidation).
+
+    Each plane literal is SLICED to the embedding's length so the dot
+    is the PARTIAL dot the oracles compute (training._hp_sig_sql /
+    _dot_sql iterate ``range(len(embedding))``). The r15 hardening
+    landed this slice only in sim_lsh_hyperplane's inline copy; the
+    three other copies (sim_range_search, sim_knn_bucket_join,
+    sim_ann_recall_eval) still indexed embedding[0..63] per dimension,
+    which ABORTS under ANSI on any embedding shorter than the planes
+    (confirmed live, r16 review) — exactly the propagate-by-hand
+    failure this helper removes."""
+    return sum(
+        [
+            F.when(
+                dot(
+                    emb,
+                    F.slice(
+                        F.array(*[F.lit(v) for v in plane]),
+                        1,
+                        F.size(emb),
+                    ),
+                )
+                >= 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p, plane in enumerate(planes)
+        ],
+        start=F.lit(0),
+    )
+
+
 def pack_centroids(cent, cid: str, emb: str, nrm: str):
     """Collapse a tiny (k-row) centroid table into ONE row holding
     ``_cents: array<struct<cid, emb, nrm>>``.

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.io.sources import ensure_parallelism
 from duckdb_data_eng_proj_spark.queries.registry import register, t
-from duckdb_data_eng_proj_spark.queries.training import _dot_sql, _hp_sig_sql
+from duckdb_data_eng_proj_spark.queries.training import _dot_sql, _hp_sig_cte
 
 
 # ---------------------------------------------------------------------------
@@ -343,8 +343,7 @@ _RANGE_THR_FP = 2000  # floor(cos * 1e4) >= this, i.e. cosine >= 0.2
 @register(
     "sim_range_search",
     oracle=(
-        f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
-        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings) "
+        f"WITH {_hp_sig_cte()} "
         "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
         f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
         "AS cos_sim "
@@ -367,29 +366,13 @@ _RANGE_THR_FP = 2000  # floor(cos * 1e4) >= this, i.e. cosine >= 0.2
     ),
 )
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.queries.training import _hyperplanes
+    from duckdb_data_eng_proj_spark.queries.training import _hp_sig_df
 
-    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    planes = _hyperplanes()
-    dim_range = list(range(len(planes[0])))
-    sig_bits = []
-    for p, plane in enumerate(planes):
-        dot_p = None
-        for dlt, wgt in zip(dim_range, plane):
-            term = F.col("embedding")[dlt] * F.lit(wgt)
-            dot_p = term if dot_p is None else dot_p + term
-        sig_bits.append(F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig_expr = sig_bits[0]
-    for b in sig_bits[1:]:
-        sig_expr = sig_expr + b
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    sig = e.select("vec_id", "embedding", sig_expr.alias("sig"), nrm.alias("nrm"))
+    # Shared hardened sketch table (r16 review: this op's inline copy
+    # indexed embedding[0..63] per dimension — ANSI-aborts on any
+    # embedding shorter than the planes, the bug r15 fixed only in
+    # sim_lsh_hyperplane's copy — and had no zero-norm guard).
+    sig = _hp_sig_df(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(
@@ -462,6 +445,26 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 8   # sub-blocks
 _PQ_K = 16  # centroids per block codebook
 _PQ_SUB = 8  # dims per sub-block (8 x 8 = the 64-dim embedding)
+_PQ_DIM = _PQ_M * _PQ_SUB  # the fixed dimension the codebook is defined over
+
+
+def _pq_sub_cte() -> str:
+    """``sub AS (...)`` — shared per-vector sub-block table for the PQ
+    family (vec_pq_codebook here, vec_pq_adc_search in extras_r6b).
+    Vectors not carrying the FULL fixed dimension are excluded on both
+    engines (r16 review): PQ's codebook is defined over fixed
+    {_PQ_SUB}-dim sub-blocks, and the engines disagree on missing-dim
+    arithmetic — Spark's posexplode DROPS absent positions from the
+    centroid means while the oracle's range() NULLs them, which was
+    confirmed live to diverge on a 32-dim vector."""
+    return (
+        "sub AS (SELECT vec_id, t.m AS m, "
+        f"list_transform(embedding[t.m * {_PQ_SUB} + 1 : "
+        f"t.m * {_PQ_SUB} + {_PQ_SUB}], "
+        "x -> CAST(x AS DOUBLE)) AS sv "
+        f"FROM embeddings, range({_PQ_M}) t(m) "
+        f"WHERE len(embedding) >= {_PQ_DIM})"
+    )
 
 
 def _pq_dist_sql(sv: str, c: str) -> str:
@@ -499,10 +502,7 @@ def _pq_update_sql(prefix: str, assign: str) -> str:
 
 
 _PQ_ORACLE = (
-    "WITH sub AS (SELECT vec_id, t.m AS m, "
-    f"list_transform(embedding[t.m * {_PQ_SUB} + 1 : t.m * {_PQ_SUB} + {_PQ_SUB}], "
-    "x -> CAST(x AS DOUBLE)) AS sv "
-    f"FROM embeddings, range({_PQ_M}) t(m)), "
+    f"WITH {_pq_sub_cte()}, "
     f"cent0 AS (SELECT m, vec_id AS cid, sv AS c FROM sub WHERE vec_id < {_PQ_K}), "
     + _pq_assign_sql("a1", "cent0")
     + ", "
@@ -522,7 +522,11 @@ def _pq_train(spark: SparkSession, sf_dir: str):
     assignments. Used by vec_pq_codebook (codes + reconstruction
     error) and vec_pq_adc_search (extras_r6b; ADC top-k over the
     codes)."""
-    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    # size >= _PQ_DIM mirrors _pq_sub_cte's dim-conforming filter (r16
+    # review) — see that helper's docstring.
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") >= _PQ_DIM
+    )
     blocks = F.array(
         *[
             F.struct(
@@ -548,7 +552,13 @@ def _pq_train(spark: SparkSession, sf_dir: str):
         j = sub.join(F.broadcast(cent), "m").withColumn(
             "dist", dist(F.col("sv"), F.col("c"))
         )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+        # asc_nulls_last mirrors DuckDB's NULLS LAST (r16 review): a
+        # NULL distance (degenerate seed from a short embedding) won
+        # rank 1 in Spark and lost in DuckDB, flipping every
+        # assignment in the affected sub-blocks — confirmed live.
+        w = Window.partitionBy("vec_id", "m").orderBy(
+            F.asc_nulls_last("dist"), "cid"
+        )
         return (
             j.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -701,10 +711,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.v").alias("c"),
         )
     )
-    verts = (
-        tri.select(F.col("a").alias("user_id"))
-        .unionAll(tri.select(F.col("b").alias("user_id")))
-        .unionAll(tri.select(F.col("c").alias("user_id")))
+    # One pass over tri (r16 review): the unionAll form re-executed
+    # the 3-way triangle join once per branch (exchange reuse saves
+    # the shuffles, not the join probe/filter — the operator's
+    # dominant cost); explode(array(...)) is the same multiset.
+    verts = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("user_id")
     )
     return verts.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_triangles")
@@ -714,7 +726,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # etl_snapshot_diff
 
-_SNAP_INS_OFFSET = 10_000_000
+# Synthetic-insert key offset. Must clear the real orderkey space:
+# TPC-H o_orderkey tops out at ~6e6·SF, so 1e12 is safe through
+# SF ≈ 160k (~100 TB+); the old 1e7 collided from SF ≈ 1.7, silently
+# fanning out the full outer join on duplicated keys (r16 review —
+# hash parity survived because both engines computed the same wrong
+# thing, but the CDC semantics broke).
+_SNAP_INS_OFFSET = 1_000_000_000_000
 
 
 @register(
@@ -853,7 +871,12 @@ _STRAT_SALT = "ss-v1:"
 def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(t(spark, sf_dir, "documents"))
     rkey = F.md5(F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("source").orderBy(rkey, F.col("doc_id"))
+    # asc_nulls_last mirrors DuckDB's NULLS LAST (r16 review): a NULL
+    # doc_id makes rkey NULL, which Spark's default asc ranked rk=1
+    # (into the sample) while DuckDB ranked it last (out).
+    w = Window.partitionBy("source").orderBy(
+        rkey.asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
     return (
         d.select("doc_id", "source", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _STRAT_K)

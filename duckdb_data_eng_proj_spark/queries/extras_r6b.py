@@ -417,19 +417,16 @@ def _adc_oracle() -> str:
     from duckdb_data_eng_proj_spark.queries.extras_r6 import (
         _pq_assign_sql,
         _pq_dist_sql,
+        _pq_sub_cte,
         _pq_update_sql,
         _PQ_K,
-        _PQ_M,
-        _PQ_SUB,
     )
 
     d = _pq_dist_sql("q.qsv", "c.c")
     return (
-        "WITH sub AS (SELECT vec_id, t.m AS m, "
-        f"list_transform(embedding[t.m * {_PQ_SUB} + 1 : "
-        f"t.m * {_PQ_SUB} + {_PQ_SUB}], "
-        "x -> CAST(x AS DOUBLE)) AS sv "
-        f"FROM embeddings, range({_PQ_M}) t(m)), "
+        # shared dim-conforming sub-block CTE (r16 — see extras_r6.
+        # _pq_sub_cte; this oracle previously carried its own copy)
+        f"WITH {_pq_sub_cte()}, "
         f"cent0 AS (SELECT m, vec_id AS cid, sv AS c FROM sub "
         f"WHERE vec_id < {_PQ_K}), "
         + _pq_assign_sql("a1", "cent0")

@@ -1541,11 +1541,42 @@ def _hp_sig_sql() -> str:
     return " + ".join(bits)
 
 
+def _hp_sig_cte() -> str:
+    """``sig AS (...)`` — THE shared hyperplane-sketch table for the
+    whole family (sim_lsh_hyperplane, sim_range_search,
+    sim_knn_bucket_join, sim_ann_recall_eval; r16 consolidation of
+    four inline copies). Zero-norm vectors are excluded (dot(e,e) > 0
+    ⟺ nrm > 0): their cosine is undefined and Spark's ANSI mode
+    raises on the divide — the r16 zero-norm rule, mirrored by
+    ``_hp_sig_df``'s filter."""
+    return (
+        f"sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
+        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm "
+        f"FROM embeddings WHERE {_dot_sql('embedding', 'embedding')} > 0)"
+    )
+
+
+def _hp_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_hp_sig_cte``: (vec_id, embedding, sig, nrm),
+    zero-norm vectors excluded. The sig bits come from the hardened
+    shared builder (operators/vectors.hyperplane_sig — plane literals
+    sliced to the embedding's length, the r15 short-embedding fix the
+    inline copies had missed)."""
+    from duckdb_data_eng_proj_spark.operators.vectors import hyperplane_sig
+
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    return e.select(
+        "vec_id",
+        "embedding",
+        hyperplane_sig(F.col("embedding"), _hyperplanes()).alias("sig"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+
+
 @register(
     "sim_lsh_hyperplane",
     oracle=(
-        f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
-        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings) "
+        f"WITH {_hp_sig_cte()} "
         "SELECT a.sig, a.vec_id AS vec_a, b.vec_id AS vec_b, "
         f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
         "AS cos_sim "
@@ -1566,39 +1597,9 @@ def _hp_sig_sql() -> str:
     ),
 )
 def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    planes = _hyperplanes()
-    # Slice the plane literal to the embedding's length so the dot is
-    # the PARTIAL dot the oracle computes (it iterates
-    # range(len(embedding))). Unsliced, zip_with null-pads a dim<64
-    # embedding and the whole dot goes NULL → every sig bit falls to
-    # otherwise(0) → one bucket → O(n²) candidates, while the oracle
-    # keeps real sign bits (round-15 review, verified live on both
-    # engines with a 32-dim vector).
-    sig = sum(
-        [
-            F.when(
-                dot(
-                    F.col("embedding"),
-                    F.slice(
-                        F.array(*[F.lit(v) for v in plane]),
-                        1,
-                        F.size(F.col("embedding")),
-                    ),
-                )
-                >= 0,
-                F.lit(1 << p),
-            ).otherwise(F.lit(0))
-            for p, plane in enumerate(planes)
-        ],
-        start=F.lit(0),
-    )
-    en = e.select(
-        "vec_id",
-        "embedding",
-        sig.alias("sig"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    # Shared hardened sketch table (_hp_sig_df: sliced plane literals,
+    # zero-norm vectors excluded — see _hp_sig_cte's docstring).
+    en = _hp_sig_df(spark, sf_dir)
     a, b = en.alias("a"), en.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")

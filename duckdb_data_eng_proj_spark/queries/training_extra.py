@@ -32,7 +32,7 @@ from duckdb_data_eng_proj_spark.operators.textops import distinct_ngrams, tokens
 from duckdb_data_eng_proj_spark.queries.registry import register, t
 from duckdb_data_eng_proj_spark.queries.training import (
     _dot_sql,
-    _hp_sig_sql,
+    _hp_sig_cte,
     _TOK,
     _TOKS_CTE,
 )
@@ -378,8 +378,7 @@ _KNN_K = 3
 @register(
     "sim_knn_bucket_join",
     oracle=(
-        f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
-        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+        f"WITH {_hp_sig_cte()}, "
         "cand AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
         f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
         "AS cos_sim, "
@@ -410,31 +409,12 @@ _KNN_K = 3
     ),
 )
 def sim_knn_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.queries.training import _hyperplanes
+    from duckdb_data_eng_proj_spark.queries.training import _hp_sig_df
 
-    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    planes = _hyperplanes()
-    dim_range = list(range(len(planes[0])))
-    sig_bits = []
-    for p, plane in enumerate(planes):
-        dot = None
-        for dlt, w in zip(dim_range, plane):
-            term = F.col("embedding")[dlt] * F.lit(w)
-            dot = term if dot is None else dot + term
-        sig_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig_expr = sig_bits[0]
-    for b in sig_bits[1:]:
-        sig_expr = sig_expr + b
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    sig = e.select(
-        "vec_id", "embedding", sig_expr.alias("sig"), nrm.alias("nrm")
-    )
+    # Shared hardened sketch table (r16 review: this inline copy
+    # indexed embedding[0..63] per dimension — ANSI-aborts on a short
+    # embedding — and had no zero-norm guard; see training._hp_sig_cte).
+    sig = _hp_sig_df(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
     dot_ab = F.aggregate(
         F.zip_with(
@@ -569,8 +549,7 @@ _RECALL_NQ = 10  # evaluation query batch: vec_id < 10
 @register(
     "sim_ann_recall_eval",
     oracle=(
-        f"WITH sig AS (SELECT vec_id, embedding, {_hp_sig_sql()} AS sig, "
-        f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+        f"WITH {_hp_sig_cte()}, "
         "bf AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
         f"CAST(floor({_dot_sql('a.embedding', 'b.embedding')} "
         "/ (a.nrm * b.nrm) * 10000) AS BIGINT) "
@@ -611,29 +590,11 @@ _RECALL_NQ = 10  # evaluation query batch: vec_id < 10
     ),
 )
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from duckdb_data_eng_proj_spark.queries.training import _hyperplanes
+    from duckdb_data_eng_proj_spark.queries.training import _hp_sig_df
 
-    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    planes = _hyperplanes()
-    dim_range = list(range(len(planes[0])))
-    sig_bits = []
-    for p, plane in enumerate(planes):
-        dot = None
-        for dlt, wgt in zip(dim_range, plane):
-            term = F.col("embedding")[dlt] * F.lit(wgt)
-            dot = term if dot is None else dot + term
-        sig_bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    sig_expr = sig_bits[0]
-    for b in sig_bits[1:]:
-        sig_expr = sig_expr + b
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    sig = e.select("vec_id", "embedding", sig_expr.alias("sig"), nrm.alias("nrm"))
+    # Shared hardened sketch table (r16 review — same inline-copy bug
+    # class as sim_knn_bucket_join; see training._hp_sig_cte).
+    sig = _hp_sig_df(spark, sf_dir)
     q = sig.filter(F.col("vec_id") < _RECALL_NQ)
 
     dot_ab = F.aggregate(

@@ -484,3 +484,67 @@ def test_null_vintage_cross_engine(spark, null_vintage_dir, qid):
     want = _norm_rows(tuple(r[i] for i in order) for r in cur.fetchall())
     con.close()
     assert got == want, f"{qid}: {got[:5]} vs {want[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# short-embedding vintage laws (the extras_r6 review's confirmed class)
+
+
+@pytest.fixture(scope="module")
+def short_emb_dir(tmp_path_factory):
+    """An embeddings vintage with one 32-dim vector (vec_id 5, inside
+    the centroid/query id ranges) and one zero-norm vector (vec_id 1):
+    pre-r16, the unhardened hyperplane-signature copies ANSI-aborted
+    on the short vector (confirmed live) and _pq_train's NULLS FIRST
+    assignment flipped every affected sub-block."""
+    d = tmp_path_factory.mktemp("shortemb")
+    rng = random.Random(11)
+    rows = []
+    for vid in range(40):
+        if vid == 5:
+            emb = [round(rng.uniform(-1, 1), 3) for _ in range(32)]
+        elif vid == 1:
+            emb = [0.0] * 64
+        else:
+            emb = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        rows.append((vid, emb, vid % 10))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    con.execute(
+        f"COPY embeddings TO '{d}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "sim_lsh_hyperplane",
+        "sim_range_search",
+        "sim_knn_bucket_join",
+        "sim_ann_recall_eval",
+        "vec_pq_codebook",
+        "vec_pq_adc_search",
+    ],
+)
+def test_short_embedding_cross_engine(spark, short_emb_dir, qid):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, short_emb_dir)
+    got = _norm_rows(
+        tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{short_emb_dir}/embeddings.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [dd[0] for dd in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = _norm_rows(tuple(r[i] for i in order) for r in cur.fetchall())
+    con.close()
+    assert got == want, f"{qid}: {got[:4]} vs {want[:4]}"
