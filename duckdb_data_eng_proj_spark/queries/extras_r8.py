@@ -290,7 +290,11 @@ def agg_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy(h, "event_id")
     return (
         events.select("event_type", F.col("event_id").cast("long").alias("event_id"))
-        .withColumn("sample_rank", F.row_number().over(w))
+        # cast long: the oracle emits BIGINT — the one uncast rank in
+        # the file and the module's only type_sweep int-width flag
+        # (r16 review; benign to the value compare, fixed for schema
+        # consistency with evt_rfm_scores/ml_decision_stump)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= _RES_K)
     )
 
