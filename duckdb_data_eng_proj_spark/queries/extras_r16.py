@@ -150,7 +150,8 @@ def _lttb_oracle() -> str:
         "CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n, "
         "CAST(date_diff('second', MIN(ts) OVER (PARTITION BY user_id), ts) "
         "AS BIGINT) AS x "
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))",
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))",
         f"sml AS (SELECT user_id, ts, y FROM pts WHERE n <= {_LTTB_K})",
         f"big AS (SELECT * FROM pts WHERE n > {_LTTB_K})",
         "mid AS (SELECT user_id, ts, y, x, idx, "
@@ -250,7 +251,10 @@ def _lttb_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         "exact with ties to the earliest point; the oracle UNROLLS "
         f"the {_LTTB_B} bucket picks as chained argmax CTEs (K is a "
         "fixed parameter, so unrolling is exact, unlike data-"
-        "dependent fixpoints). Series with <= K points pass through "
+        "dependent fixpoints). Rows with NULL ts or NULL value are "
+        "not plottable points and are excluded on BOTH engines "
+        "(ADVICE r16; NULL-vintage law-tested). Series with <= K "
+        "points pass through "
         "whole (law-tested; testdata users all exceed K). Scale "
         "shape: ONE user-keyed exchange (explicit-width repartition "
         "per the r14 rule — byte-small input, compute-heavy Arrow "
@@ -263,7 +267,12 @@ def _lttb_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    pts = e.select(
+    # NULL-vintage contract (ADVICE r16): a NULL ts or NULL value row
+    # is not a plottable point — excluded identically on both engines
+    # (the oracle's pts CTE carries the same predicate). Without the
+    # pin, pandas sums NaN-poison every triangle score while DuckDB's
+    # SUM skips NULLs but COUNT(*) still counts the row.
+    pts = e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull()).select(
         "user_id",
         "ts",
         "event_id",

@@ -457,6 +457,19 @@ def null_vintage_dir(tmp_path_factory):
         (6, "2024-01-01 10:00:00", 3, "view", 1.0, "{}"),
         (7, "2024-01-03 10:00:00", 3, "click", 1.0, "{}"),
     ]
+    # user 4: 12 plottable points (> K=8, exercising the LTTB bucket
+    # chain) interleaved with a NULL-ts and a NULL-value row — the
+    # ADVICE r16 class: without the symmetric exclusion, pandas
+    # NaN-poisons every triangle score while DuckDB's SUM skips NULLs
+    # but COUNT(*) counts the row.
+    ev += [
+        (100 + k, f"2024-02-01 10:{k:02d}:00", 4, "view", float(7 + 3 * k), "{}")
+        for k in range(12)
+    ]
+    ev += [
+        (200, None, 4, "view", 5.0, "{}"),
+        (201, "2024-02-01 10:30:00", 4, "view", None, "{}"),
+    ]
     con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", ev)
     con.execute(f"COPY events TO '{d}/events.parquet' (FORMAT PARQUET)")
     con.close()
@@ -464,7 +477,13 @@ def null_vintage_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "qid", ["etl_dedup_incremental", "ext_funnel_steps", "ext_dataset_card"]
+    "qid",
+    [
+        "etl_dedup_incremental",
+        "ext_funnel_steps",
+        "ext_dataset_card",
+        "ts_downsample_lttb",
+    ],
 )
 def test_null_vintage_cross_engine(spark, null_vintage_dir, qid):
     spec = REGISTRY[qid]
