@@ -139,7 +139,9 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_lead_lag_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last pins Spark to DuckDB's NULLS LAST (r17 sweep):
+    # a NULL-ts row must rank last, not first, on an adversarial vintage
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cents = exact_units(F.col("value"))
     return e.select(
@@ -253,14 +255,22 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey"),
         F.lit(None).cast("timestamp").alias("event_ts"),
     )
-    updates = e.select(
+    # A NULL-ts event can never satisfy `ts <= at_ts` — drop it here,
+    # or last(ignorenulls) would carry its event_ts to every query row
+    # (r17 NULL-vintage law caught this).
+    updates = e.filter(F.col("ts").isNotNull()).select(
         F.col("user_id").alias("key"),
         F.col("ts").alias("at_ts"),
         F.lit(0).alias("is_query"),
         F.lit(None).cast("long").alias("o_orderkey"),
         F.col("ts").alias("event_ts"),
     )
-    # events sort before queries at equal timestamps → `<=` semantics
+    # events sort before queries at equal timestamps → `<=` semantics.
+    # Spark's default NULLS FIRST on at_ts is LOAD-BEARING (r17 sweep
+    # exception): a NULL-date query must sort BEFORE all events so it
+    # sees none — the oracle's `e.ts <= o.o_orderdate` is never true
+    # for a NULL date. asc_nulls_last here would hand it the user's
+    # full history instead.
     w = (
         Window.partitionBy("key")
         .orderBy("at_ts", "is_query")
@@ -615,7 +625,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # asc_nulls_last: DuckDB ranks NULL prices last (r17 sweep)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
+    )
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_orderkey",
@@ -989,7 +1002,9 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:  # noq
 )
 def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last pins Spark to DuckDB's NULLS LAST (r17 sweep):
+    # a NULL-ts row must rank last, not first, on an adversarial vintage
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     changes = (
         e.select(
             "user_id",
@@ -1372,7 +1387,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(-4, Window.currentRow)
     )
     cents = exact_units(F.col("value"))
@@ -1407,7 +1422,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
     w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("n"), F.asc("o_orderstatus")
+        F.desc("n"), F.asc_nulls_last("o_orderstatus")
     )
     return (
         c.withColumn("rn", F.row_number().over(w))

@@ -534,7 +534,11 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy + join back): every pass after the bucket aggregate
     # re-uses the single user-keyed exchange (2 exchanges total vs 7).
     # Same-session A/B at sf0.1: 0.58 s vs 0.85 s for the join shape.
-    wv = Window.partitionBy("user_id").orderBy("v_c100", "bucket_ts")
+    # asc_nulls_last on both keys: v_c100/bucket_ts derive from nullable
+    # value/ts — DuckDB ranks NULLs last (r17 sweep)
+    wv = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("v_c100"), F.asc_nulls_last("bucket_ts")
+    )
     wn = Window.partitionBy("user_id")
     rk = b.select(
         "user_id",
@@ -555,7 +559,9 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med2",
         F.abs(2 * F.col("v_c100") - F.col("med2")).alias("dev2"),
     )
-    wd = Window.partitionBy("user_id").orderBy("dev2", "bucket_ts")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("dev2"), F.asc_nulls_last("bucket_ts")
+    )
     drk = dev.select(
         "*",
         F.row_number().over(wd).alias("rn"),
@@ -812,7 +818,7 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("bucket_ts")
+        .orderBy(F.asc_nulls_last("bucket_ts"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = p.select(

@@ -800,7 +800,9 @@ def ext_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     ph = pu.select("event_type", h60.alias("h"))
-    w = Window.partitionBy("event_type").orderBy("h")
+    # h = md5 of a nullable-source key — asc_nulls_last keeps a NULL
+    # hash out of the top-K on both engines (r17 sweep)
+    w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("h"))
     sk = (
         ph.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMVI_K)
@@ -823,7 +825,7 @@ def ext_sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = u.groupBy("ta", "tb", "h").agg(
         F.countDistinct("event_type").alias("n_types")
     )
-    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    wp = Window.partitionBy("ta", "tb").orderBy(F.asc_nulls_last("h"))
     r = g.withColumn("rn", F.row_number().over(wp)).localCheckpoint(eager=False)
     th = r.groupBy("ta", "tb").agg(
         F.max(F.when(F.col("rn") <= _KMVI_K, F.col("h"))).alias("theta"),
@@ -1551,7 +1553,8 @@ def snk_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
 def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
+    # day = to_date(nullable ts) — asc_nulls_last (r17 sweep)
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("day"))
     r = ud.withColumn(
         "grp", F.date_sub(F.col("day"), F.row_number().over(w))
     )
@@ -1560,7 +1563,7 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("start_day"),
     )
     wb = Window.partitionBy("user_id").orderBy(
-        F.col("len").desc(), "start_day"
+        F.col("len").desc(), F.asc_nulls_last("start_day")
     )
     wc = Window.partitionBy("user_id")
     best = streaks.withColumn("rk", F.row_number().over(wb)).withColumn(
@@ -1780,7 +1783,9 @@ def win_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count("*").cast("bigint").alias("n")
     )
-    w = Window.partitionBy("event_type").orderBy("day")
+    # day = to_date(nullable ts) — asc_nulls_last so lag() pairs the
+    # same neighbors as DuckDB's NULLS LAST (r17 sweep)
+    w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("day"))
     l = d.withColumn("prev_n", F.lag("n").over(w))
     return l.select(
         "event_type",

@@ -925,7 +925,8 @@ def evt_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_c100",
         F.ntile(5).over(Window.orderBy(F.col("r_days").desc(), "user_id")).cast("long").alias("r_score"),
         F.ntile(5).over(Window.orderBy("f_cnt", "user_id")).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("m_c100", "user_id")).cast("long").alias("m_score"),
+        # m_c100 is a SUM over nullable value cents — asc_nulls_last (r17 sweep)
+        F.ntile(5).over(Window.orderBy(F.asc_nulls_last("m_c100"), "user_id")).cast("long").alias("m_score"),
     ).withColumn(
         "rfm_segment",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("long"),

@@ -472,6 +472,23 @@ def null_vintage_dir(tmp_path_factory):
     ]
     con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", ev)
     con.execute(f"COPY events TO '{d}/events.parquet' (FORMAT PARQUET)")
+    # orders with a NULL o_totalprice, a NULL o_orderstatus and a NULL
+    # o_orderdate — the r17 NULLS-LAST sweep's rank keys
+    con.execute(
+        "CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_orderstatus VARCHAR, o_totalprice DOUBLE, "
+        "o_orderdate TIMESTAMP, o_orderpriority VARCHAR)"
+    )
+    od = [
+        (1, 1, "O", 100.0, "2024-01-01 09:00:00", "1-URGENT"),
+        (2, 1, "F", None, "2024-01-02 09:00:00", "1-URGENT"),
+        (3, 2, None, 100.0, "2024-01-02 12:00:00", "1-URGENT"),
+        (4, 2, "O", 250.0, None, "2-HIGH"),
+        (5, 3, "F", 250.0, "2024-01-01 10:15:00", "2-HIGH"),
+        (6, 3, "F", 300.0, "2024-01-04 00:00:00", "2-HIGH"),
+    ]
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?, ?, ?, ?)", od)
+    con.execute(f"COPY orders TO '{d}/orders.parquet' (FORMAT PARQUET)")
     con.close()
     return str(d)
 
@@ -483,6 +500,20 @@ def null_vintage_dir(tmp_path_factory):
         "ext_funnel_steps",
         "ext_dataset_card",
         "ts_downsample_lttb",
+        # r17 NULLS-LAST sweep: every pinned id driven on the NULL
+        # vintage through BOTH engines
+        "win_lead_lag_frames",
+        "join_asof",
+        "win_rank_suite",
+        "etl_scd2",
+        "win_moving_avg",
+        "agg_mode",
+        "evt_rfm_scores",
+        "ts_anomaly_mad",
+        "ts_changepoint_cusum",
+        "ext_sketch_kmv_intersect",
+        "win_gaps_islands",
+        "win_percent_change",
     ],
 )
 def test_null_vintage_cross_engine(spark, null_vintage_dir, qid):
@@ -492,7 +523,7 @@ def test_null_vintage_cross_engine(spark, null_vintage_dir, qid):
         tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()
     )
     con = duckdb.connect()
-    for tbl in ("documents", "events"):
+    for tbl in ("documents", "events", "orders"):
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM "
             f"read_parquet('{null_vintage_dir}/{tbl}.parquet')"
