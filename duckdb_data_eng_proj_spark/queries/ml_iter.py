@@ -45,12 +45,17 @@ def _dot_sql(a: str, b: str) -> str:
 
 
 def _assign_cte(name: str, cent: str) -> str:
+    # Zero norms excluded on BOTH sides (r17, closing the r16
+    # _drift_assign_cte rule's residue): a zero-norm CENTROID makes
+    # every cosine NaN and the engines break the argmax tie
+    # differently; a zero-norm VECTOR has no defined cosine at all.
     cos = f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm)"
     return (
         f"{name} AS (SELECT vec_id, cid FROM ("
         f"SELECT v.vec_id, c.cid, row_number() OVER ("
         f"PARTITION BY v.vec_id ORDER BY {cos} DESC, c.cid) AS rn "
-        f"FROM e v CROSS JOIN {cent} c) WHERE rn = 1)"
+        f"FROM e v CROSS JOIN {cent} c "
+        "WHERE v.nrm > 0 AND c.c_nrm > 0) WHERE rn = 1)"
     )
 
 
@@ -94,13 +99,20 @@ def _assign(en: DataFrame, cent: DataFrame) -> DataFrame:
     """Map-side argmax: k centroids packed into one broadcast row, per
     vector a HOF array_min over (neg_cos, cid) — zero shuffle of the
     corpus (vs round 1's crossJoin-expand + row_number window, which
-    shuffled k× the corpus; VERDICT r1 #2)."""
-    packed = pack_centroids(cent, cid="cid", emb="c_emb", nrm="c_nrm")
+    shuffled k× the corpus; VERDICT r1 #2). Zero norms excluded on
+    BOTH sides (r17, mirroring _assign_cte's guards): centroids before
+    packing, vectors before the broadcast scan — the
+    _drift_assign_cte rule applied to the kmeans family."""
+    packed = pack_centroids(
+        cent.filter(F.col("c_nrm") > 0), cid="cid", emb="c_emb", nrm="c_nrm"
+    )
     best = F.array_min(
         scored_centroids(F.col("_cents"), F.col("embedding"), F.col("nrm"))
     )
-    return en.crossJoin(F.broadcast(packed)).select(
-        "vec_id", best["cid"].alias("cid")
+    return (
+        en.filter(F.col("nrm") > 0)
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", best["cid"].alias("cid"))
     )
 
 
@@ -206,7 +218,8 @@ _CONVERGED_ORACLE = (
     "SELECT vec_id, cid, iter FROM ("
     "SELECT v.vec_id, c.cid, c.iter, row_number() OVER ("
     f"PARTITION BY v.vec_id ORDER BY {_COS_SQL} DESC, c.cid) AS rn "
-    f"FROM e v CROSS JOIN it c WHERE c.iter < {_MAX_LLOYD_ITERS}) WHERE rn = 1"
+    f"FROM e v CROSS JOIN it c WHERE c.iter < {_MAX_LLOYD_ITERS} "
+    "AND v.nrm > 0 AND c.c_nrm > 0) WHERE rn = 1"
     f") a JOIN e ON e.vec_id = a.vec_id, range({_DIM}) t(i) "
     "GROUP BY a.iter, a.cid, t.i) m GROUP BY m.iter, m.cid) u), "
     f"centf AS (SELECT cid, c_emb, c_nrm FROM it WHERE iter = {_MAX_LLOYD_ITERS}), "

@@ -659,7 +659,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, "
         f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS cos_sim "
         "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
-        f"WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.3"
+        "WHERE a.nrm > 0 AND b.nrm > 0 "
+        f"AND {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.3"
     ),
     doc=(
         "Embedding-cosine near-dup: pairs within the same label bucket "
@@ -676,7 +677,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    en = e.select("vec_id", "label", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    # zero-norm vectors have no defined cosine — excluded on BOTH
+    # engines (r17, the _drift_assign_cte rule's brute-force residue)
+    en = e.select("vec_id", "label", "embedding", F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm")).filter(F.col("nrm") > 0)
     a, b = en.alias("a"), en.alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -704,7 +707,8 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH {_EMB_CTE}, scored AS ("
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
         f"{_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_raw "
-        "FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) "
+        "FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id "
+        "AND q.nrm > 0 AND c.nrm > 0) "
         "SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM ("
         "SELECT query_id, neighbor_id, cos_raw, row_number() OVER ("
         "PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank "
@@ -719,11 +723,12 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    # zero-norm query or corpus vectors excluded on BOTH engines (r17)
     en = e.select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
     q = en.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

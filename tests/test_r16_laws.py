@@ -195,6 +195,13 @@ def _norm_rows(rows):
         "sim_ann_ivf_search",
         "sim_ann_ivf_partitioned",
         "txt_hybrid_rrf",
+        # r17 residue: kmeans assign + the brute-force _EMB_CTE pair
+        # (vec_id 1 is a kmeans seed, an ext_sim_topk query, and a
+        # dedup_embed_cosine label-1 member)
+        "ml_kmeans_2iter",
+        "ml_kmeans_converged",
+        "ext_sim_topk",
+        "dedup_embed_cosine",
     ],
 )
 def test_zero_norm_centroid_cross_engine(spark, zero_norm_dir, qid):
