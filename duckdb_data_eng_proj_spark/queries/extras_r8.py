@@ -379,6 +379,21 @@ _NB_TOK = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> 
     ),
 )
 def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _naive_bayes_df(spark, sf_dir, checkpoint_tokens=True)
+
+
+def _naive_bayes_df(
+    spark: SparkSession, sf_dir: str, *, checkpoint_tokens: bool = True
+) -> DataFrame:
+    """``checkpoint_tokens`` is the r17 A/B knob (r16 review: the
+    aggregate subtrees re-derived the token stream ~8x): True
+    materializes the exploded (doc_id, lang, token) frame once via
+    eager localCheckpoint so all eight consumers read it. Shipped
+    default True — the bench-harness A/B (BASELINE §Round 17,
+    alternating best-of-5 under the TIMED_BUILD protocol) reads
+    checkpoint 2.46 s vs recompute 2.87 s at sf0.1 (-14%). At 100 TB
+    the checkpoint is a persisted token table — the standard
+    train-once shape; False keeps the recompute arm reproducible."""
     from duckdb_data_eng_proj_spark.operators.textops import tokens
     from duckdb_data_eng_proj_spark.queries.registry import t
 
@@ -389,6 +404,8 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = d.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
     )
+    if checkpoint_tokens:
+        tt = tt.localCheckpoint(eager=True)
     tr = tt.filter(F.pmod("doc_id", F.lit(5)) != 0)
     te = tt.filter(F.pmod("doc_id", F.lit(5)) == 0).select("doc_id", "token")
 
