@@ -148,6 +148,8 @@ TIMED_BUILD = {
     "txt_bpe_train",       # checkpoints vocab + per-round merge state
     "txt_bpe_encode_docs",  # checkpoints the trained-vocab merge chain
     "graph_mst_boruvka",   # checkpoints edges/labels per Borůvka round
+    # r17 scan fusion: eagerly checkpoints the (q, cls) fact count
+    "ml_decision_stump",
 }
 
 

@@ -619,9 +619,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("src", "dst")
                 .localCheckpoint()
             )
-    return edges.groupBy("src").agg(F.count("*").alias("core_deg")).select(
-        F.col("src").alias("doc_id"), "core_deg"
-    )
+        # Closing degree census eagerly materialized INSIDE the width
+        # context (r17, the dedup_cluster_cc_star r16 pattern): this
+        # groupBy's shuffle is state-sized like every round's, so it
+        # carries the same hand-sized width instead of the session
+        # default it would get lazily after the context restores.
+        core = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("core_deg"))
+            .localCheckpoint()
+        )
+    return core.select(F.col("src").alias("doc_id"), "core_deg")
 
 
 # ---------------------------------------------------------------------------
@@ -699,10 +707,24 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity", 0).cast("long").alias("q"),
         F.col("l_returnflag").alias("cls"),
     )
-    cnt = base.groupBy("q", "cls").agg(F.count("*").alias("c"))
+    # Every later input derives from cnt, not base (r17 scan fusion —
+    # the doc's "scanned ONCE" claim was aspirational: tot/nn/the two
+    # grid distincts each re-scanned the fact table). ReuseExchange
+    # alone can't dedup them (column pruning gives each consumer a
+    # differently-pruned exchange), so the grid-sized count table is
+    # EAGERLY checkpointed — one fact scan + one fact-sized exchange,
+    # every derived aggregate reads the ~|thresholds|x|classes| rows.
+    # Eager, not lazy: cls-distinct below BROADCASTS, and a lazy
+    # checkpoint would run the fact scan inside the broadcast future
+    # (the audit_broadcast_subtrees r13 rule). TIMED_BUILD in bench.
+    cnt = (
+        base.groupBy("q", "cls")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     grid = (
-        base.select("q").distinct()
-        .crossJoin(F.broadcast(base.select("cls").distinct()))
+        cnt.select("q").distinct()
+        .crossJoin(F.broadcast(cnt.select("cls").distinct()))
     )
     cum = (
         grid.join(cnt, ["q", "cls"], "left")
@@ -714,8 +736,8 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cl"),
         )
     )
-    tot = base.groupBy("cls").agg(F.count("*").alias("t"))
-    nn = base.agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("cls").agg(F.sum("c").alias("t"))
+    nn = cnt.agg(F.sum("c").alias("n"))
     th = (
         cum.join(F.broadcast(tot), "cls")
         .groupBy("q")

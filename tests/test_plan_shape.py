@@ -492,9 +492,10 @@ def test_reservoir_sample_uses_window_group_limit(spark):
         # per-round degree/semi-join work runs against localCheckpoints;
         # the returned plan is the final degree census
         ("graph_kcore", 1),
-        # one fact-sized exchange (the (q, cls) count); the other seven
-        # all move the |thresholds|×|classes| grid (~50–150 rows)
-        ("ml_decision_stump", 8),
+        # the (q, cls) fact count is checkpointed inside fn() (r17
+        # scan fusion); the returned plan's exchanges all move the
+        # |thresholds|×|classes| grid (~50–150 rows)
+        ("ml_decision_stump", 7),
         # ts_ewma's shape: bucket agg + user-keyed applyInPandas
         ("ts_holt_linear", 2),
         # per-user agg, then the single-partition NTILE windows over
