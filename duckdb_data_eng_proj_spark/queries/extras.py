@@ -94,8 +94,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle=(
         "SELECT o_orderpriority, "
-        "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
-        "round(quantile_cont(o_totalprice, 0.95), 4) AS p95 "
+        # Display roundings replay Spark's shortest-repr HALF_UP round
+        # (r17 F.round halfway fix — tests/test_r17_laws.py)
+        "CAST(round(CAST(CAST(quantile_cont(o_totalprice, 0.5) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS p50, "
+        "CAST(round(CAST(CAST(quantile_cont(o_totalprice, 0.95) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS p95 "
         "FROM orders GROUP BY o_orderpriority"
     ),
     doc=(
@@ -413,9 +415,9 @@ def js_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vec_centroid_label",
     oracle=(
         "SELECT label, i AS pos, "
-        "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "CAST(round(CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_sort(list(CAST(embedding[i+1] AS DOUBLE)))), (a, b) -> a + b) "
-        "/ COUNT(*), 6) AS centroid "
+        "/ COUNT(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS centroid "
         "FROM embeddings, range(64) t(i) GROUP BY label, i"
     ),
     doc=(
@@ -602,8 +604,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT o_orderkey, o_orderpriority, "
         "ntile(4) OVER w AS quartile, "
-        "CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank, "
-        "CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cdist, "
+        "CAST(round(CAST(CAST(percent_rank() OVER w AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS pct_rank, "
+        "CAST(round(CAST(CAST(cume_dist() OVER w AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS cdist, "
         "first_value(o_orderkey) OVER w AS cheapest_key, "
         "last_value(o_orderkey) OVER (PARTITION BY o_orderpriority "
         "ORDER BY o_totalprice, o_orderkey "
@@ -1153,9 +1155,9 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) AS s2d "
         "FROM orders GROUP BY o_orderpriority) "
         "SELECT o_orderpriority, n, "
-        "round(CAST(s1 AS DOUBLE) / n / 100, 4) AS mean_eur, "
-        "round(sqrt((s2d - CAST(s1 AS DOUBLE) * s1 / n) / n) "
-        "/ 100, 4) AS stddev_pop_eur "
+        "CAST(round(CAST(CAST(CAST(s1 AS DOUBLE) / n / 100 AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS mean_eur, "
+        "CAST(round(CAST(CAST(sqrt((s2d - CAST(s1 AS DOUBLE) * s1 / n) / n) "
+        "/ 100 AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS stddev_pop_eur "
         "FROM m"
     ),
     doc=(
@@ -1218,9 +1220,10 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS syy "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, n, "
-        "round((sxy - CAST(sx AS DOUBLE) * sy / n) / "
+        "CAST(round(CAST(CAST((sxy - CAST(sx AS DOUBLE) * sy / n) / "
         "sqrt((sxx - CAST(sx AS DOUBLE) * sx / n) * "
-        "(syy - CAST(sy AS DOUBLE) * sy / n)), 6) AS corr_qty_price "
+        "(syy - CAST(sy AS DOUBLE) * sy / n)) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS corr_qty_price "
         "FROM m"
     ),
     doc=(
@@ -1367,11 +1370,11 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH c AS (SELECT user_id, ts, event_id, "
         "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events) "
         "SELECT user_id, event_id, "
-        "round(CAST(SUM(cents) OVER (PARTITION BY user_id "
+        "CAST(round(CAST(CAST(CAST(SUM(cents) OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) "
         "AS DOUBLE) / (COUNT(*) OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) "
-        "/ 100, 4) AS mov_avg_eur "
+        "/ 100 AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS mov_avg_eur "
         "FROM c"
     ),
     doc=(

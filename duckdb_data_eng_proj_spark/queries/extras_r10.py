@@ -81,14 +81,16 @@ _HLL_ALPHA_NUM = repr(0.709 * 64 * 64 * float(2**55))  # alpha·m²·2^55
         "tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_distinct FROM items), "
         "est AS (SELECT CASE WHEN s.zeros > 0 AND "
         f"{_HLL_ALPHA_NUM} / s.ssum <= 2.5 * {_HLL_M} "
-        f"THEN CAST(round({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / s.zeros), 0) "
+        f"THEN CAST(round(CAST(CAST({_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / s.zeros) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 0) "
         "AS BIGINT) "
-        f"ELSE CAST(round({_HLL_ALPHA_NUM} / s.ssum, 0) AS BIGINT) END AS hll_est "
+        f"ELSE CAST(round(CAST(CAST({_HLL_ALPHA_NUM} / s.ssum AS VARCHAR) "
+        "AS DECIMAL(38,18)), 0) AS BIGINT) END AS hll_est "
         "FROM s) "
         "SELECT reg.bucket, CAST(reg.rho_max AS BIGINT) AS rho_max, "
         "est.hll_est, tru.true_distinct, "
-        "CAST(round((est.hll_est - tru.true_distinct) * 1000.0 "
-        "/ tru.true_distinct, 0) AS BIGINT) AS err_pml "
+        "CAST(round(CAST(CAST((est.hll_est - tru.true_distinct) * 1000.0 "
+        "/ tru.true_distinct AS VARCHAR) AS DECIMAL(38,18)), 0) AS BIGINT) AS err_pml "
         "FROM reg CROSS JOIN est CROSS JOIN tru"
     ),
     doc=(

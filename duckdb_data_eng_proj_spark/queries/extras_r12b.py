@@ -59,9 +59,10 @@ _ACF_LAGS = (1, 2, 3, 6, 12, 24)
 _ACF_SCALARS_SQL = (
     "CASE WHEN (sxx - CAST(sx AS DOUBLE) * sx / n_pairs) > 0 "
     "AND (syy - CAST(sy AS DOUBLE) * sy / n_pairs) > 0 "
-    "THEN round((sxy - CAST(sx AS DOUBLE) * sy / n_pairs) / "
+    "THEN CAST(round(CAST(CAST((sxy - CAST(sx AS DOUBLE) * sy / n_pairs) / "
     "sqrt((sxx - CAST(sx AS DOUBLE) * sx / n_pairs) * "
-    "(syy - CAST(sy AS DOUBLE) * sy / n_pairs)), 6) END AS acf"
+    "(syy - CAST(sy AS DOUBLE) * sy / n_pairs)) "
+    "AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) END AS acf"
 )
 
 

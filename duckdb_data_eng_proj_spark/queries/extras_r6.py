@@ -345,7 +345,8 @@ _RANGE_THR_FP = 2000  # floor(cos * 1e4) >= this, i.e. cosine >= 0.2
     oracle=(
         f"WITH {_hp_sig_cte()} "
         "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
-        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        f"CAST(round(CAST(CAST({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) "
         "AS cos_sim "
         "FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id "
         f"WHERE CAST(floor({_dot_sql('a.embedding', 'b.embedding')} "

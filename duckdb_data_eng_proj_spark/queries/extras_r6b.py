@@ -296,9 +296,10 @@ _SLOPE_SQL = (
         "SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(x * y) AS sxy "
         "FROM pts GROUP BY event_type) "
         "SELECT event_type, n, "
-        f"round({_SLOPE_SQL}, 6) AS slope, "
-        f"round((CAST(sy AS DOUBLE) - {_SLOPE_SQL} * CAST(sx AS DOUBLE)) "
-        "/ CAST(n AS DOUBLE), 6) AS intercept "
+        f"CAST(round(CAST(CAST({_SLOPE_SQL} AS VARCHAR) AS DECIMAL(38,18)), 6) "
+        "AS DOUBLE) AS slope, "
+        f"CAST(round(CAST(CAST((CAST(sy AS DOUBLE) - {_SLOPE_SQL} * CAST(sx AS DOUBLE)) "
+        "/ CAST(n AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS intercept "
         "FROM m"
     ),
     doc=(
@@ -768,8 +769,9 @@ _KMVI_SCALE = "1152921504606846976.0"  # 2^60, exactly representable
         "COALESCE(c.n_common, 0) AS n_common, "
         f"CASE WHEN th.k_eff < {_KMVI_K} "
         "THEN CAST(COALESCE(c.n_common, 0) AS DOUBLE) "
-        "ELSE round(COALESCE(c.n_common, 0) "
-        f"* ({_KMVI_K - 1}.0 * {_KMVI_SCALE} / th.theta) / {_KMVI_K}.0, 2) "
+        "ELSE CAST(round(CAST(CAST(COALESCE(c.n_common, 0) "
+        f"* ({_KMVI_K - 1}.0 * {_KMVI_SCALE} / th.theta) / {_KMVI_K}.0 "
+        "AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) "
         "END AS est_inter, "
         "COALESCE(tru.true_inter, 0) AS true_inter "
         "FROM th LEFT JOIN c ON c.ta = th.ta AND c.tb = th.tb "
@@ -1354,7 +1356,7 @@ def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "- CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)) "
         "/ (CAST(m.nb AS DOUBLE) * (CAST(m.nb AS DOUBLE) - 1))) AS zval "
         "FROM b JOIN m ON m.event_type = b.event_type WHERE m.nb > 1) "
-        "SELECT event_type, bucket, n, round(zval, 4) AS z "
+        "SELECT event_type, bucket, n, CAST(round(CAST(CAST(zval AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS z "
         "FROM z WHERE zval >= 2.0 OR zval <= -2.0"
     ),
     doc=(
@@ -2244,7 +2246,7 @@ def src_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SUM(CAST(l_quantity AS BIGINT)) AS sw "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, CAST(sw AS BIGINT) AS total_qty, "
-        "round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) "
+        "CAST(round(CAST(CAST(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) "
         "AS wavg_discount "
         "FROM m"
     ),

@@ -89,8 +89,10 @@ _ORACLE = (
     + ", "
     + _update_ctes("cent2", "a2")
     + " SELECT a.cid AS cluster_id, COUNT(*) AS n_members, "
-    "round(MAX(c.c_nrm), 4) AS centroid_norm, "
-    "round(MAX(c.c_emb[1]), 4) AS centroid_d0 "
+    "CAST(round(CAST(CAST(MAX(c.c_nrm) AS VARCHAR) AS DECIMAL(38,18)), 4) "
+    "AS DOUBLE) AS centroid_norm, "
+    "CAST(round(CAST(CAST(MAX(c.c_emb[1]) AS VARCHAR) AS DECIMAL(38,18)), 4) "
+    "AS DOUBLE) AS centroid_d0 "
     "FROM a2 a JOIN cent2 c ON c.cid = a.cid GROUP BY a.cid"
 )
 
@@ -231,8 +233,10 @@ _CONVERGED_ORACLE = (
     "first_stable AS (SELECT i.cid, MIN(i.iter) AS f FROM it i "
     "JOIN fin ON fin.cid = i.cid AND fin.c_emb = i.c_emb GROUP BY i.cid) "
     "SELECT a.cid AS cluster_id, COUNT(*) AS n_members, "
-    "round(MAX(c.c_nrm), 4) AS centroid_norm, "
-    "round(MAX(c.c_emb[1]), 4) AS centroid_d0, "
+    "CAST(round(CAST(CAST(MAX(c.c_nrm) AS VARCHAR) AS DECIMAL(38,18)), 4) "
+    "AS DOUBLE) AS centroid_norm, "
+    "CAST(round(CAST(CAST(MAX(c.c_emb[1]) AS VARCHAR) AS DECIMAL(38,18)), 4) "
+    "AS DOUBLE) AS centroid_d0, "
     "CAST(MAX(fs.nit) AS BIGINT) AS n_iter "
     "FROM a_f a JOIN cent_f c ON c.cid = a.cid "
     "CROSS JOIN (SELECT MAX(f) AS nit FROM first_stable) fs "

@@ -341,12 +341,18 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
         "AS stop_cnt "
         "FROM documents d JOIN toks t USING (doc_id)) "
         "SELECT doc_id, n_chars, n_tokens, "
-        "round(CAST(sum_tok_len AS DOUBLE) / nullif(n_tokens, 0), 4) AS avg_token_len, "
-        "round(CAST(punct_cnt AS DOUBLE) / nullif(n_chars, 0), 4) AS punct_ratio, "
-        "round(CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0), 4) AS stopword_ratio, "
-        "round(0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) "
+        # Every display rounding below replays Spark's F.round(double, d)
+        # exactly: round on the SHORTEST-REPR decimal (DuckDB's
+        # double->VARCHAR cast) instead of the exact binary — the r16
+        # halfway-class divergence (repro 0.28499999999999998; fuzz +
+        # pin: tests/test_r17_laws.py).
+        "CAST(round(CAST(CAST(CAST(sum_tok_len AS DOUBLE) / nullif(n_tokens, 0) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS avg_token_len, "
+        "CAST(round(CAST(CAST(CAST(punct_cnt AS DOUBLE) / nullif(n_chars, 0) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS punct_ratio, "
+        "CAST(round(CAST(CAST(CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS stopword_ratio, "
+        "CAST(round(CAST(CAST(0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) "
         "+ 0.3 * (CAST(stop_cnt AS DOUBLE) / nullif(n_tokens, 0)) "
-        "+ 0.2 * (1.0 - least(1.0, 10.0 * CAST(punct_cnt AS DOUBLE) / nullif(n_chars, 0))), 4) "
+        "+ 0.2 * (1.0 - least(1.0, 10.0 * CAST(punct_cnt AS DOUBLE) / nullif(n_chars, 0))) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) "
         "AS quality_score FROM m"
     ),
     doc=(
@@ -469,8 +475,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket "
         "AND x.doc_id < y.doc_id WHERE x.bucket IS NOT NULL) "
         "SELECT c.doc_a, c.doc_b, "
-        "round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / "
-        "(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 4) AS jaccard "
+        "CAST(round(CAST(CAST(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / "
+        "(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard "
         "FROM cand c JOIN bg a ON a.doc_id = c.doc_a JOIN bg b ON b.doc_id = c.doc_b "
         "WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / "
         "(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.02"
@@ -523,7 +530,7 @@ def ext_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND x.doc_id < y.doc_id GROUP BY 1, 2), "
         "sz AS (SELECT doc_id, len(bg) AS sz FROM bg) "
         "SELECT s.doc_a, s.doc_b, "
-        "round(CAST(s.n_shared AS DOUBLE) / (a.sz + b.sz - s.n_shared), 4) AS jaccard "
+        "CAST(round(CAST(CAST(CAST(s.n_shared AS DOUBLE) / (a.sz + b.sz - s.n_shared) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS jaccard "
         "FROM shared s JOIN sz a ON a.doc_id = s.doc_a JOIN sz b ON b.doc_id = s.doc_b "
         "WHERE CAST(s.n_shared AS DOUBLE) / (a.sz + b.sz - s.n_shared) >= 0.05"
     ),
@@ -657,7 +664,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         f"WITH {_EMB_CTE} "
         "SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) AS cos_sim "
+        f"CAST(round(CAST(CAST({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS cos_sim "
         "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
         "WHERE a.nrm > 0 AND b.nrm > 0 "
         f"AND {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.3"
@@ -709,7 +717,7 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_raw "
         "FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id "
         "AND q.nrm > 0 AND c.nrm > 0) "
-        "SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM ("
+        "SELECT query_id, neighbor_id, CAST(round(CAST(CAST(cos_raw AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS cos_sim, rank FROM ("
         "SELECT query_id, neighbor_id, cos_raw, row_number() OVER ("
         "PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank "
         "FROM scored) WHERE rank <= 5"
@@ -817,7 +825,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     "sim_ann_ivf",
     oracle=(
         f"WITH {_ASSIGN_CTES} "
-        "SELECT vec_id, centroid_id, round(cos_raw, 4) AS cos_sim FROM assign"
+        "SELECT vec_id, centroid_id, CAST(round(CAST(CAST(cos_raw AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS cos_sim FROM assign"
     ),
     doc=(
         "IVF coarse quantization: 16 deterministic centroids (vec_id < "
@@ -851,7 +859,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cos_raw "
         "FROM cand c JOIN e q ON q.vec_id = c.query_id "
         "JOIN e n ON n.vec_id = c.neighbor_id) "
-        "SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM ("
+        "SELECT query_id, neighbor_id, CAST(round(CAST(CAST(cos_raw AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS cos_sim, rank FROM ("
         "SELECT query_id, neighbor_id, cos_raw, row_number() OVER ("
         "PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank "
         "FROM scored) WHERE rank <= 5"
@@ -941,7 +949,7 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cos_raw "
         "FROM cand c JOIN e q ON q.vec_id = c.query_id "
         "JOIN e n ON n.vec_id = c.neighbor_id) "
-        "SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim, rank FROM ("
+        "SELECT query_id, neighbor_id, CAST(round(CAST(CAST(cos_raw AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS cos_sim, rank FROM ("
         "SELECT query_id, neighbor_id, cos_raw, row_number() OVER ("
         "PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id) AS rank "
         "FROM scored) WHERE rank <= 5"
@@ -1408,8 +1416,9 @@ _KMV_SCALE = float(1 << 60)  # h is a uniform 60-bit hash → h/2^60 ~ U(0,1)
         "agg AS (SELECT event_type, MAX(h) AS h_k, COUNT(*) AS k_eff "
         "FROM topk GROUP BY event_type) "
         "SELECT event_type, CAST(k_eff AS INT) AS k_eff, "
-        f"round(CASE WHEN k_eff < {_KMV_K} THEN CAST(k_eff AS DOUBLE) "
-        f"ELSE {_KMV_K - 1}.0 * {_KMV_SCALE!r} / h_k END, 2) AS est_distinct "
+        f"CAST(round(CAST(CAST(CASE WHEN k_eff < {_KMV_K} THEN CAST(k_eff AS DOUBLE) "
+        f"ELSE {_KMV_K - 1}.0 * {_KMV_SCALE!r} / h_k END "
+        "AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE) AS est_distinct "
         "FROM agg"
     ),
     doc=(
@@ -1465,9 +1474,9 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) "
         "AS total FROM gc GROUP BY doc_id) "
         "SELECT b.doc_id, "
-        "round(1.0 - CAST(b.nu AS DOUBLE) / nullif(b.n, 0), 4) "
+        "CAST(round(CAST(CAST(1.0 - CAST(b.nu AS DOUBLE) / nullif(b.n, 0) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) "
         "AS dup_token_frac, "
-        "round(CAST(t.top_c AS DOUBLE) / nullif(t.total, 0), 4) "
+        "CAST(round(CAST(CAST(CAST(t.top_c AS DOUBLE) / nullif(t.total, 0) AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) "
         "AS top_bigram_frac "
         "FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id"
     ),
@@ -1583,7 +1592,8 @@ def _hp_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         f"WITH {_hp_sig_cte()} "
         "SELECT a.sig, a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        f"CAST(round(CAST(CAST({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) "
         "AS cos_sim "
         "FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id "
         f"WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.2"
@@ -1634,7 +1644,7 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bc AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2), "
         "uc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS total FROM bc GROUP BY w1) "
         "SELECT b.w1, b.w2, b.n, "
-        "round(CAST(b.n AS DOUBLE) / u.total, 6) AS p_cond "
+        "CAST(round(CAST(CAST(CAST(b.n AS DOUBLE) / u.total AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS p_cond "
         "FROM bc b JOIN uc u ON b.w1 = u.w1"
     ),
     doc=(

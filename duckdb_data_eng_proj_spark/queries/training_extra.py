@@ -380,7 +380,8 @@ _KNN_K = 3
     oracle=(
         f"WITH {_hp_sig_cte()}, "
         "cand AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
-        f"round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 4) "
+        f"CAST(round(CAST(CAST({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) "
         "AS cos_sim, "
         f"CAST(floor({_dot_sql('a.embedding', 'b.embedding')} "
         "/ (a.nrm * b.nrm) * 10000) AS BIGINT) AS cs_fp "
@@ -569,7 +570,8 @@ _RECALL_NQ = 10  # evaluation query batch: vec_id < 10
         "ORDER BY cs DESC, neighbor_id) AS r FROM lc) WHERE r <= "
         f"{_KNN_K}) "
         "SELECT t.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_overlap, "
-        f"round(CAST(COUNT(l.neighbor_id) AS DOUBLE) / {_KNN_K}, 4) AS recall "
+        f"CAST(round(CAST(CAST(CAST(COUNT(l.neighbor_id) AS DOUBLE) / {_KNN_K} "
+        "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS recall "
         "FROM bfr t LEFT JOIN lr l ON l.query_id = t.query_id "
         "AND l.neighbor_id = t.neighbor_id "
         "GROUP BY t.query_id"
