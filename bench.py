@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     # r16 additions
     "mm_audio_resample",   # fractional-rate linear PCM resample (r16)
     "ts_downsample_lttb",  # LTTB series downsampling, per-series Arrow (r16)
+    # r17 additions
+    "vec_matryoshka_search",  # prefix-dim coarse search + full rescore (r17)
+    "mm_scene_cut",        # Y4M temporal scene-cut detection (r17)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one

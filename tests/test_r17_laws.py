@@ -133,3 +133,142 @@ def test_cents_grandfather_condition():
             f" FROM read_parquet('{sf}/{tbl}.parquet')"
         ).fetchone()[0]
         assert resid < 1e-4, (tbl, col, resid)
+
+
+# ---------------------------------------------------------------------------
+# r17 new-op laws (§9.0b item 3)
+
+import math  # noqa: E402
+
+import pytest  # noqa: E402
+
+from duckdb_data_eng_proj_spark.queries import REGISTRY  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+def test_matryoshka_degrades_to_brute_force(spark):
+    """With the coarse budget c >= corpus size the two-stage search
+    must equal brute-force ext_sim_topk EXACTLY (same queries, same
+    k, same tie-break): the prefix stage then filters nothing, so any
+    difference would mean the rescore itself is wrong. Run on the
+    generated vintage, where the fixed-dim/zero-norm guards are
+    vacuous for both ops."""
+    from duckdb_data_eng_proj_spark.queries.extras_r17 import _mrl_df
+
+    exhaustive = _mrl_df(spark, SF_DIR, c=10**9)
+    brute = REGISTRY["ext_sim_topk"].fn(spark, SF_DIR)
+    assert _rows(exhaustive) == _rows(brute)
+
+
+def test_matryoshka_rank_structure(spark):
+    """Ranks are exactly 1..K per query and cosines are
+    non-increasing in rank (the rescore is a true top-k)."""
+    from duckdb_data_eng_proj_spark.queries.extras_r17 import _MRL_K
+
+    rows = REGISTRY["vec_matryoshka_search"].fn(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, _MRL_K + 1)), q
+        sims = [r.cos_sim for r in rs]
+        assert all(a >= b for a, b in zip(sims, sims[1:])), q
+
+
+@pytest.fixture(scope="module")
+def zero_prefix_dir(tmp_path_factory):
+    """An embeddings vintage with a vector (vec_id 3, a QUERY id)
+    whose first 16 dims are all zero but whose full norm is fine —
+    the guard class unique to prefix search: its coarse cosine is
+    undefined while every other family would accept it."""
+    import duckdb as _duck
+    import random as _random
+
+    d = tmp_path_factory.mktemp("zeroprefix")
+    rng = _random.Random(23)
+    rows = []
+    for vid in range(40):
+        emb = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        if vid == 3:
+            emb = [0.0] * 16 + emb[16:]
+        rows.append((vid, emb, vid % 5))
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding FLOAT[], label INT)"
+    )
+    con.executemany("INSERT INTO embeddings VALUES (?, ?, ?)", rows)
+    con.execute(f"COPY embeddings TO '{d}/embeddings.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def test_matryoshka_zero_prefix_cross_engine(spark, zero_prefix_dir):
+    """Spark fn and DuckDB oracle agree value-exactly on the
+    zero-prefix vintage: vec_id 3 is excluded symmetrically (as both
+    query and corpus vector) by the pnrm > 0 guard."""
+    import duckdb as _duck
+
+    spec = REGISTRY["vec_matryoshka_search"]
+    sdf = spec.fn(spark, zero_prefix_dir)
+    got = _rows(sdf)
+    assert all(r[2] != 3 for r in got)  # (cos_sim, neighbor, query)? col-sorted
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{zero_prefix_dir}/embeddings.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [dd[0] for dd in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = sorted(tuple(r[i] for i in order) for r in cur.fetchall())
+    con.close()
+    assert got == want
+
+
+def test_scene_cut_replays_closed_form(spark):
+    """The decode-path cuts equal the closed-form mod-256 wrap count
+    for every doc: frame k's luma is (seed + 11k) % 256, so a cut
+    fires exactly where the ramp wraps (jump 245 > 64 vs in-ramp 11)."""
+    rows = REGISTRY["mm_scene_cut"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        seed = (r.doc_id * 7) % 256
+        lums = [(seed + 11 * k) % 256 for k in range(r.n_frames)]
+        cuts = [
+            k + 1
+            for k in range(len(lums) - 1)
+            if abs(lums[k + 1] - lums[k]) > 64
+        ]
+        assert r.n_cuts == len(cuts), r
+        assert r.first_cut == (cuts[0] if cuts else None), r
+        assert r.cut_idx_sum == sum(cuts), r
+        if r.n_frames == 1:
+            assert (r.n_cuts, r.first_cut, r.cut_idx_sum) == (0, None, 0)
+
+
+@pytest.mark.parametrize(
+    ("qid", "budget"),
+    [
+        # two narrow Arrow stages (synthesize + decode/diff with the
+        # per-doc aggregation inside the batch), no shuffle
+        ("mm_scene_cut", 0),
+        # the corpus-widening repartition + one query-keyed rank
+        # exchange shared by both windows; the query batch broadcasts
+        # without a repartition of its own
+        ("vec_matryoshka_search", 2),
+    ],
+)
+def test_r17_op_exchange_budget(spark, qid, budget):
+    from duckdb_data_eng_proj_spark.plans import count_exchanges
+
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
