@@ -142,6 +142,14 @@ def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_SCHEMA = "user_id long, bucket_ts timestamp, v_c100 long, ewma_c100 long"
 
 
+def _trunc_div10(num: int) -> int:
+    """Integer /10 truncating toward zero — DuckDB `//` semantics
+    (tests/test_r8_laws.py proves DuckDB truncates where Python
+    floors; the Holt TREND state goes negative on any decline, so
+    this is load-bearing here, not defensive)."""
+    return -((-num) // 10) if num < 0 else num // 10
+
+
 def _ewma_pdf(pdf):
     """Per-user fixed-point EWMA: y_1 = v_1; y_t = (3·v_t + 7·y_{t-1})
     divided by 10 TRUNCATING TOWARD ZERO, all BIGINT cents. DuckDB's
@@ -156,8 +164,7 @@ def _ewma_pdf(pdf):
     for v in pdf["v_c100"]:
         v = int(v)
         if acc is not None:
-            num = 3 * v + 7 * acc
-            acc = -((-num) // 10) if num < 0 else num // 10
+            acc = _trunc_div10(3 * v + 7 * acc)
         else:
             acc = v
         out.append(acc)
@@ -786,14 +793,6 @@ _HOLT_SCHEMA = (
     "user_id long, bucket_ts timestamp, v_c100 long, "
     "level_c100 long, trend_c100 long"
 )
-
-
-def _trunc_div10(num: int) -> int:
-    """Integer /10 truncating toward zero — DuckDB `//` semantics
-    (tests/test_r8_laws.py proves DuckDB truncates where Python
-    floors; the Holt TREND state goes negative on any decline, so
-    this is load-bearing here, not defensive)."""
-    return -((-num) // 10) if num < 0 else num // 10
 
 
 def _holt_pdf(pdf):
