@@ -219,7 +219,9 @@ def test_matryoshka_zero_prefix_cross_engine(spark, zero_prefix_dir):
     spec = REGISTRY["vec_matryoshka_search"]
     sdf = spec.fn(spark, zero_prefix_dir)
     got = _rows(sdf)
-    assert all(r[2] != 3 for r in got)  # (cos_sim, neighbor, query)? col-sorted
+    # col-sorted tuples: (cos_sim, neighbor_id, query_id, rank) —
+    # vec 3 must appear neither as query nor as neighbor
+    assert all(r[1] != 3 and r[2] != 3 for r in got)
     con = _duck.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
