@@ -286,7 +286,19 @@ def _verified_green() -> set[str]:
 # never hash-checked). Registry growth is frozen this round (VERDICT
 # r6 item 5), so the remaining ~40 window slots flow to the verified
 # band, which now rotates oldest-evidence-first (see queries()).
-_PRIORITY: tuple[str, ...] = ()
+# r17 (VERDICT r16 item 1): the five r16 window-overflow ids whose
+# driver evidence predates their r16 edits — dropped from the
+# snapshot at r17 end (the round-start regen had blessed them by
+# construction) and steered to the head so the r17 window certifies
+# them FIRST. Self-expiring: once green, _verified_green() reclaims
+# them and band0 filters them out.
+_PRIORITY: tuple[str, ...] = (
+    "graph_bfs_seed_distance",
+    "txt_hybrid_rrf",
+    "sim_ann_ivf_repair",
+    "evt_session_paths",
+    "graph_mst_boruvka",
+)
 
 # Verified ids lifted to the HEAD of the band3 rotation this round.
 # r8 (VERDICT r7 item 5): the named oldest-evidence stragglers that
