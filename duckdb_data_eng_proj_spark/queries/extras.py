@@ -1156,7 +1156,7 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM orders GROUP BY o_orderpriority) "
         "SELECT o_orderpriority, n, "
         "CAST(round(CAST(CAST(CAST(s1 AS DOUBLE) / n / 100 AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS mean_eur, "
-        "CAST(round(CAST(CAST(sqrt((s2d - CAST(s1 AS DOUBLE) * s1 / n) / n) "
+        "CAST(round(CAST(CAST(sqrt(greatest(0, (s2d - CAST(s1 AS DOUBLE) * s1 / n) / n)) "
         "/ 100 AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS stddev_pop_eur "
         "FROM m"
     ),
@@ -1199,8 +1199,17 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n",
         F.round(s1d / nd / 100, 4).alias("mean_eur"),
+        # variance clamped at 0 on BOTH engines (r17): the exact-moment
+        # closed form can go -epsilon in double on a constant-price
+        # group, and sqrt(-eps) = NaN splits the engines
         F.round(
-            F.sqrt((F.col("s2d") - s1d * F.col("s1") / nd) / nd) / 100, 4
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0), (F.col("s2d") - s1d * F.col("s1") / nd) / nd
+                )
+            )
+            / 100,
+            4,
         ).alias("stddev_pop_eur"),
     )
 
@@ -1220,10 +1229,12 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) AS syy "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, n, "
-        "CAST(round(CAST(CAST((sxy - CAST(sx AS DOUBLE) * sy / n) / "
+        "CASE WHEN (sxx - CAST(sx AS DOUBLE) * sx / n) > 0 "
+        "AND (syy - CAST(sy AS DOUBLE) * sy / n) > 0 "
+        "THEN CAST(round(CAST(CAST((sxy - CAST(sx AS DOUBLE) * sy / n) / "
         "sqrt((sxx - CAST(sx AS DOUBLE) * sx / n) * "
         "(syy - CAST(sy AS DOUBLE) * sy / n)) "
-        "AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS corr_qty_price "
+        "AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) END AS corr_qty_price "
         "FROM m"
     ),
     doc=(
@@ -1256,10 +1267,16 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("sxy") - sxd * F.col("sy") / nd
     vx = F.col("sxx") - sxd * F.col("sx") / nd
     vy = F.col("syy") - syd * F.col("sy") / nd
+    # correlation is UNDEFINED on a zero-variance side (r17: Spark's
+    # ANSI double division aborts on /0 where DuckDB yields NaN/inf —
+    # a loud cross-engine split on any constant-column vintage): both
+    # engines emit NULL unless both variances are strictly positive.
     return m.select(
         "l_returnflag",
         "n",
-        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias(
+            "corr_qty_price"
+        ),
     )
 
 

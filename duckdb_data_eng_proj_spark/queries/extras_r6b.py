@@ -296,10 +296,15 @@ _SLOPE_SQL = (
         "SUM(x) AS sx, SUM(x * x) AS sxx, SUM(y) AS sy, SUM(x * y) AS sxy "
         "FROM pts GROUP BY event_type) "
         "SELECT event_type, n, "
-        f"CAST(round(CAST(CAST({_SLOPE_SQL} AS VARCHAR) AS DECIMAL(38,18)), 6) "
-        "AS DOUBLE) AS slope, "
-        f"CAST(round(CAST(CAST((CAST(sy AS DOUBLE) - {_SLOPE_SQL} * CAST(sx AS DOUBLE)) "
-        "/ CAST(n AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS intercept "
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+        f"THEN CAST(round(CAST(CAST({_SLOPE_SQL} AS VARCHAR) AS DECIMAL(38,18)), 6) "
+        "AS DOUBLE) END AS slope, "
+        "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 "
+        f"THEN CAST(round(CAST(CAST((CAST(sy AS DOUBLE) - {_SLOPE_SQL} * CAST(sx AS DOUBLE)) "
+        "/ CAST(n AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) "
+        "END AS intercept "
         "FROM m"
     ),
     doc=(
@@ -330,8 +335,13 @@ def agg_regr_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx_d = F.col("sxx").cast("double")
     sy_d = F.col("sy").cast("double")
     sxy_d = F.col("sxy").cast("double")
-    slope = (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d)
-    intercept = (sy_d - slope * sx_d) / n_d
+    den = n_d * sxx_d - sx_d * sx_d
+    slope_raw = (n_d * sxy_d - sx_d * sy_d) / den
+    # den = 0 (constant x) leaves the fit undefined: NULL on both
+    # engines (r17 — Spark ANSI aborts the /0 where DuckDB yields
+    # NaN/inf; den >= 0 by Cauchy-Schwarz so > 0 is the defined case)
+    slope = F.when(den > 0, slope_raw)
+    intercept = F.when(den > 0, (sy_d - slope_raw * sx_d) / n_d)
     return m.select(
         "event_type",
         "n",
@@ -1355,8 +1365,15 @@ def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/ sqrt((CAST(m.nb AS DOUBLE) * CAST(m.s2 AS DOUBLE) "
         "- CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)) "
         "/ (CAST(m.nb AS DOUBLE) * (CAST(m.nb AS DOUBLE) - 1))) AS zval "
-        "FROM b JOIN m ON m.event_type = b.event_type WHERE m.nb > 1) "
-        "SELECT event_type, bucket, n, CAST(round(CAST(CAST(zval AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS z "
+        "FROM b JOIN m ON m.event_type = b.event_type WHERE m.nb > 1 "
+        # zero-variance series have no defined z-score (r17: Spark's
+        # ANSI double /0 aborts where DuckDB yields NaN, and NaN
+        # passes the |z|>=2 filter in BOTH engines' NaN ordering)
+        "AND CAST(m.nb AS DOUBLE) * CAST(m.s2 AS DOUBLE) "
+        "- CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) > 0) "
+        "SELECT event_type, bucket, n, "
+        "CAST(round(CAST(CAST(zval AS VARCHAR) "
+        "AS DECIMAL(38,18)), 4) AS DOUBLE) AS z "
         "FROM z WHERE zval >= 2.0 OR zval <= -2.0"
     ),
     doc=(
@@ -1390,7 +1407,12 @@ def evt_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1_d = F.col("s1").cast("double")
     s2_d = F.col("s2").cast("double")
     var = (nb_d * s2_d - s1_d * s1_d) / (nb_d * (nb_d - F.lit(1.0)))
-    zval = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # zero-variance series have no defined z-score — excluded on both
+    # engines (r17; the conditional keeps ANSI from evaluating /0)
+    zval = F.when(
+        nb_d * s2_d - s1_d * s1_d > 0,
+        (F.col("n").cast("double") - mean) / F.sqrt(var),
+    )
     return (
         j.select(
             "event_type",
@@ -2246,7 +2268,9 @@ def src_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SUM(CAST(l_quantity AS BIGINT)) AS sw "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, CAST(sw AS BIGINT) AS total_qty, "
-        "CAST(round(CAST(CAST(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) "
+        "CASE WHEN sw > 0 "
+        "THEN CAST(round(CAST(CAST(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) "
+        "AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) END "
         "AS wavg_discount "
         "FROM m"
     ),
@@ -2273,7 +2297,12 @@ def agg_weighted_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         F.col("sw").cast("bigint").alias("total_qty"),
-        F.round(
-            F.col("swx").cast("double") / F.col("sw").cast("double"), 6
+        # a zero total weight leaves the average undefined: NULL on
+        # both engines (r17 ANSI /0 rule)
+        F.when(
+            F.col("sw") > 0,
+            F.round(
+                F.col("swx").cast("double") / F.col("sw").cast("double"), 6
+            ),
         ).alias("wavg_discount"),
     )

@@ -274,3 +274,87 @@ def test_r17_op_exchange_budget(spark, qid, budget):
     df = REGISTRY[qid].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+# ---------------------------------------------------------------------------
+# degenerate-variance semantics (r17): Spark's ANSI mode ABORTS double
+# division-by-zero where DuckDB yields NaN/inf (and DuckDB's decimal
+# cast aborts on 'nan') — so zero-variance inputs were a loud
+# cross-engine split. The pinned rule: statistics are NULL (corr,
+# slope/intercept, wavg) or filtered out (z-score) when their
+# defining variance/weight is not strictly positive, identically on
+# both engines.
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dir(tmp_path_factory):
+    """A vintage that drives the guarded expressions degenerate:
+    lineitem with a CONSTANT-quantity returnflag group (zero x
+    variance) and events whose hourly counts are all equal per type
+    (z-score variance 0)."""
+    import duckdb as _duck
+
+    d = tmp_path_factory.mktemp("nonfinite")
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_orderkey BIGINT, l_quantity DOUBLE, "
+        "l_extendedprice DOUBLE, l_discount DOUBLE, l_returnflag VARCHAR)"
+    )
+    rows = [(i, 5.0, 100.0 + i, 0.01, "A") for i in range(20)]
+    rows += [(100 + i, float(1 + i), 200.0 + 3 * i, 0.02, "N") for i in range(20)]
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY lineitem TO '{d}/lineitem.parquet' (FORMAT PARQUET)")
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    ev = []
+    eid = 0
+    for h in range(4):  # 4 hourly buckets, 3 events each -> var = 0
+        for k in range(3):
+            eid += 1
+            ev.append((eid, f"2024-03-01 {10 + h:02d}:{5 * k:02d}:00", 1, "view", 1.0, "{}"))
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", ev)
+    con.execute(f"COPY events TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+def _norm_nan(rows):
+    out = []
+    for r in rows:
+        vals = []
+        for v in r:
+            if isinstance(v, float):
+                vals.append("nan" if math.isnan(v) else f"{v:.9g}")
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("qid", ["agg_corr_exact", "evt_anomaly_zscore"])
+def test_degenerate_variance_cross_engine(spark, nonfinite_dir, qid):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, nonfinite_dir)  # must not ANSI-abort
+    got = _norm_nan(
+        tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    for tbl in ("lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{nonfinite_dir}/{tbl}.parquet')"
+        )
+    cur = con.execute(spec.oracle)  # must not decimal-cast-abort
+    cols = [dd[0] for dd in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = _norm_nan(tuple(r[i] for i in order) for r in cur.fetchall())
+    con.close()
+    assert got == want
+    if qid == "agg_corr_exact":
+        # the constant-quantity group is PRESENT with a NULL corr
+        assert any("None" in r for r in got), got
+    else:
+        # the zero-variance series produces no anomaly rows at all
+        assert got == [], got
