@@ -76,23 +76,32 @@ def _fp_sql(tk: str, shingles: str) -> str:
     """Winnowing fingerprint: min md5 over the 5-gram shingles, whole-
     text md5 fallback for short docs — the SQL mirror of
     ``_fingerprint_expr`` below. ``shingles`` may be a column reference
-    or an inline shingle expression (pipe_corpus_clean's _QL_CTE)."""
+    or an inline shingle expression (pipe_corpus_clean's _QL_CTE).
+
+    Zero-token docs fingerprint as NULL on BOTH engines (r17
+    blank-text vintage: DuckDB's array_to_string([]) is NULL while
+    Spark's array_join([]) is '' — md5 of those split the engines;
+    NULL also matches the etl_dedup_incremental rule that
+    unfingerprintable rows are not admissible)."""
     return (
         f"CASE WHEN len({tk}) >= 5 THEN "
         f"list_aggregate(list_transform({shingles}, s -> md5(s)), 'min') "
-        f"ELSE md5(array_to_string({tk}, ' ')) END"
+        f"WHEN len({tk}) > 0 THEN md5(array_to_string({tk}, ' ')) "
+        "ELSE NULL END"
     )
 
 
 def _fingerprint_expr(tk, shingles):
     """Spark twin of ``_fp_sql``: min md5 shingle / whole-text md5
-    fallback, shared by txt_fingerprint and ext_corpus_release_diff."""
+    fallback (zero-token docs -> NULL, see _fp_sql), shared by
+    txt_fingerprint and ext_corpus_release_diff."""
     return (
         F.when(
             F.size(tk) >= 5,
             F.array_min(F.transform(shingles, lambda s: F.md5(s))),
         )
-        .otherwise(F.md5(F.array_join(tk, " ")))
+        .when(F.size(tk) > 0, F.md5(F.array_join(tk, " ")))
+        .otherwise(F.lit(None).cast("string"))
     )
 
 # distinct word bigrams (the shingle set for MinHash / Jaccard)

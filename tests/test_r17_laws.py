@@ -358,3 +358,75 @@ def test_degenerate_variance_cross_engine(spark, nonfinite_dir, qid):
     else:
         # the zero-variance series produces no anomaly rows at all
         assert got == [], got
+
+
+# ---------------------------------------------------------------------------
+# blank-text vintage (r17 extension of the adversarial-vintage
+# program): documents that EXIST but tokenize to nothing — empty
+# string, whitespace-only, punctuation-only. Explode-based ops drop
+# such docs on both engines; per-doc stats must agree on NULL vs 0 vs
+# absent, and no division by a zero token count may abort either side.
+
+
+@pytest.fixture(scope="module")
+def blank_text_dir(tmp_path_factory):
+    import duckdb as _duck
+    import random as _random
+
+    d = tmp_path_factory.mktemp("blanktext")
+    rng = _random.Random(31)
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(24):
+        if i % 6 == 0:
+            text = ""
+        elif i % 6 == 1:
+            text = "   \t  "
+        elif i % 6 == 2:
+            text = "!!! ... ###"
+        else:
+            text = " ".join(rng.choice(words) for _ in range(10))
+        rows.append((i, text, ["en", "de"][i % 2], f"src{i % 3}", len(text)))
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars INT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY documents TO '{d}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "txt_quality_score",
+        "txt_rep_signals",
+        "txt_entropy",
+        "txt_readability",
+        "txt_top_tokens",
+        "txt_oov_rate",
+        "dedup_simhash",
+        "txt_fingerprint",
+        "txt_code_detect",
+        "txt_lang_id",
+    ],
+)
+def test_blank_text_cross_engine(spark, blank_text_dir, qid):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, blank_text_dir)
+    got = _norm_nan(
+        tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{blank_text_dir}/documents.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [dd[0] for dd in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = _norm_nan(tuple(r[i] for i in order) for r in cur.fetchall())
+    con.close()
+    assert got == want
