@@ -47,7 +47,11 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_json_extract",
     oracle=(
-        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value "
+        # json_valid guard (r17 malformed-props vintage): Spark's
+        # get_json_object NULLs invalid JSON while DuckDB's
+        # json_extract_string THROWS — tolerant extraction is the spec
+        "SELECT event_id, CAST(json_extract_string("
+        "CASE WHEN json_valid(props) THEN props END, '$.k') AS INT) AS k_value "
         "FROM events"
     ),
     doc="JSON field extraction from events.props (get_json_object → int).",

@@ -385,12 +385,17 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "js_from_json",
     oracle=(
+        # json_valid guards (r17 malformed-props vintage): Spark's
+        # from_json/json_object_keys NULL invalid JSON while DuckDB's
+        # json fns THROW — tolerant parsing is the spec
+        "WITH p AS (SELECT event_id, "
+        "CASE WHEN json_valid(props) THEN props END AS props FROM events) "
         "SELECT event_id, "
         "CAST(json_extract_string(props, '$.k') AS INT) AS k_value, "
         "CAST(len(json_keys(props)) AS INT) AS n_keys, "
         "CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50 "
         "THEN 'high' ELSE 'low' END AS k_band "
-        "FROM events"
+        "FROM p"
     ),
     doc=(
         "Typed JSON parsing (beyond ext_json_extract's string path): "

@@ -430,3 +430,55 @@ def test_blank_text_cross_engine(spark, blank_text_dir, qid):
     want = _norm_nan(tuple(r[i] for i in order) for r in cur.fetchall())
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# malformed-props vintage: the r7 divergence atlas says DuckDB's JSON
+# fns THROW on invalid JSON where Spark's Jackson paths yield NULL —
+# pinned here as "tolerant extraction is the spec" (json_valid guards
+# in the oracles).
+
+
+@pytest.fixture(scope="module")
+def bad_json_dir(tmp_path_factory):
+    import duckdb as _duck
+
+    d = tmp_path_factory.mktemp("badjson")
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, '{"k": 55, "x": 1}'),
+        (2, "2024-01-01 10:01:00", 1, "view", 1.0, '{"k": 7}'),
+        (3, "2024-01-01 10:02:00", 1, "view", 1.0, "{"),          # malformed
+        (4, "2024-01-01 10:03:00", 1, "view", 1.0, ""),            # empty
+        (5, "2024-01-01 10:04:00", 1, "view", 1.0, None),          # NULL
+        (6, "2024-01-01 10:05:00", 1, "view", 1.0, '{"x": 9}'),   # missing k
+        (7, "2024-01-01 10:06:00", 1, "view", 1.0, "not json at all"),
+    ]
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY events TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("qid", ["ext_json_extract", "js_from_json"])
+def test_malformed_json_cross_engine(spark, bad_json_dir, qid):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, bad_json_dir)
+    got = _norm_nan(
+        tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{bad_json_dir}/events.parquet')"
+    )
+    cur = con.execute(spec.oracle)  # must not throw on invalid JSON
+    cols = [dd[0] for dd in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = _norm_nan(tuple(r[i] for i in order) for r in cur.fetchall())
+    con.close()
+    assert got == want
