@@ -165,14 +165,19 @@ def dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality + language fragments mirrored from training.py's registered
 # ops, restricted to what the composite needs.
 _QL_CTE = (
+    # display rounds replay Spark's shortest-repr HALF_UP (r17 F.round
+    # rule) — decisive here: quality_score feeds a >= 0.5 GATE, so a
+    # halfway divergence flips membership, not just a digit
     "ql AS (SELECT t.doc_id AS doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, "
-    "round(0.5 * least(1.0, CAST(len(t.tk) AS DOUBLE) / 50.0) "
+    "CAST(round(CAST(CAST("
+    "0.5 * least(1.0, CAST(len(t.tk) AS DOUBLE) / 50.0) "
     "+ 0.3 * (CAST(len(list_filter(t.tk, x -> list_contains(['the', 'a', 'and', "
     "'of', 'to', 'in', 'is', 'it', 'on', 'for'], x))) AS DOUBLE) "
     "/ nullif(len(t.tk), 0)) "
     "+ 0.2 * (1.0 - least(1.0, 10.0 * "
     "CAST(len(regexp_extract_all(lower(trim(d.text)), '[^a-z0-9\\s]')) AS DOUBLE) "
-    "/ nullif(length(trim(d.text)), 0))), 4) AS quality_score, "
+    "/ nullif(length(trim(d.text)), 0))) "
+    "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS quality_score, "
     + ", ".join(f"{_lang_hits_sql(lg)} AS {lg}_hits" for lg in ("en", "de", "fr", "es"))
     + ", "
     # txt_fingerprint's fragment (training._fp_sql) with the shingle
@@ -634,8 +639,10 @@ _REP_CTES = (
     "rept AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS total "
     "FROM repc GROUP BY doc_id), "
     "rep AS (SELECT b.doc_id, "
-    "round(1.0 - CAST(b.nu AS DOUBLE) / nullif(b.n, 0), 4) AS dupf, "
-    "round(CAST(t.top_c AS DOUBLE) / nullif(t.total, 0), 4) AS topf "
+    "CAST(round(CAST(CAST(1.0 - CAST(b.nu AS DOUBLE) / nullif(b.n, 0) "
+    "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS dupf, "
+    "CAST(round(CAST(CAST(CAST(t.top_c AS DOUBLE) / nullif(t.total, 0) "
+    "AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE) AS topf "
     "FROM repb b LEFT JOIN rept t ON b.doc_id = t.doc_id)"
 )
 

@@ -478,7 +478,8 @@ _DRIFT_DISP_SQL = (
         "COALESCE(g.n_fresh, 0) AS n_fresh, "
         "COALESCE(g.n_stayed, 0) AS n_stayed, "
         "CASE WHEN o.cid IS NULL OR n.cid IS NULL THEN CAST(-1 AS BIGINT) "
-        f"ELSE CAST(round({_DRIFT_DISP_SQL} * 1000000, 0) AS BIGINT) END "
+        f"ELSE CAST(round(CAST(CAST({_DRIFT_DISP_SQL} * 1000000 "
+        "AS VARCHAR) AS DECIMAL(38,18)), 0) AS BIGINT) END "
         "AS sq_disp_u "
         "FROM cent0 c0 "
         "LEFT JOIN agg g ON g.cid = c0.cid "

@@ -622,8 +622,9 @@ _TUNE_ROWS_SQL = ", ".join(
         "l.cand_rows AS cand_rows, r.eval_pairs AS eval_pairs, "
         "r.exp_caught_u AS exp_caught_u, "
         "CASE WHEN r.eval_pairs > 0 THEN "
-        "round(CAST(r.exp_caught_u AS DOUBLE) / "
-        "CAST(r.eval_pairs * 1000000 AS DOUBLE), 4) ELSE 0.0 END "
+        "CAST(round(CAST(CAST(CAST(r.exp_caught_u AS DOUBLE) / "
+        "CAST(r.eval_pairs * 1000000 AS DOUBLE) AS VARCHAR) "
+        "AS DECIMAL(38,18)), 4) AS DOUBLE) ELSE 0.0 END "
         "AS exp_recall "
         "FROM load l JOIN rows r ON l.bands = r.bands"
     ),
