@@ -1850,7 +1850,8 @@ def _modality_split_oracle() -> str:
         "CASE WHEN len(t.tk) >= 5 THEN list_aggregate(list_transform("
         "list_transform(range(len(t.tk) - 4), "
         "i -> array_to_string(t.tk[i+1:i+5], ' ')), s -> md5(s)), 'min') "
-        "ELSE md5(array_to_string(t.tk, ' ')) END AS fuzzy_key "
+        "WHEN len(t.tk) > 0 THEN md5(array_to_string(t.tk, ' ')) "
+        "ELSE NULL END AS fuzzy_key "
         "FROM documents d JOIN toks t USING (doc_id)), "
         "keyed AS (SELECT doc_id, "
         "CASE WHEN is_code THEN 'code' ELSE 'prose' END AS modality, "
@@ -1920,12 +1921,19 @@ def pipe_modality_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     has5 = F.size(F.col("tk")) >= 5
-    fuzzy_key = F.when(
-        has5,
-        F.array_min(
-            F.transform(word_ngrams(F.col("tk"), 5), lambda g: F.md5(g))
-        ),
-    ).otherwise(F.md5(F.array_join(F.col("tk"), " ")))
+    # zero-token docs key as NULL on BOTH engines (r17 blank-text
+    # vintage — the txt_fingerprint fix, same split: DuckDB
+    # array_to_string([]) is NULL, Spark array_join([]) is '')
+    fuzzy_key = (
+        F.when(
+            has5,
+            F.array_min(
+                F.transform(word_ngrams(F.col("tk"), 5), lambda g: F.md5(g))
+            ),
+        )
+        .when(F.size(F.col("tk")) > 0, F.md5(F.array_join(F.col("tk"), " ")))
+        .otherwise(F.lit(None).cast("string"))
+    )
     keyed = sig.select(
         "doc_id",
         F.when(score >= 100, "code").otherwise("prose").alias("modality"),

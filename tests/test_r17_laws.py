@@ -411,6 +411,9 @@ def blank_text_dir(tmp_path_factory):
         "txt_fingerprint",
         "txt_code_detect",
         "txt_lang_id",
+        # the fingerprint/fuzzy-key consumers (r17 blank-text fixes)
+        "pipe_modality_split",
+        "pipe_corpus_clean",
     ],
 )
 def test_blank_text_cross_engine(spark, blank_text_dir, qid):
