@@ -485,3 +485,87 @@ def test_malformed_json_cross_engine(spark, bad_json_dir, qid):
     want = _norm_nan(tuple(r[i] for i in order) for r in cur.fetchall())
     con.close()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# negative-value + tied-timestamp vintage: the extras_r8 docstrings
+# note the generated data never drives a bucket sum negative — the
+# truncating-division pins (_trunc_div10, DuckDB `//` == Spark DIV on
+# negatives) were proven by pure-python laws but never driven through
+# BOTH engines on hostile data. Ties at identical (user_id, ts) also
+# exercise every (ts, event_id) tiebreak.
+
+
+@pytest.fixture(scope="module")
+def negative_value_dir(tmp_path_factory):
+    import duckdb as _duck
+    import random as _random
+
+    d = tmp_path_factory.mktemp("negval")
+    rng = _random.Random(37)
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    rows = []
+    eid = 0
+    types = ["view", "click", "purchase", "error", "signup"]
+    for u in (1, 2, 3):
+        for h in range(6):
+            for k in range(4):
+                eid += 1
+                # mostly-negative cents, some ties at :00 seconds
+                v = round(rng.uniform(-80, 20), 2)
+                minute = 0 if k < 2 else 7 * k  # two events tie per hour
+                rows.append(
+                    (
+                        eid,
+                        f"2024-04-0{u} {8 + h:02d}:{minute:02d}:00",
+                        u,
+                        types[eid % 5],
+                        v,
+                        '{"k": %d}' % (eid % 100),
+                    )
+                )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY events TO '{d}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "ts_ewma",           # truncating recursion on SIGNED state
+        "ts_holt_linear",    # trend goes negative on any decline
+        "ts_anomaly_mad",    # |2v - med| over negative cents
+        "ts_changepoint_cusum",
+        "ts_resample_ohlc",
+        "ts_gap_fill",
+        "win_moving_avg",
+        "evt_rfm_scores",    # m_c100 negative monetary scores
+        "ext_sessionize",    # tied timestamps, event_id tiebreak
+        "ts_downsample_lttb",  # y cents negative, tied ts
+    ],
+)
+def test_negative_value_cross_engine(spark, negative_value_dir, qid):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, negative_value_dir)
+    got = _norm_nan(
+        tuple(r[c] for c in sorted(sdf.columns)) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{negative_value_dir}/events.parquet')"
+    )
+    cur = con.execute(spec.oracle)
+    cols = [dd[0] for dd in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = _norm_nan(tuple(r[i] for i in order) for r in cur.fetchall())
+    con.close()
+    assert got == want
+    # the vintage is actually hostile: negative values reached the output
+    if qid in ("ts_ewma", "ts_holt_linear", "ts_anomaly_mad"):
+        assert any("-" in "".join(r) for r in got), "no negatives exercised"
