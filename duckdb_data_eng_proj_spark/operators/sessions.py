@@ -30,6 +30,12 @@ def sessionized(events: DataFrame, gap_s: int) -> DataFrame:
     session id is the running count of starts, so ids are 1-based and
     contiguous per user.
     """
+    # A NULL-ts event has no place on the session timeline — excluded
+    # on BOTH engines (r17 NULL-vintage probe: Spark's NULLS FIRST put
+    # timeless rows at the session head, DuckDB's NULLS LAST at the
+    # tail, so every downstream boundary/path diverged; the oracles
+    # carry the same WHERE ts IS NOT NULL).
+    events = events.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     gap = F.col("ts").cast("long") - prev_ts.cast("long")

@@ -126,7 +126,8 @@ def ext_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CASE WHEN lag(ts) OVER w IS NULL "
         "       OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END "
         "  AS new_session "
-        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "  FROM events WHERE ts IS NOT NULL "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "sessions AS ("
         "  SELECT user_id, ts, "
         "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "

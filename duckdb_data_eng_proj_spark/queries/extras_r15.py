@@ -48,7 +48,8 @@ _SESSION_GAP_S = 1800  # ext_sessionize's 30-min rule, shared verbatim
         "CASE WHEN lag(ts) OVER w IS NULL "
         f"OR date_diff('second', lag(ts) OVER w, ts) > {_SESSION_GAP_S} "
         "THEN 1 ELSE 0 END AS new_session "
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "FROM events WHERE ts IS NOT NULL "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "sess AS (SELECT user_id, ts, event_id, event_type, "
         "SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING) AS session_id FROM flagged), "

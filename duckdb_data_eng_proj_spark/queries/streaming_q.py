@@ -188,7 +188,8 @@ def ext_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 "
         "  THEN 1 ELSE 0 END "
         "  AS new_session "
-        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "  FROM events WHERE ts IS NOT NULL "
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "sessions AS ("
         "  SELECT user_id, ts, "
         "  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "

@@ -521,6 +521,9 @@ def null_vintage_dir(tmp_path_factory):
         "ext_sketch_kmv_intersect",
         "win_gaps_islands",
         "win_percent_change",
+        # r17 sessionize rule: NULL-ts events excluded on both engines
+        "ext_sessionize",
+        "evt_session_paths",
     ],
 )
 def test_null_vintage_cross_engine(spark, null_vintage_dir, qid):
