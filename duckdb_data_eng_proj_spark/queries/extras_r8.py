@@ -180,7 +180,8 @@ def _ewma_pdf(pdf):
         "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c100, "
         "ROW_NUMBER() OVER (PARTITION BY user_id "
         "ORDER BY date_trunc('hour', ts)) AS rn "
-        "FROM events GROUP BY 1, 2), "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "GROUP BY 1, 2), "
         "e AS ("
         "SELECT user_id, bucket_ts, rn, v_c100, v_c100 AS y "
         "FROM b WHERE rn = 1 "
@@ -212,6 +213,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NULL ts/value rows are not plottable points — excluded on BOTH
+    # engines (r17 hostile vintage: a NULL bucket key NaT-poisons the
+    # pandas sort and int(None) aborts the recursion; the LTTB rule)
+    raw = raw.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
     buckets = (
         raw.select(
             F.col("user_id").cast("long").alias("user_id"),
@@ -826,7 +831,8 @@ def _holt_pdf(pdf):
         "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c100, "
         "ROW_NUMBER() OVER (PARTITION BY user_id "
         "ORDER BY date_trunc('hour', ts)) AS rn "
-        "FROM events GROUP BY 1, 2), "
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+        "GROUP BY 1, 2), "
         "h AS ("
         "SELECT user_id, bucket_ts, rn, v_c100, "
         "v_c100 AS l, CAST(0 AS BIGINT) AS t "
@@ -861,6 +867,10 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NULL ts/value rows are not plottable points — excluded on BOTH
+    # engines (r17 hostile vintage: a NULL bucket key NaT-poisons the
+    # pandas sort and int(None) aborts the recursion; the LTTB rule)
+    raw = raw.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
     buckets = (
         raw.select(
             F.col("user_id").cast("long").alias("user_id"),

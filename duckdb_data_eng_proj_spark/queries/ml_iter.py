@@ -76,9 +76,15 @@ def _update_ctes(prefix: str, assign: str) -> str:
     )
 
 
+# Fixed-dim contract (r17 hostile-vintage sweep): the update step's
+# per-dim fold hardcodes range(_DIM) — an off-width vector NULLs the
+# oracle's missing dims while Spark's posexplode just drops them, so
+# the engines' centroids diverge. Off-contract vectors are excluded
+# from clustering on BOTH engines (the IVF/PQ rule).
 _ORACLE = (
     "WITH e AS (SELECT vec_id, embedding, "
-    f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+    f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings "
+    f"WHERE len(embedding) = {_DIM}), "
     f"cent0 AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm "
     f"FROM e WHERE vec_id < {_K}), "
     + _assign_cte("a1", "cent0")
@@ -158,7 +164,8 @@ def kmeans_converged_state(
     exact cross-engine oracle, this loop is the real operator).
     """
     e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    en = e.select(
+    # fixed-dim contract — see _ORACLE's comment (r17)
+    en = e.filter(F.size("embedding") == _DIM).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -209,7 +216,8 @@ _COS_SQL = f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm)"
 
 _CONVERGED_ORACLE = (
     "WITH RECURSIVE e AS (SELECT vec_id, embedding, "
-    f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+    f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings "
+    f"WHERE len(embedding) = {_DIM}), "
     "it(iter, cid, c_emb, c_nrm) AS ("
     f"SELECT 0, vec_id, embedding, nrm FROM e WHERE vec_id < {_K} "
     "UNION ALL "
@@ -284,7 +292,8 @@ def ml_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    en = e.select(
+    # fixed-dim contract — see _ORACLE's comment (r17)
+    en = e.filter(F.size("embedding") == _DIM).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),

@@ -170,9 +170,19 @@ _LSH_PRELUDE = f"WITH {_LSH_PRELUDE_BODY}"
 
 
 def _dot_sql(a: str, b: str) -> str:
-    """Sequential left fold in DOUBLE — same order as F.aggregate."""
+    """Sequential left fold in DOUBLE — same order as F.aggregate.
+
+    Over the COMMON PREFIX of both lists (r17 hostile-vintage sweep):
+    Spark's zip_with truncates to the shorter operand, but
+    range(len(a)) indexed b[i] past b's end — NULL in DuckDB, so a
+    short-embedding pair read NULL cos where Spark computed a prefix
+    cos. least() is the identity on equal-length vectors (every
+    generated vintage); mismatched lengths now mean prefix-cosine on
+    BOTH engines — the hyperplane family's sliced-plane semantics
+    extended to pair cosines. Centroid/codebook families instead
+    EXCLUDE off-contract vectors (the fixed-dim rule)."""
     return (
-        f"list_reduce(list_transform(range(len({a})), "
+        f"list_reduce(list_transform(range(least(len({a}), len({b}))), "
         f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
     )
 
@@ -773,15 +783,21 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # zero-norm VECTOR divides by zero, which Spark's ANSI mode raises on.
 # Cosine to/from the zero vector is undefined, so both engines drop
 # such rows from assignment — _ivf_parts applies the same two filters.
+# ... and the FIXED-DIM contract (r17 hostile-vintage sweep, the PQ
+# family's rule): an off-width vector has no defined cosine against a
+# 64-dim centroid — excluded from the index and from probing on BOTH
+# engines (the pair-cos family instead computes prefix cosines; see
+# _dot_sql).
 _ASSIGN_CTES = (
     f"{_EMB_CTE}, cent AS (SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm "
-    "FROM e WHERE vec_id < 16 AND nrm > 0), "
+    "FROM e WHERE vec_id < 16 AND nrm > 0 AND len(embedding) = 64), "
     "assign AS (SELECT vec_id, centroid_id, cos_raw FROM ("
     "SELECT v.vec_id, c.centroid_id, "
     f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm) AS cos_raw, "
     "row_number() OVER (PARTITION BY v.vec_id ORDER BY "
     f"{_dot_sql('v.embedding', 'c.c_emb')} / (v.nrm * c.c_nrm) DESC, c.centroid_id) AS rn "
-    "FROM e v CROSS JOIN cent c WHERE v.nrm > 0) WHERE rn = 1)"
+    "FROM e v CROSS JOIN cent c WHERE v.nrm > 0 AND len(v.embedding) = 64) "
+    "WHERE rn = 1)"
 )
 
 
@@ -794,7 +810,9 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     shuffled (round 1 expanded ×16 then shuffled for a row_number
     window; VERDICT r1 "What's wrong" #2)."""
     e = ensure_parallelism(t(spark, sf_dir, "embeddings"))
-    en = e.select(
+    # fixed-dim contract (r17): off-width vectors excluded from the
+    # whole IVF surface — index, assignment, and probe queries alike
+    en = e.filter(F.size("embedding") == 64).select(
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
@@ -860,7 +878,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT q.vec_id AS query_id, c.centroid_id, row_number() OVER ("
         "PARTITION BY q.vec_id ORDER BY "
         f"{_dot_sql('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm) DESC, c.centroid_id) AS prn "
-        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10 AND q.nrm > 0) WHERE prn <= 4), "
+        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10 AND q.nrm > 0 "
+        "AND len(q.embedding) = 64) WHERE prn <= 4), "
         "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p "
         "JOIN assign a ON a.centroid_id = p.centroid_id "
         "WHERE a.vec_id <> p.query_id), "
@@ -950,7 +969,8 @@ def sim_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT q.vec_id AS query_id, c.centroid_id, row_number() OVER ("
         "PARTITION BY q.vec_id ORDER BY "
         f"{_dot_sql('q.embedding', 'c.c_emb')} / (q.nrm * c.c_nrm) DESC, c.centroid_id) AS prn "
-        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10 AND q.nrm > 0) WHERE prn <= 4), "
+        "FROM e q CROSS JOIN cent c WHERE q.vec_id < 10 AND q.nrm > 0 "
+        "AND len(q.embedding) = 64) WHERE prn <= 4), "
         "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id FROM probes p "
         "JOIN assign a ON a.centroid_id = p.centroid_id "
         "WHERE a.vec_id <> p.query_id), "
