@@ -103,6 +103,9 @@ def grouped_zscore(events: DataFrame) -> DataFrame:
     width = events.sparkSession.sparkContext.defaultParallelism
     return (
         events.select("event_id", "event_type", "value")
+        # NULL values have no z-score and NaN-poison the group's
+        # numpy moments — excluded on BOTH engines (r17)
+        .filter(F.col("value").isNotNull())
         .repartition(width, "event_type")
         .groupBy("event_type")
         .applyInPandas(_zscore_pdf, schema=ZSCORE_SCHEMA)

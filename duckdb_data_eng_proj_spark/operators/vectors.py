@@ -19,12 +19,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in DOUBLE (order-pinned, exact)."""
+def _fold_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in DOUBLE (order-pinned, exact),
+    over the COMMON PREFIX of both lists (r17 hostile-vintage sweep):
+    zip_with NULL-PADS to the longer operand, so a length-mismatched
+    pair folded to NULL while the oracle's least()-ranged _dot_sql
+    computed a prefix dot. Equal lengths (every generated vintage)
+    take the direct branch; the slice allocation only runs on
+    off-width rows."""
+    n = F.least(F.size(a), F.size(b))
+    return F.when(F.size(a) == F.size(b), _fold_dot(a, b)).otherwise(
+        _fold_dot(F.slice(a, F.lit(1), n), F.slice(b, F.lit(1), n))
     )
 
 

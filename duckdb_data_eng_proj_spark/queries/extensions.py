@@ -35,9 +35,17 @@ from duckdb_data_eng_proj_spark.queries.registry import register, t
 )
 def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
+    # Keep-first orders NULL ts LAST like the oracle's row_number
+    # (DuckDB default): Spark struct-min sorts a NULL field FIRST, so
+    # a timeless duplicate would beat every timed one (r17 hostile
+    # vintage). The sentinel keeps the agg map-side combinable; ties
+    # at the sentinel fall to event_id like any other tie.
+    ts_key = F.coalesce(
+        F.col("ts"), F.lit("9999-12-31 23:59:59").cast("timestamp")
+    )
     return (
         e.groupBy("user_id", "event_type")
-        .agg(F.min(F.struct("ts", "event_id")).alias("_first"))
+        .agg(F.min(F.struct(ts_key.alias("k"), F.col("event_id"))).alias("_first"))
         .select(
             F.col("_first.event_id").alias("event_id"), "user_id", "event_type"
         )
@@ -70,7 +78,9 @@ def ext_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COUNT(*) AS n_events, "
         "CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 "
         "AS total_value "
-        "FROM events GROUP BY 1, 2"
+        # Spark's F.window DROPS null event times; the oracle mirrors
+        # (r17 hostile vintage)
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
     ),
     doc=(
         "Tumbling-window aggregate over events.ts (batch formulation of "

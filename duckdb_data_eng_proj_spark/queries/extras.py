@@ -865,7 +865,12 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS cheapest_key, "
         "CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100 "
         "AS max_price "
-        "FROM orders GROUP BY o_orderpriority"
+        # NULL-price rows excluded (r17 hostile vintage): Spark's
+        # min_by treats a NULL ordering key as smallest where DuckDB's
+        # arg_min ignores it — a priceless order can be neither
+        # priciest nor cheapest on either engine
+        "FROM orders WHERE o_totalprice IS NOT NULL "
+        "GROUP BY o_orderpriority"
     ),
     doc=(
         "arg_max/arg_min (max_by/min_by) with a DETERMINISTIC composite "
@@ -881,7 +886,7 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     key = F.format_string(
         "%013d%012d",
         exact_units(F.col("o_totalprice")) + F.lit(1000000000000),

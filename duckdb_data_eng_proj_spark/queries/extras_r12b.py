@@ -77,7 +77,8 @@ def _acf_pair_sql(k: int) -> str:
     "ts_autocorr",
     oracle=(
         "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS b, "
-        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1, 2), "
         "span AS (SELECT event_type, MIN(b) AS mn, MAX(b) AS mx "
         "FROM hourly GROUP BY 1), "
         "grid AS (SELECT event_type, "
@@ -129,7 +130,9 @@ def _acf_pair_sql(k: int) -> str:
 )
 def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    hourly = ev.groupBy(
+    # NULL-ts events have no place on the lag axis — excluded on
+    # BOTH engines (r17 hostile vintage; the series-family rule)
+    hourly = ev.filter(F.col("ts").isNotNull()).groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
     ).agg(F.count("*").cast("long").alias("cnt"))
     # Densify WITHOUT a grid join: the textbook span-join form (see

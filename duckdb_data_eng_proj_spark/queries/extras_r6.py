@@ -430,7 +430,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # asc_nulls_last mirrors DuckDB's NULLS LAST (r17 hostile vintage)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
+    )
     return o.select(
         "o_orderkey",
         "o_orderpriority",

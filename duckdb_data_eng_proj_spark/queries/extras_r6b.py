@@ -547,7 +547,7 @@ _EVT_CH_SQL = (
     "evt_sequence_detect",
     oracle=(
         f"WITH ch AS (SELECT user_id, ts, event_id, {_EVT_CH_SQL} AS c "
-        "FROM events), "
+        "FROM events WHERE ts IS NOT NULL), "
         "seqs AS (SELECT user_id, "
         "string_agg(c, '' ORDER BY ts, event_id) AS seq, "
         "CAST(COUNT(*) AS BIGINT) AS n_events FROM ch GROUP BY user_id) "
@@ -573,7 +573,8 @@ _EVT_CH_SQL = (
     ),
 )
 def evt_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # timeless events are not sequence members (r17, the sessionize rule)
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     ch = F.col("event_type")
     expr = None
     for k, v in sorted(_EVT_CH.items()):

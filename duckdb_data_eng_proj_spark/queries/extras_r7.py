@@ -158,7 +158,8 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH seq AS (SELECT user_id, event_type, "
         "lag(event_type) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS prev_type FROM events), "
+        "ORDER BY ts, event_id) AS prev_type FROM events "
+        "WHERE ts IS NOT NULL), "
         "tc AS (SELECT prev_type AS from_type, event_type AS to_type, "
         "CAST(COUNT(*) AS BIGINT) AS n_trans FROM seq "
         "WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type) "
@@ -186,7 +187,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def evt_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "events")
+    # timeless events are not sequence members — excluded on BOTH
+    # engines (r17 hostile vintage; the sessionize rule)
+    e = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",

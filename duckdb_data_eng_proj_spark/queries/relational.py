@@ -692,13 +692,23 @@ def agg_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
         "         AS vol_cents "
         "  FROM orders GROUP BY 1, 2), "
+        # NULL-SAFE join-back (r17 hostile vintage): the original
+        # USING(cohort_month) dropped a NULL-month group (NULL = NULL
+        # is false) while Spark's SUM OVER (PARTITION BY cohort_month)
+        # treats NULL as a partition like any other. A DuckDB window
+        # over the derived-NULL partition key read NONDETERMINISTIC
+        # sums on the hostile vintage (observed live, 3 runs, 3
+        # different NULL-group totals), so the oracle replays the
+        # window with an IS NOT DISTINCT FROM join-back instead —
+        # deterministic and NULL-grouping like Spark's window.
         "mt AS (SELECT cohort_month, CAST(SUM(vol_cents) AS BIGINT) AS mvol_cents "
         "       FROM monthly GROUP BY cohort_month) "
         "SELECT m.cohort_month, m.priority, m.n_orders, "
         "CAST(m.vol_cents AS DOUBLE) / 100 AS volume, "
         "CAST(ROUND(CAST(m.vol_cents AS DOUBLE) / "
         "CAST(NULLIF(mt.mvol_cents, 0) AS DOUBLE), 4) AS DOUBLE) AS volume_share "
-        "FROM monthly m JOIN mt USING (cohort_month)"
+        "FROM monthly m JOIN mt "
+        "ON m.cohort_month IS NOT DISTINCT FROM mt.cohort_month"
     ),
     doc=(
         "FLAGSHIP (q5 analog, queries.sql:206-245): monthly order volume by "

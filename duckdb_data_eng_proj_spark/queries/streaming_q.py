@@ -71,7 +71,8 @@ def ext_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: A
     "ext_stream_window",
     oracle=(
         "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
-        "event_type, COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        "event_type, COUNT(*) AS n_events FROM events "
+        "WHERE ts IS NOT NULL GROUP BY 1, 2"
     ),
     doc=(
         "Watermarked tumbling-window streaming aggregate executed with "

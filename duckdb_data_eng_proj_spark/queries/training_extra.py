@@ -417,15 +417,11 @@ def sim_knn_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding — and had no zero-norm guard; see training._hp_sig_cte).
     sig = _hp_sig_df(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
-    dot_ab = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # vectors.dot: common-prefix fold (r17 — zip_with NULL-pads on a
+    # length mismatch where the oracle least()-ranges)
+    from duckdb_data_eng_proj_spark.operators.vectors import dot as _vdot
+
+    dot_ab = _vdot(F.col("a.embedding"), F.col("b.embedding"))
     # Rank on a floor'd fixed-point cosine (half-boundary-proof across
     # engines, matching the d7ae455 ratio hardening); the 4dp rounded
     # value is display-only output.
@@ -599,15 +595,11 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _hp_sig_df(spark, sf_dir)
     q = sig.filter(F.col("vec_id") < _RECALL_NQ)
 
-    dot_ab = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # vectors.dot: common-prefix fold (r17 — zip_with NULL-pads on a
+    # length mismatch where the oracle least()-ranges)
+    from duckdb_data_eng_proj_spark.operators.vectors import dot as _vdot
+
+    dot_ab = _vdot(F.col("a.embedding"), F.col("b.embedding"))
     # Fixed-point floor ranking key (see sim_knn_bucket_join); the
     # cosine itself never reaches the output here.
     cs = F.floor(

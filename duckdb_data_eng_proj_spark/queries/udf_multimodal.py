@@ -29,8 +29,12 @@ _VAR = f"(CAST(q AS DOUBLE) / n - {_MEAN} * {_MEAN})"
 @register(
     "ext_udf_surface",
     oracle=(
+        # NULL-value rows excluded (r17 hostile vintage): a NaN cent
+        # poisons the whole pandas group's moments while SUM skips it
+        # but COUNT(*) counts it — no defined z-score either way
         "WITH c AS (SELECT event_id, event_type, "
-        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events "
+        "WHERE value IS NOT NULL), "
         "g AS (SELECT event_type, COUNT(*) AS n, SUM(cents) AS s, "
         "SUM(cents * cents) AS q FROM c GROUP BY event_type) "
         "SELECT c.event_id, c.event_type, "

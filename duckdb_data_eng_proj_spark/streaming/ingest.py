@@ -225,9 +225,13 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdf_iter:
             n += len(pdf)
             # round-half-away like exact_units: copysign keeps the law
-            # for negative amounts too (truncation is toward zero)
-            v = pdf["value"].to_numpy() * 100
-            cents += int((v + np.copysign(0.5, v)).astype("int64").sum())
+            # for negative amounts too (truncation is toward zero).
+            # NULL values mirror SQL SUM — counted in n, skipped in the
+            # cents sum (r17 hostile vintage: NaN -> int64 aborts the
+            # state fn where the oracle just skips the NULL)
+            v = pdf["value"].dropna().to_numpy(dtype="float64") * 100
+            if len(v):
+                cents += int((v + np.copysign(0.5, v)).astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
