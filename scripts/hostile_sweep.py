@@ -10,12 +10,26 @@ lang/price/status/date, a zero-norm and a short (32-dim) embedding —
 and runs ALL registry ops through Spark AND DuckDB on it, reporting
 every mismatch, one-sided error, or both-sided error.
 
-r17 first run: 23/283 ids split. Root causes fixed the same session:
-the pair-cosine least() prefix rule, the fixed-dim 64 contract across
-kmeans/IVF/drift/centroid/binary-quantize, sessionize/ewma/holt NULL
-row exclusion, the fingerprint/fuzzy-key NULL rule, json_valid guards,
-degenerate-variance NULL rules. Remaining known splits are the
-NULL-ts time-bucketing family (ext_win_tumbling et al., queued r18).
+r17 first run: 23/283 ids split; by end of session ALL 283 match on
+this vintage. The fixes, in class order: the pair-cosine least()
+prefix rule + vectors.dot common-prefix fold (zip_with NULL-pads),
+the fixed-dim 64 contract across kmeans/IVF/drift/centroid-label/
+binary-quantize, sessionize/markov/sequence/autocorr NULL-ts
+exclusion, ewma/holt/udf_surface NULL-value exclusion, the
+fingerprint/fuzzy-key NULL rule, json_valid guards, the degenerate-
+variance NULL rules, the flagship's NULL-safe join-back (a DuckDB
+window over a derived-NULL partition key read NONDETERMINISTIC sums
+— engine-level, dodged rather than fixed), argminmax NULL-price
+exclusion, dedup_exact's NULLS-LAST keep-first sentinel, and the
+stateful stream fn mirroring SQL SUM on NULL values.
+
+CAVEAT — shared-session artifacts: this sweep reuses ONE SparkSession
+across all ops, and a few TIMED_BUILD-style ops mutate session conf
+(ts_ewma sets spark.sql.legacy.parquet.nanosAsLong) that leaks into
+later ops' reads. Confirm any reported split with an ISOLATED
+fresh-process run of that qid before fixing: r17 chased two
+false positives (ts_resample_ohlc, sim_knn_bucket_join post-fix)
+born of exactly this leak.
 
 Usage: python scripts/hostile_sweep.py [qid ...]
 Writes /tmp/hostile_results.json and prints a summary.
