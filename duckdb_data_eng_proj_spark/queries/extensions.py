@@ -36,16 +36,23 @@ from duckdb_data_eng_proj_spark.queries.registry import register, t
 def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     # Keep-first orders NULL ts LAST like the oracle's row_number
-    # (DuckDB default): Spark struct-min sorts a NULL field FIRST, so
-    # a timeless duplicate would beat every timed one (r17 hostile
-    # vintage). The sentinel keeps the agg map-side combinable; ties
-    # at the sentinel fall to event_id like any other tie.
-    ts_key = F.coalesce(
-        F.col("ts"), F.lit("9999-12-31 23:59:59").cast("timestamp")
-    )
+    # (DuckDB ASC default): Spark struct-min sorts a NULL field FIRST,
+    # so a timeless duplicate would beat every timed one (r17 hostile
+    # vintage). Boolean-first struct-min is EXACT NULLS LAST — false
+    # (timed) < true (timeless), then ts, then event_id — with no
+    # sentinel instant a genuine max-date ts could collide with
+    # (ADVICE r17), and the agg stays map-side combinable.
     return (
         e.groupBy("user_id", "event_type")
-        .agg(F.min(F.struct(ts_key.alias("k"), F.col("event_id"))).alias("_first"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("ts").isNull().alias("ts_is_null"),
+                    F.col("ts").alias("k"),
+                    F.col("event_id"),
+                )
+            ).alias("_first")
+        )
         .select(
             F.col("_first.event_id").alias("event_id"), "user_id", "event_type"
         )

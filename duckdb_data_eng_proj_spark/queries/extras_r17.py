@@ -42,11 +42,11 @@ _MRL_K = 5  # final top-k
 _MRL_DIM = 64  # fixed-dim contract (the PQ-family rule)
 
 
-def _dot_sql(a: str, b: str) -> str:
-    return (
-        f"list_reduce(list_transform(range(len({a})), "
-        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)), (x, y) -> x + y)"
-    )
+# The hardened helper (least()-prefix fold) — NOT a local copy: a
+# same-named divergent copy here was safe only because the fixed-dim
+# filter runs first, and silently reintroduced the zip_with/NULL-dot
+# class on any future reuse without that filter (ADVICE r17).
+from duckdb_data_eng_proj_spark.queries.training import _dot_sql
 
 
 def _mrl_oracle() -> str:
