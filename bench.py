@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     # r17 additions
     "vec_matryoshka_search",  # prefix-dim coarse search + full rescore (r17)
     "mm_scene_cut",        # Y4M temporal scene-cut detection (r17)
+    # r18 additions
+    "txt_rerank_proximity",  # candidate gen + pair-proximity rerank (r18)
+    "ext_contamination_report",  # per-eval-set overlap report card (r18)
+    "sim_ann_ivf_rebalance",  # IVF split/merge topology plan (r18)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -153,6 +157,10 @@ TIMED_BUILD = {
     "graph_mst_boruvka",   # checkpoints edges/labels per Borůvka round
     # r17 scan fusion: eagerly checkpoints the (q, cls) fact count
     "ml_decision_stump",
+    # r18: each eagerly checkpoints its broadcast value inside fn()
+    "txt_rerank_proximity",  # the candidate shortlist
+    "ext_contamination_report",  # the eval (set, gram) table
+    "sim_ann_ivf_rebalance",  # centroids, actions, split-seed pairs
 }
 
 

@@ -1,5 +1,11 @@
 """Round-18 law tests.
 
+0. The three r18 operators (txt_rerank_proximity,
+   ext_contamination_report, sim_ann_ivf_rebalance): pure-Python
+   closed-form replays (the r17 scene-cut pattern — an independent
+   single-threaded implementation over the same parquet must produce
+   the identical result set), cross-op coherence laws, and
+   exchange-budget pins.
 1. ext_dedup_exact keep-first is EXACT NULLS LAST (ADVICE r17): the
    r17 sentinel emulation ('9999-12-31 23:59:59') tied with a genuine
    max-date ts — a timed row AT the sentinel instant and a timeless
@@ -80,3 +86,244 @@ def test_dedup_exact_maxdate_vintage_matches_oracle(spark, tmp_path):
     )
     con.close()
     assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
+# r18 new-op laws
+
+import math
+import re
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _py_tokens(text):
+    """Mirror operators.textops.tokens: lower → trim → split \\s+ →
+    drop empty."""
+    if text is None:
+        return []
+    return [w for w in re.split(r"\s+", text.strip().lower()) if w != ""]
+
+
+def test_rerank_proximity_python_replay(spark):
+    """Independent single-threaded replay of both stages over the same
+    parquet — candidate generation, min pair distance, micro-unit
+    proximity, final ordering — must reproduce the op exactly."""
+    from duckdb_data_eng_proj_spark.queries.extras_r12c import (
+        _BM25_QUERIES,
+        _BM25_TERMS,
+    )
+    from duckdb_data_eng_proj_spark.queries.extras_r18 import (
+        _RERANK_C,
+        _RERANK_K,
+    )
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    termset = set(_BM25_TERMS)
+    # positions of query-vocabulary terms per doc (1-based)
+    pos = {}  # doc_id -> term -> [i]
+    for row in tbl:
+        for i, tok in enumerate(_py_tokens(row["text"]), start=1):
+            if tok in termset:
+                pos.setdefault(row["doc_id"], {}).setdefault(tok, []).append(i)
+    expected = []
+    for qid, terms in _BM25_QUERIES:
+        s1 = []
+        for doc_id, tp in pos.items():
+            n_terms = sum(1 for w in terms if w in tp)
+            if n_terms:
+                s1.append((doc_id, n_terms))
+        s1.sort(key=lambda r: (-r[1], r[0]))
+        cands = s1[:_RERANK_C]
+        fin = []
+        for doc_id, n_terms in cands:
+            tp = pos[doc_id]
+            prox = 0
+            ts = sorted(w for w in terms if w in tp)
+            for x in range(len(ts)):
+                for y in range(x + 1, len(ts)):
+                    md = min(
+                        abs(i - j) for i in tp[ts[x]] for j in tp[ts[y]]
+                    )
+                    prox += 1000000 // (1 + md)
+            fin.append((doc_id, n_terms, prox))
+        fin.sort(key=lambda r: (-r[1], -r[2], r[0]))
+        for rank, (doc_id, n_terms, prox) in enumerate(fin[:_RERANK_K], 1):
+            expected.append((qid, doc_id, n_terms, prox, rank))
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["txt_rerank_proximity"].fn(spark, SF_DIR).collect()
+    )
+    assert got == sorted(expected)
+
+
+def test_rerank_single_term_docs_score_zero_prox(spark):
+    """A candidate matching exactly one query term has no pairs —
+    prox_u must be 0, never NULL."""
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+
+    rows = REGISTRY["txt_rerank_proximity"].fn(spark, SF_DIR).collect()
+    assert rows, "empty rerank result"
+    for r in rows:
+        assert r.prox_u is not None and r.prox_u >= 0
+        if r.n_terms == 1:
+            assert r.prox_u == 0
+
+
+def test_contamination_report_coheres_with_decontaminate(spark):
+    """Cross-op coherence: the union of per-set hit docs IS the set
+    ext_decontaminate drops — train count minus survivors equals the
+    distinct contaminated-doc count across eval sets, and each set's
+    n_hit_docs is bounded by it. ppm re-derives from the row's own
+    count and the train total."""
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+    from duckdb_data_eng_proj_spark.queries.registry import t
+    from duckdb_data_eng_proj_spark.operators.textops import tokens, word_ngrams
+
+    report = {
+        r.eval_set: r
+        for r in REGISTRY["ext_contamination_report"].fn(spark, SF_DIR).collect()
+    }
+    d = t(spark, SF_DIR, "documents")
+    n_train = d.filter(F.col("doc_id") % 50 != 0).count()
+    survivors = REGISTRY["ext_decontaminate"].fn(spark, SF_DIR).count()
+    # union of contaminated docs, recomputed without set labels
+    eval_g = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(word_ngrams(tokens(F.col("text")), 5)).alias("g"))
+        .distinct()
+    )
+    union_hits = (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode(word_ngrams(tokens(F.col("text")), 5)).alias("g"))
+        .join(eval_g, "g")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_train - survivors == union_hits
+    assert max(r.n_hit_docs for r in report.values()) <= union_hits
+    for r in report.values():
+        assert r.hit_docs_ppm == r.n_hit_docs * 1000000 // n_train
+        assert r.n_hit_grams <= r.n_eval_grams
+
+
+def _fold_dot_py(a, b):
+    """Left fold in doubles — the exact order both engines use."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def test_ivf_rebalance_python_replay(spark):
+    """Full single-threaded replay: assignment, thresholds, farthest
+    member, split move counts, nearest sibling — bit-identical fold
+    cosines, identical tie-breaks, identical integer thresholds."""
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+    from duckdb_data_eng_proj_spark.queries.extras_r18 import (
+        _REB_DIM,
+        _REB_K,
+        _REB_SEED_LIMIT,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pylist()
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in tbl
+        if len(r["embedding"]) == _REB_DIM
+    }
+    nrm = {v: math.sqrt(_fold_dot_py(e, e)) for v, e in vecs.items()}
+    cents = {
+        v: e
+        for v, e in vecs.items()
+        if v < _REB_SEED_LIMIT and v % 3 != 0 and nrm[v] > 0
+    }
+    # assignment: (cos DESC, cid) argmax
+    asg = {}  # vec_id -> (cid, cos)
+    for v, e in vecs.items():
+        if nrm[v] <= 0:
+            continue
+        best = min(
+            (
+                (-(_fold_dot_py(e, ce) / (nrm[v] * nrm[c])), c)
+                for c, ce in cents.items()
+            )
+        )
+        asg[v] = (best[1], -best[0])
+    cells = {c: [] for c in cents}
+    for v, (c, cos) in asg.items():
+        cells[c].append((v, cos))
+    total = sum(len(m) for m in cells.values())
+    balanced = (total + _REB_K - 1) // _REB_K
+    expected = []
+    for c in sorted(cents):
+        n = len(cells[c])
+        if 4 * n > 5 * balanced:
+            action = "split"
+            f_vid = min(cells[c], key=lambda r: (r[1], r[0]))[0]
+            fe, fn_ = vecs[f_vid], nrm[f_vid]
+            moved = sum(
+                1
+                for v, cos in cells[c]
+                if _fold_dot_py(vecs[v], fe) / (nrm[v] * fn_) > cos
+            )
+            expected.append((c, n, action, f_vid, moved))
+        elif 4 * n < 3 * balanced:
+            pid = min(
+                (
+                    (-(_fold_dot_py(cents[c], ce) / (nrm[c] * nrm[o])), o)
+                    for o, ce in cents.items()
+                    if o != c
+                )
+            )[1]
+            expected.append((c, n, "merge", pid, n))
+        else:
+            expected.append((c, n, "keep", None, 0))
+    got = [
+        tuple(r)
+        for r in REGISTRY["sim_ann_ivf_rebalance"].fn(spark, SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(
+        (c, n, a, p, m) for c, n, a, p, m in expected
+    )
+
+
+def test_ivf_rebalance_actions_fire_on_testdata(spark):
+    """The thresholds must actually exercise all three arms on the
+    generated data (an all-keep report would certify nothing)."""
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+
+    acts = {
+        r.action
+        for r in REGISTRY["sim_ann_ivf_rebalance"].fn(spark, SF_DIR).collect()
+    }
+    assert "keep" in acts and ("split" in acts or "merge" in acts), acts
+
+
+@pytest.mark.parametrize(
+    "qid,budget",
+    [
+        # postings-sized exchanges only: stage-1 distinct+agg+rank,
+        # pair-min agg; the candidate table broadcasts back
+        ("txt_rerank_proximity", 4),
+        # hits-side double countDistinct (expand) dominates; every
+        # corpus-scale exchange output is benchmark- or hit-sized
+        ("ext_contamination_report", 7),
+        # percell agg + 16-row window + moved agg + grid window +
+        # result-sized assembly
+        ("sim_ann_ivf_rebalance", 6),
+    ],
+)
+def test_r18_op_exchange_budget(spark, qid, budget):
+    from duckdb_data_eng_proj_spark.plans import count_exchanges
+    from duckdb_data_eng_proj_spark.queries import REGISTRY
+
+    df = REGISTRY[qid].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
