@@ -327,3 +327,46 @@ def test_r18_op_exchange_budget(spark, qid, budget):
     df = REGISTRY[qid].fn(spark, SF_DIR)
     n = count_exchanges(df)
     assert n <= budget, f"{qid}: {n} exchanges > budget {budget}"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r17 item 4: the shared shortest-repr round wrapper
+# CAST(round(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)), d) AS DOUBLE)
+# HARD-ABORTS the DuckDB oracle when x is non-finite ('nan'/'inf'
+# fail the DECIMAL parse) or |x| >= ~1e20 (DECIMAL(38,18) overflow).
+# That abort is the INTENDED loud failure, not a bug: every site that
+# can see a non-finite value guards it explicitly (the r17 degenerate-
+# variance rule NULLs corr/slope/wavg when the defining variance is
+# not positive), so a wrapper abort means a NEW unguarded non-finite
+# path appeared — a value divergence about to hide. This pin
+# documents the contract so the abort is never "fixed" into silence.
+
+_R17_WRAP = "CAST(round(CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18)), 4) AS DOUBLE)"
+
+
+@pytest.mark.parametrize(
+    "bad", ["CAST('nan' AS DOUBLE)", "CAST('inf' AS DOUBLE)", "1e25"]
+)
+def test_round_wrapper_aborts_loudly_on_nonfinite(bad):
+    con = duckdb.connect()
+    try:
+        with pytest.raises(Exception) as exc:
+            con.execute(f"SELECT {_R17_WRAP.format(x=bad)}").fetchall()
+        assert "Conversion" in type(exc.value).__name__ or "onversion" in str(
+            exc.value
+        ) or "out of range" in str(exc.value).lower(), exc.value
+    finally:
+        con.close()
+
+
+def test_round_wrapper_exact_on_finite_values():
+    """The wrapper is byte-for-byte the adopted oracle form on finite
+    doubles — including the repro value the r17 decision was made on."""
+    con = duckdb.connect()
+    try:
+        (v,) = con.execute(
+            f"SELECT {_R17_WRAP.format(x='0.28499999999999998')}"
+        ).fetchone()
+        assert v == 0.285  # shortest-repr HALF_UP, Spark's semantics
+    finally:
+        con.close()
