@@ -370,3 +370,83 @@ def test_round_wrapper_exact_on_finite_values():
         assert v == 0.285  # shortest-repr HALF_UP, Spark's semantics
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# r18 new-op hostile-vintage cross-engine laws (the r17 pattern:
+# the sweep certifies the whole registry once per round; these pin
+# the three new ops' hostile behavior in the permanent suite —
+# blank/whitespace/punctuation-only/NULL text for the two text ops,
+# a zero-norm and an off-contract 32-dim embedding for the IVF op).
+
+
+@pytest.fixture(scope="module")
+def r18_hostile_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("r18_hostile")
+
+
+def _write_hostile_tables(spark, base):
+    docs = []
+    terms = ["join", "merge", "hash", "scan", "filter", "table"]
+    for i in range(60):
+        if i % 7 == 0:
+            text = None
+        elif i % 7 == 1:
+            text = ""
+        elif i % 7 == 2:
+            text = "   "
+        elif i % 7 == 3:
+            text = "!!! ??? ..."
+        elif i % 7 == 4:
+            text = terms[i % len(terms)]  # single-term doc
+        else:
+            text = " ".join(terms[(i + k) % len(terms)] for k in range(8))
+        docs.append((i, text, "en", "web", len(text or "")))
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    embs = []
+    for v in range(40):
+        if v == 5:
+            emb = [0.0] * 64  # zero norm, on-contract dim
+        elif v == 9:
+            emb = [float((v * 7 + k) % 13) / 4.0 for k in range(32)]  # off-dim
+        else:
+            emb = [float((v * 31 + k * 3) % 17) / 8.0 - 1.0 for k in range(64)]
+        embs.append((v, emb, v % 4))
+    spark.createDataFrame(
+        embs, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
+
+
+def _both_engines(spark, base, qid):
+    spec = REGISTRY[qid]
+    got = sorted(
+        tuple(None if v is None else v for v in r)
+        for r in spec.fn(spark, str(base))
+        .select(*sorted(spec.fn(spark, str(base)).columns))
+        .collect()
+    )
+    con = duckdb.connect()
+    for t_ in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t_} AS SELECT * FROM "
+            f"read_parquet('{base}/{t_}.parquet/*.parquet')"
+        )
+    cur = con.execute(spec.oracle)
+    cols = [x[0] for x in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = sorted(tuple(r[i] for i in order) for r in cur.fetchall())
+    con.close()
+    return got, want
+
+
+@pytest.mark.parametrize(
+    "qid",
+    ["txt_rerank_proximity", "ext_contamination_report", "sim_ann_ivf_rebalance"],
+)
+def test_r18_ops_hostile_vintage_cross_engine(spark, r18_hostile_dir, qid):
+    base = r18_hostile_dir / qid
+    _write_hostile_tables(spark, str(base))
+    got, want = _both_engines(spark, base, qid)
+    assert got == want, (got[:3], want[:3])
