@@ -261,7 +261,7 @@ _CONTAM_SETS = 3  # eval docs (doc_id % 50 = 0) partition into 3 suites
         f"sharing a {_CONTAM_N}-token n-gram with the eval suite; "
         "this op REPORTS the overlap per eval set (doc_id % 50 = 0 "
         f"stands in for the suite, partitioned into {_CONTAM_SETS} "
-        "sets by (doc_id // 50) % 3 — per-benchmark accounting, the "
+        f"sets by (doc_id // 50) % {_CONTAM_SETS} — per-benchmark accounting, the "
         "way labs audit MMLU/GSM8K/etc separately). One row per eval "
         "set: eval docs, distinct eval n-grams, training docs hit, "
         "distinct eval grams found in training, and hit docs as ppm "
@@ -281,7 +281,12 @@ _CONTAM_SETS = 3  # eval docs (doc_id % 50 = 0) partition into 3 suites
 )
 def ext_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    eval_set = F.expr("(doc_id DIV 50) % 3").cast("bigint").alias("eval_set")
+    # ADVICE r18: derive the partition count from _CONTAM_SETS (the
+    # single knob the oracle interpolates) so the two engines cannot
+    # silently desync if the constant changes.
+    eval_set = (
+        F.expr(f"(doc_id DIV 50) % {_CONTAM_SETS}").cast("bigint").alias("eval_set")
+    )
     # eval branch filters BEFORE tokenizing (only eval docs pay the
     # n-gram stage — the ext_decontaminate r5 lesson); token arrays
     # materialize behind the select barrier so the n-gram lambda does
@@ -376,7 +381,7 @@ def _reb_oracle() -> str:
         "COALESCE(k.n, CAST(0 AS BIGINT)) AS n FROM cent c LEFT JOIN "
         "(SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM asg GROUP BY cid) k "
         "ON k.cid = c.cid), "
-        "bal AS (SELECT CAST((SUM(n) + CAST(15 AS BIGINT)) "
+        f"bal AS (SELECT CAST((SUM(n) + CAST({_REB_K - 1} AS BIGINT)) "
         f"// {_REB_K} AS BIGINT) AS balanced FROM cells), "
         "act AS (SELECT cid, n, CASE "
         "WHEN 4 * n > 5 * balanced THEN 'split' "
@@ -505,8 +510,10 @@ def sim_ann_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_far.vec_id").alias("f_vid"),
         )
     )
+    # ADVICE r18: derive the ceiling-division addend from _REB_K so a
+    # future cell-count change keeps ceil semantics on both engines.
     balanced = F.expr(
-        f"CAST((SUM(n) OVER () + CAST(15 AS BIGINT)) DIV {_REB_K} AS BIGINT)"
+        f"CAST((SUM(n) OVER () + CAST({_REB_K - 1} AS BIGINT)) DIV {_REB_K} AS BIGINT)"
     )
     act = (
         cells.withColumn("balanced", balanced)
