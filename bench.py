@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "txt_rerank_proximity",  # candidate gen + pair-proximity rerank (r18)
     "ext_contamination_report",  # per-eval-set overlap report card (r18)
     "sim_ann_ivf_rebalance",  # IVF split/merge topology plan (r18)
+    # r19 addition
+    "sim_ann_ivf_recall_curve",  # recall@k vs nprobe sweep, one pass (r19)
 ]
 
 # Iterative / index-building ops run Spark ACTIONS inside fn() (one
@@ -161,6 +163,8 @@ TIMED_BUILD = {
     "txt_rerank_proximity",  # the candidate shortlist
     "ext_contamination_report",  # the eval (set, gram) table
     "sim_ann_ivf_rebalance",  # centroids, actions, split-seed pairs
+    # r19: eagerly checkpoints qp/bf/cells/hits broadcast values
+    "sim_ann_ivf_recall_curve",
 }
 
 

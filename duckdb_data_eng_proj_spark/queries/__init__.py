@@ -38,5 +38,6 @@ from duckdb_data_eng_proj_spark.queries import extras_r15  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras_r16  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras_r17  # noqa: E402,F401
 from duckdb_data_eng_proj_spark.queries import extras_r18  # noqa: E402,F401
+from duckdb_data_eng_proj_spark.queries import extras_r19  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register", "t"]

@@ -1,0 +1,134 @@
+"""Round-19 law tests: sim_ann_ivf_recall_curve.
+
+1. LITERAL per-level replay — the op computes the whole curve in one
+   pass via the subset-outranker lemma (a brute-force winner is
+   recalled at depth L iff its cell's probe rank ≤ L). The replay
+   runs the ACTUAL per-level IVF search in pure Python (probe top-L
+   cells, gather candidates, rank, top-k, intersect with ground
+   truth) and the actual candidate enumeration — if the lemma or the
+   occupancy-count cost model were wrong, the curves diverge.
+2. Structural laws: recall_ppm and n_cand monotone non-decreasing in
+   nprobe; the nprobe=16 (all cells) row reads recall_ppm =
+   scan_ppm = 1000000 exactly (full scan ≡ brute force).
+3. Exchange-budget pin: corpus-scale exchanges are the brute-force
+   top-k window shuffle + ensure_parallelism only; everything after
+   the eager checkpoints is query-batch- or cell-count-sized.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duckdb_data_eng_proj_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _fold_dot_py(a, b):
+    """Left fold in doubles — the exact order both engines use."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _curve_replay_py():
+    """Literal per-level IVF search over the parquet, single-threaded."""
+    from duckdb_data_eng_proj_spark.queries.extras_r19 import (
+        _CURVE_K,
+        _CURVE_LEVELS,
+        _CURVE_NQ,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pylist()
+    vecs = {
+        r["vec_id"]: r["embedding"] for r in tbl if len(r["embedding"]) == 64
+    }
+    nrm = {v: math.sqrt(_fold_dot_py(e, e)) for v, e in vecs.items()}
+    valid = {v: e for v, e in vecs.items() if nrm[v] > 0}
+    cents = {v: e for v, e in valid.items() if v < 16}
+    queries = sorted(v for v in valid if v < _CURVE_NQ)
+
+    def cos(a, b):
+        return _fold_dot_py(valid[a], valid[b]) / (nrm[a] * nrm[b])
+
+    # assignment: (cos DESC, cid ASC) argmax — cells as member lists
+    cell_of = {}
+    for v in valid:
+        cell_of[v] = min((-cos(v, c), c) for c in cents)[1]
+    members = {c: [v for v in valid if cell_of[v] == c] for c in cents}
+
+    # per-query full-depth centroid ranking
+    probe_order = {
+        q: [c for _, c in sorted((-cos(q, c), c) for c in cents)]
+        for q in queries
+    }
+
+    def topk(q, cand):
+        ranked = sorted((-cos(q, n), n) for n in cand if n != q)
+        return [n for _, n in ranked[:_CURVE_K]]
+
+    bf = {q: topk(q, valid) for q in queries}
+    n_truth = sum(len(v) for v in bf.values())
+    n_corpus = len(valid)
+
+    rows = []
+    for lv in _CURVE_LEVELS:
+        n_hits = 0
+        n_cand = 0
+        for q in queries:
+            probed = set(probe_order[q][:lv])
+            cand = [n for c in probed for n in members[c] if n != q]
+            n_cand += len(cand)
+            n_hits += len(set(topk(q, cand)) & set(bf[q]))
+        rows.append(
+            (
+                lv,
+                n_truth,
+                n_hits,
+                n_hits * 1000000 // n_truth,
+                n_cand,
+                n_cand * 1000000 // (len(queries) * (n_corpus - 1)),
+            )
+        )
+    return rows
+
+
+def test_recall_curve_literal_per_level_replay(spark):
+    got = [
+        tuple(r)
+        for r in REGISTRY["sim_ann_ivf_recall_curve"].fn(spark, SF_DIR).collect()
+    ]
+    assert sorted(got) == sorted(_curve_replay_py())
+
+
+def test_recall_curve_structural_laws(spark):
+    rows = sorted(
+        tuple(r)
+        for r in REGISTRY["sim_ann_ivf_recall_curve"].fn(spark, SF_DIR).collect()
+    )
+    from duckdb_data_eng_proj_spark.queries.extras_r19 import _CURVE_LEVELS
+
+    assert [r[0] for r in rows] == sorted(_CURVE_LEVELS)
+    recalls = [r[3] for r in rows]
+    cands = [r[4] for r in rows]
+    assert recalls == sorted(recalls), "recall must be monotone in nprobe"
+    assert cands == sorted(cands), "scan cost must be monotone in nprobe"
+    # full-depth row: probing every cell IS brute force
+    assert rows[-1][3] == 1000000 and rows[-1][5] == 1000000
+    # the curve certifies nothing if the sweep never trades anything
+    assert cands[0] < cands[-1]
+
+
+def test_recall_curve_exchange_budget(spark):
+    from duckdb_data_eng_proj_spark.plans import count_exchanges
+
+    df = REGISTRY["sim_ann_ivf_recall_curve"].fn(spark, SF_DIR)
+    n = count_exchanges(df)
+    assert n <= 6, f"sim_ann_ivf_recall_curve: {n} exchanges > budget 6"
