@@ -120,7 +120,15 @@ _CURVE_LV_SQL = ", ".join(str(x) for x in _CURVE_LEVELS)
         "cd.n_cand AS n_cand, "
         "CAST(cd.n_cand * 1000000 // (tot.nq * (tot.n_corpus - 1)) "
         "AS BIGINT) AS scan_ppm "
-        "FROM h JOIN cd ON cd.nprobe = h.nprobe, tot ORDER BY nprobe"
+        # Degenerate guard (the hostile-vintage discipline): with zero
+        # ground-truth pairs (no valid query, or a 1-vector corpus)
+        # recall_ppm's division is 0/0 — Spark's ANSI DIV THROWS
+        # DIVIDE_BY_ZERO while DuckDB's // NULLs the column (probed,
+        # tests/test_r19_laws.py). n_truth > 0 implies nq >= 1 and
+        # n_corpus >= 2, so this one predicate makes BOTH engines
+        # emit zero rows instead of error-vs-NULL-rows.
+        "FROM h JOIN cd ON cd.nprobe = h.nprobe, tot "
+        "WHERE tot.n_truth > 0 ORDER BY nprobe"
     ),
     doc=(
         "IVF RECALL/COST CURVE — recall@5 of the IVF probe search vs "
@@ -264,6 +272,9 @@ def sim_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         h.join(cd, "nprobe")
         .crossJoin(F.broadcast(tot))
+        # degenerate guard — see the oracle comment: fail EMPTY (not
+        # Spark-throws-vs-DuckDB-NULL-rows) with no ground truth
+        .filter(F.col("n_truth") > 0)
         .select(
             "nprobe",
             "n_truth",

@@ -126,6 +126,50 @@ def test_recall_curve_structural_laws(spark):
     assert cands[0] < cands[-1]
 
 
+def _single_vector_embeddings(spark, tmp_path):
+    """embeddings vintage where the index is populated but ground
+    truth is EMPTY: exactly one valid 64-dim vector (vec_id 0 — a
+    query AND a centroid AND the whole corpus, so bf has no neighbor
+    pair), padded with off-width 32-dim rows the fixed-dim contract
+    excludes. qp/cd are then non-empty (1 query × 1 cell) while
+    n_truth = 0 — the 0/0 corner the guard exists for: without it
+    Spark's ANSI DIV throws DIVIDE_BY_ZERO while DuckDB's // emits 5
+    rows with NULL ppm columns (both probed)."""
+    rows = [(0, 0, [float(1 + j % 5) for j in range(64)])] + [
+        (100 + i, i % 4, [float((i + j) % 7) for j in range(32)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<double>"
+    ).selectExpr(
+        "vec_id", "label", "CAST(embedding AS ARRAY<FLOAT>) AS embedding"
+    )
+    out = os.path.join(str(tmp_path), "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_recall_curve_degenerate_no_ground_truth(spark, tmp_path):
+    """n_truth = 0 with a POPULATED probe table (single-vector corpus
+    → no bf pair but qp/cd non-empty): unguarded, Spark's ANSI DIV
+    throws DIVIDE_BY_ZERO while DuckDB's // emits NULL-ppm rows — the
+    guard makes BOTH engines fail EMPTY (hostile-vintage
+    discipline)."""
+    import duckdb
+
+    sf_dir = _single_vector_embeddings(spark, tmp_path)
+    got = REGISTRY["sim_ann_ivf_recall_curve"].fn(spark, sf_dir).collect()
+    assert got == []
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    duck = con.execute(REGISTRY["sim_ann_ivf_recall_curve"].oracle).fetchall()
+    con.close()
+    assert duck == []
+
+
 def test_recall_curve_exchange_budget(spark):
     from duckdb_data_eng_proj_spark.plans import count_exchanges
 
