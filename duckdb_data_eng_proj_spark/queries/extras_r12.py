@@ -287,13 +287,27 @@ _REL_TOTAL = "__total__"
         "CAST(n_docs_old * 1000 // GREATEST(1, "
         "(SELECT COUNT(*) FROM documents WHERE doc_id % 3 <> 0)) "
         "AS BIGINT) AS share_old_pml, "
+        # New-side GREATEST guards (r19, the recall-curve 0/0 class):
+        # with an EMPTY documents table the UNION ALL total row still
+        # exists (global aggregate over empty input = one zero row),
+        # so the bare denominators were 0 DIV 0 — Spark ANSI throws
+        # (integer DIV; double path throws at CAST(NaN AS BIGINT))
+        # while DuckDB NULLs. Clamp mirrors the old side's idiom:
+        # shares/rates of an empty corpus read 0.
         "CAST(n_docs_new * 1000 // "
-        "(SELECT COUNT(*) FROM documents) AS BIGINT) AS share_new_pml, "
+        "GREATEST(1, (SELECT COUNT(*) FROM documents)) "
+        "AS BIGINT) AS share_new_pml, "
         "CAST(floor((n_docs_old - uq_old) * 10000.0 / "
         "GREATEST(1, n_docs_old)) AS BIGINT) AS dup_bp_old, "
-        "CAST(floor((n_docs_new - uq_new) * 10000.0 / n_docs_new) "
-        "AS BIGINT) AS dup_bp_new "
-        "FROM per ORDER BY section"
+        "CAST(floor((n_docs_new - uq_new) * 10000.0 / "
+        "GREATEST(1, n_docs_new)) AS BIGINT) AS dup_bp_new "
+        # Fail-empty guard (r19, probed): on an EMPTY documents table
+        # Spark's grouping-sets plan emits ZERO rows while this UNION
+        # ALL's global-aggregate branch still emits one __total__ row
+        # (with SUM-over-empty NULLs) — EXISTS aligns the oracle on
+        # fail-empty; no-op on any populated corpus.
+        "FROM per WHERE EXISTS (SELECT 1 FROM documents) "
+        "ORDER BY section"
     ),
     doc=(
         "CORPUS RELEASE DIFF — the two-generation datasheet a release "
@@ -391,9 +405,10 @@ def ext_corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(n_docs_old * 1000 DIV GREATEST(1L, _to) AS BIGINT)"
             ).alias("share_old_pml"),
-            F.expr("CAST(n_docs_new * 1000 DIV _tn AS BIGINT)").alias(
-                "share_new_pml"
-            ),
+            # new-side GREATEST guards — see the oracle comment (r19)
+            F.expr(
+                "CAST(n_docs_new * 1000 DIV GREATEST(1L, _tn) AS BIGINT)"
+            ).alias("share_new_pml"),
             F.floor(
                 (F.col("n_docs_old") - F.col("uq_old"))
                 * 10000.0
@@ -404,7 +419,7 @@ def ext_corpus_release_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 (F.col("n_docs_new") - F.col("uq_new"))
                 * 10000.0
-                / F.col("n_docs_new")
+                / F.greatest(F.lit(1), F.col("n_docs_new"))
             )
             .cast("long")
             .alias("dup_bp_new"),

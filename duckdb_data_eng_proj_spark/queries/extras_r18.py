@@ -253,6 +253,12 @@ _CONTAM_SETS = 3  # eval docs (doc_id % 50 = 0) partition into 3 suites
         "AS BIGINT) AS hit_docs_ppm "
         "FROM esets e JOIN edocs ON edocs.eval_set = e.eval_set "
         "LEFT JOIN h ON h.eval_set = e.eval_set, tn "
+        # Degenerate guard (the r19 recall-curve class): with ZERO
+        # training docs (every doc_id % 50 = 0) hit_docs_ppm is 0/0 —
+        # Spark's ANSI DIV throws while DuckDB's // NULLs the column.
+        # No training corpus -> no contamination report (fail empty,
+        # never a rows-with-NULL vs throw split).
+        "WHERE tn.n_train > 0 "
         "ORDER BY e.eval_set"
     ),
     doc=(
@@ -332,6 +338,9 @@ def ext_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         esets.join(edocs, "eval_set")
         .join(h, "eval_set", "left")
         .crossJoin(F.broadcast(tn))
+        # degenerate guard — see the oracle comment: fail EMPTY when
+        # there is no training corpus to take a ppm of
+        .filter(F.col("n_train") > 0)
         .select(
             "eval_set",
             "n_eval_docs",

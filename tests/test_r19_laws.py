@@ -170,6 +170,76 @@ def test_recall_curve_degenerate_no_ground_truth(spark, tmp_path):
     assert duck == []
 
 
+def _all_eval_documents(spark, tmp_path):
+    """documents vintage where EVERY doc is an eval doc (doc_id all
+    multiples of 50): the contamination report's training-corpus
+    count is 0, so hit_docs_ppm is 0/0 — same corner class as the
+    recall curve's (Spark ANSI DIV throws, DuckDB // NULLs)."""
+    rows = [
+        (i * 50, f"alpha beta gamma delta epsilon zeta doc {i} common tail")
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = os.path.join(str(tmp_path), "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_contamination_report_degenerate_no_training_corpus(spark, tmp_path):
+    """n_train = 0 with populated eval sets: unguarded, Spark's ANSI
+    DIV throws DIVIDE_BY_ZERO while DuckDB's // emits NULL-ppm rows —
+    the guard makes BOTH engines fail EMPTY."""
+    import duckdb
+
+    sf_dir = _all_eval_documents(spark, tmp_path)
+    got = REGISTRY["ext_contamination_report"].fn(spark, sf_dir).collect()
+    assert got == []
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    duck = con.execute(REGISTRY["ext_contamination_report"].oracle).fetchall()
+    con.close()
+    assert duck == []
+
+
+def test_release_diff_degenerate_empty_corpus(spark, tmp_path):
+    """ext_corpus_release_diff on an EMPTY documents table: the
+    grand-total row still materializes (global aggregate over empty
+    input in the oracle's UNION ALL branch — probed: Spark's
+    grouping-sets plan instead emits ZERO rows), so unguarded the
+    engines split three ways: row existence, SUM-over-empty NULLs,
+    and 0 DIV 0 (Spark ANSI throws, DuckDB NULLs). With the r19
+    GREATEST clamps + the oracle's EXISTS fail-empty guard both
+    engines must emit identical (empty) results."""
+    import duckdb
+
+    empty = spark.createDataFrame([], "doc_id bigint, lang string, text string")
+    out = os.path.join(str(tmp_path), "documents.parquet")
+    empty.coalesce(1).write.mode("overwrite").parquet(out)
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["ext_corpus_release_diff"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["ext_corpus_release_diff"].oracle
+        ).fetchall()
+    )
+    con.close()
+    assert got == duck
+
+
 def test_recall_curve_exchange_budget(spark):
     from duckdb_data_eng_proj_spark.plans import count_exchanges
 
