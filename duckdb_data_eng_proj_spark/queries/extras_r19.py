@@ -214,7 +214,7 @@ def sim_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    # Cell occupancancy is index metadata: map-side-combinable count.
+    # Cell occupancy is index metadata: map-side-combinable count.
     cells = (
         assign.groupBy("centroid_id")
         .agg(F.count("*").cast("bigint").alias("n"))
