@@ -36,7 +36,6 @@ from duckdb_data_eng_proj_spark.queries.training import (
     _bigram_sets_df,
     _fp_sql,
     _lang_hits_sql,
-    _lsh_bands_df,
 )
 
 
@@ -63,6 +62,18 @@ def _state_sized_shuffle(spark: SparkSession, state_rows: int, rows_per_part: in
         spark.conf.set(key, old)
 
 
+# Jaccard thresholds in exact single-intersect integer form:
+# i/(sx+sy-i) >= 1/k  <=>  k*i >= sx+sy-i  <=>  (k+1)*i >= sx+sy.
+# Equivalence with the double-division form (i/u >= <float literal>)
+# is exhaustively verified for every reachable (i, union) up to 3000
+# by tests/test_r20_opt_laws.py: for small-denominator rationals the
+# gap to the threshold is >= 1/(k*u), ~1e10x the double rounding
+# error, so the two predicates select identical pair sets. The oracle
+# keeps its double form; only the Spark-side selection expression is
+# rewritten.
+_JACC_INT_MULT = {0.05: 21, 0.10: 11}
+
+
 def _near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -70,7 +81,7 @@ def _near_dup_pairs(
     keep_sizes: bool = False,
 ) -> DataFrame:
     """Verified near-dup pairs (doc_a < doc_b, exact Jaccard ≥
-    threshold) from the LSH band-bucket candidate join.
+    threshold) from the LSH band-bucket candidate self-join.
 
     ``keep_sizes`` additionally returns the exact intersection/union
     cardinalities (``inter``/``uni`` BIGINT columns) for callers that
@@ -78,39 +89,94 @@ def _near_dup_pairs(
     (r16: that caller previously carried a full copy of this
     pipeline).
 
-    The band table feeds BOTH sides of the candidate self-join and
-    the shingle-set table BOTH sides of the verify join — each is
-    localCheckpoint'd so the minhash/shingle map stage runs ONCE, not
-    twice (at 100 TB: persist the signature table, the standard LSH
-    practice; recomputing minhashes per join side doubles the most
-    expensive map stage in the pipeline)."""
-    bands = _lsh_bands_df(spark, sf_dir).localCheckpoint()
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+    Shape (r20, the dedup_lsh_tune arm-2 pattern): ONE checkpointed
+    band table carrying each doc's shingle set and all band buckets
+    feeds both sides of the (band, bucket) self-join; each matching
+    pair is emitted exactly once by the FIRST-MATCH-BAND predicate
+    (suppress at band b when any band j < b also agrees) and verified
+    in place by a SINGLE-intersect integer Jaccard qualifier written
+    LAST in the join condition. vs the previous
+    DISTINCT-then-join-shingles-twice form this removes the distinct
+    exchange, a second checkpoint job and two hashed-relation builds,
+    and halves the interpreted array_intersect evaluations — measured
+    1.48 s -> 0.90 s per call at sf0.1 (exact multiset equality on
+    both output forms, 30200 pairs). The condition order matters:
+    left as a trailing .filter(), Catalyst pushes the Jaccard
+    predicate into the join condition PREPENDED, making every
+    bucket-coincident ordered pair pay the intersect before the cheap
+    doc_id< check (the dedup_lsh_tune r20 finding). At 100 TB the
+    checkpointed table is the persisted signature table of standard
+    LSH practice (corpus-linear at n_bands rows/doc); pair rows never
+    shuffle — the only exchange moves signature rows."""
+    from duckdb_data_eng_proj_spark.operators.textops import (
+        lsh_band_buckets,
+        minhash_from_pairs,
+        minhash_pairs,
     )
-    sets = _bigram_sets_df(spark, sf_dir).localCheckpoint()
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
-    inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
-    union = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
-    jac = inter.cast("double") / union
-    verified = cand.join(a, "doc_a").join(b, "doc_b").filter(jac >= threshold)
-    if keep_sizes:
-        return verified.select(
-            "doc_a",
-            "doc_b",
-            inter.cast("long").alias("inter"),
-            union.cast("long").alias("uni"),
+    from duckdb_data_eng_proj_spark.queries.training import (
+        _N_HASHES,
+        _ROWS_PER_BAND,
+    )
+
+    bg = _bigram_sets_df(spark, sf_dir)
+    ps = bg.select("doc_id", "bg", minhash_pairs(F.col("bg")).alias("ps"))
+    sig = ps.select("doc_id", "bg", *minhash_from_pairs(F.col("ps"), _N_HASHES))
+    bks = lsh_band_buckets(
+        [f"h{j}" for j in range(_N_HASHES)], _ROWS_PER_BAND
+    )
+    n_bands = len(bks)
+    sigb = sig.select(
+        "doc_id", "bg", *[b.alias(f"b{i}") for i, b in enumerate(bks)]
+    )
+    bands = (
+        sigb.select(
+            "doc_id",
+            "bg",
+            *[f"b{i}" for i in range(n_bands)],
+            F.posexplode(
+                F.array(*[F.col(f"b{i}") for i in range(n_bands)])
+            ).alias("band", "bucket"),
         )
-    return verified.select("doc_a", "doc_b")
+        .filter(F.col("bucket").isNotNull())
+        .localCheckpoint()
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cond = (
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
+    )
+    # First-match-band dedup: a pair agreeing in several bands is
+    # emitted only at its smallest agreeing band. Buckets are all-null
+    # or all-non-null per doc (every h_i is null iff the shingle set
+    # is empty, and a null bucket never enters the band table), so the
+    # null-safe negation can never suppress a legitimate pair.
+    for j in range(n_bands - 1):
+        cond &= ~(
+            (F.lit(j) < F.col("x.band"))
+            & F.col(f"x.b{j}").eqNullSafe(F.col(f"y.b{j}"))
+        )
+    inter = F.size(F.array_intersect(F.col("x.bg"), F.col("y.bg")))
+    mult = _JACC_INT_MULT.get(threshold)
+    if mult is not None:
+        cond &= (F.lit(mult) * inter) >= (
+            F.size(F.col("x.bg")) + F.size(F.col("y.bg"))
+        )
+    else:  # pragma: no cover - no current caller; exact double form
+        union_ = F.size(F.col("x.bg")) + F.size(F.col("y.bg")) - inter
+        cond &= (inter.cast("double") / union_) >= F.lit(threshold)
+    verified = x.join(y, cond)
+    if keep_sizes:
+        union_ = F.size(F.col("x.bg")) + F.size(F.col("y.bg")) - inter
+        return verified.select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            inter.cast("long").alias("inter"),
+            union_.cast("long").alias("uni"),
+        )
+    return verified.select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    )
 
 
 def _near_dup_losers(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
