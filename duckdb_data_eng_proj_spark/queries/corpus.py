@@ -384,8 +384,23 @@ def _star_fixpoint(edges: DataFrame) -> DataFrame:
     rounds (once, at the true fixpoint, on every graph observed).
     Raises instead of returning a non-fixpoint edge set if the round
     cap exhausts — callers must never treat a truncated contraction
-    as converged components."""
-    prev_sig = None
+    as converged components.
+
+    r20: the signature screen is SEEDED with the INPUT's signature
+    (one tiny agg over the checkpointed input) instead of starting at
+    None — an input that is already a star fixpoint (the common
+    Borůvka-crossover residual: a handful of canonical star edges)
+    exits after ONE star round + confirm instead of two. At this
+    engine's bench scale a star round costs ~1.4 s of driver-side
+    Catalyst planning + codegen alone (measured on a 1-edge residual:
+    1.6 s cold round vs 0.12 s re-running the identical DataFrame),
+    so the saved round is pure wall-clock; loop semantics for
+    non-fixpoint inputs are unchanged (round r still exits on
+    out(r) == in(r), confirmed exactly). The input is
+    lazy-checkpointed so every round's plan starts at a LogicalRDD
+    scan instead of re-planning the caller's contraction lineage."""
+    edges = edges.localCheckpoint(eager=False)
+    prev_sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).first())
     for _ in range(_CC_MAX_ROUNDS):
         # Lazy checkpoint: the signature agg is the materializing
         # action — one job per star round.

@@ -309,7 +309,15 @@ _MST_THR = 0.10
 # bounded residual group with exact Kruskal in one Arrow-grouped
 # stage. Depth-invariance of the hybrid is law-tested (forced rounds
 # 0 / 2 / 8 all yield the identical edge set).
-_MST_BORUVKA_ROUNDS = 2
+# r20: 3 rounds, not 2 — the third round resolves the rare
+# 4-component chain the pair/triangle bulk leaves behind, and when it
+# empties the live set the crossover short-circuits entirely (no star
+# fixpoint, no Arrow Kruskal stage — each of which costs more in
+# driver-side plan+codegen than one extra state-sized pick round at
+# any scale where the residual is small). Measured at sf0.1:
+# rounds=3 5.06 s vs rounds=2 7.78 s vs rounds=0 11.0 s, identical
+# output (the law test pins depth invariance).
+_MST_BORUVKA_ROUNDS = 3
 
 # Minimum spanning FOREST oracle via the bottleneck characterization
 # (no unrolled rounds, no union-find): rank edges by the lexicographic
@@ -470,7 +478,13 @@ def _mst_boruvka_rounds(
             # (w, a, b) total order makes the per-group result the
             # unique MSF restricted to that group, so hybrid depth is
             # output-invariant (forced-rounds law test).
-            live = relabel(edges, labels).localCheckpoint(eager=True)
+            # r20: LAZY checkpoint + probe — the probe's limit(1)
+            # action materializes the (state-width, single-partition
+            # at bench scale) checkpoint inside the width context just
+            # like the old eager form, one job instead of two; an
+            # empty residual (the rounds=3 common case) pays only the
+            # probe.
+            live = relabel(edges, labels).localCheckpoint(eager=False)
             if live.limit(1).count() > 0:
                 groups = _star_fixpoint(
                     live.select(
