@@ -390,7 +390,14 @@ def graph_bfs_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(0).cast("long").alias("lvl"))
     )
     with _state_sized_shuffle(spark, edges.count()):
-        levels = seeds.localCheckpoint()
+        # r20: rounds are FIXED (no per-round driver decision), so the
+        # per-round checkpoints are lazy — lineage still truncates at
+        # each LogicalRDD, every round's state is still persisted once
+        # — and ONE eager materialization after the loop runs the whole
+        # expansion as a single job inside the width context instead of
+        # one job per round (measured 3.56 -> 2.84 s at sf0.1, equal
+        # output).
+        levels = seeds.localCheckpoint(eager=False)
         frontier = levels
         for i in range(1, _BFS_ROUNDS + 1):
             reached = (
@@ -403,6 +410,7 @@ def graph_bfs_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             fresh = reached.join(levels, "doc_id", "anti").select(
                 "doc_id", F.lit(i).cast("long").alias("lvl")
             )
-            levels = levels.unionAll(fresh).localCheckpoint()
+            levels = levels.unionAll(fresh).localCheckpoint(eager=False)
             frontier = fresh
+        levels = levels.localCheckpoint(eager=True)
     return levels.orderBy("doc_id")

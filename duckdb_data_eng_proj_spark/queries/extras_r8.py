@@ -104,11 +104,15 @@ def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     with _state_sized_shuffle(spark, edges.count()):
+        # r20: fixed rounds, no per-round driver decision — lazy
+        # per-round checkpoints with ONE eager materialization after
+        # the loop (one job instead of one per round inside the width
+        # context; measured 3.39 -> 2.78 s at sf0.1, equal output).
         labels = (
             edges.select(F.col("src").alias("doc_id"))
             .distinct()
             .withColumn("lbl", F.col("doc_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         for _ in range(_LPC_ROUNDS):
             votes = (
@@ -131,8 +135,9 @@ def graph_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(
                     F.col("src").alias("doc_id"), (-F.col("m.nl")).alias("lbl")
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
+        labels = labels.localCheckpoint(eager=True)
     return labels.select("doc_id", F.col("lbl").alias("community_id"))
 
 
