@@ -180,13 +180,9 @@ def sim_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_p")["cid"].alias("centroid_id"),
             (F.col("_pos") + 1).cast("bigint").alias("prn"),
         )
-        # r20: LAZY checkpoint — qp is materialized as a side effect
-        # of the `hits` eager job below (its first consumer, via a
-        # tiny non-broadcast join), so by the time any broadcast of
-        # qp builds (cd, tot) the subtree is an already-persisted
-        # LogicalRDD: the audit bright line holds at runtime with one
-        # fewer job. The VALUE is |Q|×16 rows either way.
-        .localCheckpoint(eager=False)
+        # EAGER checkpoint: qp is broadcast twice below (hits, cd) —
+        # audit_broadcast_subtrees rule; the VALUE is |Q|×16 rows.
+        .localCheckpoint(eager=True)
     )
 
     # Brute-force ground truth: broadcast query batch against the
@@ -219,25 +215,19 @@ def sim_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Cell occupancy is index metadata: map-side-combinable count.
-    # r20: no checkpoint and no broadcast — its ONE consumer (cd) is
-    # a cell-count-sized join where broadcast is not load-bearing, so
-    # the count runs as normal stages inside the final force instead
-    # of paying its own eager job; n_corpus below reads vv directly
-    # (assign is 1:1 with vv by construction, and the oracle's own
-    # n_corpus is COUNT(*) FROM vv).
-    cells = assign.groupBy("centroid_id").agg(
-        F.count("*").cast("bigint").alias("n")
+    cells = (
+        assign.groupBy("centroid_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        # EAGER checkpoint: feeds a broadcast; subtree is the corpus
+        # assignment scan. The VALUE is ≤ 16 rows.
+        .localCheckpoint(eager=True)
     )
 
-    # Each winner's cell probe rank (≤ k·|Q| rows). qp joins WITHOUT
-    # a broadcast: the left side is already ≤ k·|Q| rows after the
-    # broadcast(bf) join, so the exchange moves batch-sized rows only
-    # — and materializing `hits` eagerly materializes the lazy qp in
-    # the same job (one job where r19 paid three).
+    # Each winner's cell probe rank (≤ k·|Q| rows).
     hits = (
         assign.join(F.broadcast(bf), F.col("vec_id") == F.col("neighbor_id"))
         .select("query_id", "centroid_id")
-        .join(qp, ["query_id", "centroid_id"])
+        .join(F.broadcast(qp), ["query_id", "centroid_id"])
         .select("query_id", "prn")
         .localCheckpoint(eager=True)
     )
@@ -258,7 +248,7 @@ def sim_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cd = (
         levels.join(F.broadcast(qp), F.col("prn") <= F.col("nprobe"))
-        .join(cells, "centroid_id", "left")
+        .join(F.broadcast(cells), "centroid_id", "left")
         .groupBy("nprobe")
         .agg(
             F.sum(F.coalesce(F.col("n"), F.lit(0).cast("bigint")) - own)
@@ -276,10 +266,7 @@ def sim_ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .crossJoin(
-            # vv, not Σ cells.n: identical by construction (assign is
-            # 1:1 with vv) and the broadcast subtree stays a pruned
-            # parquet scan instead of the corpus-wide occupancy agg.
-            F.broadcast(vv.agg(F.count("*").cast("bigint").alias("n_corpus")))
+            F.broadcast(cells.agg(F.sum("n").cast("bigint").alias("n_corpus")))
         )
     )
     return (
