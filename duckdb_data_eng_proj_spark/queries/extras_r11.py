@@ -126,8 +126,12 @@ _SKEW_TARGET = 4096
     tags=("diagnostic",),
 )
 def join_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = ensure_parallelism(t(spark, sf_dir, "events"))
-    od = ensure_parallelism(t(spark, sf_dir, "orders"))
+    # r20: no ensure_parallelism — both inputs feed an immediate
+    # map-side-combinable groupBy, so the round-robin repartition was
+    # a full extra exchange of each table for zero parallelism gain
+    # (the join_interval_overlap finding).
+    ev = t(spark, sf_dir, "events")
+    od = t(spark, sf_dir, "orders")
     lc = ev.groupBy(F.col("user_id").alias("k")).agg(
         F.count("*").alias("nl")
     )

@@ -322,7 +322,12 @@ _ASSOC_TOPK = 50
     tags=("agg", "mining"),
 )
 def agg_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = ensure_parallelism(t(spark, sf_dir, "lineitem"))
+    # r20: no ensure_parallelism — the first operator is the
+    # basket-keyed groupBy, whose partial (map-side) aggregation runs
+    # on the scan splits directly; the round-robin repartition bought
+    # nothing but a full extra exchange of lineitem (the
+    # join_interval_overlap finding).
+    li = t(spark, sf_dir, "lineitem")
     # One basket-keyed shuffle builds the per-basket item SET; every
     # later stage reads this basket-bounded table, so pairs are
     # generated by INTRA-ARRAY combination explode — no join at pair

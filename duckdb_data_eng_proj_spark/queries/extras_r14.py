@@ -369,7 +369,15 @@ _IVL_EPOCH = "1992-01-01"
     tags=("join",),
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = ensure_parallelism(t(spark, sf_dir, "lineitem"))
+    # r20: no ensure_parallelism — the first real operator is the
+    # per-supplier window, whose hash exchange immediately follows, so
+    # the round-robin repartition bought parallelism only for one
+    # trivial datediff projection at the price of a full extra
+    # exchange of lineitem (plan read: RoundRobinPartitioning(32)
+    # directly under hashpartitioning(suppkey)). The scan itself is
+    # already split-parallel (session factory sizes
+    # files.maxPartitionBytes to ~2 tasks/core).
+    li = t(spark, sf_dir, "lineitem")
     days = F.datediff(
         F.col("l_shipdate").cast("date"), F.lit(_IVL_EPOCH).cast("date")
     )
