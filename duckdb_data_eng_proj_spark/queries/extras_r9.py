@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from duckdb_data_eng_proj_spark.operators.textops import tokens
 from duckdb_data_eng_proj_spark.queries.registry import register, t
-from duckdb_data_eng_proj_spark.queries.training import _LSH_PRELUDE, _lsh_bands_df
+from duckdb_data_eng_proj_spark.queries.training import _LSH_PRELUDE
 
 # ---------------------------------------------------------------------------
 # txt_longest_common_substring
@@ -110,27 +110,22 @@ _LCS_POS_SQL = (
     ),
 )
 def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _lsh_bands_df(spark, sf_dir)
-    x, y = bands.alias("x"), bands.alias("y")
     # Checkpointed: cand is referenced twice below (the doc prune and
     # the broadcast match join) — without the barrier each reference
-    # re-runs the whole MinHash front half (measured 8.5 s -> ~3 s at
-    # sf0.1).
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-        # EAGER: cand feeds a broadcast exchange and the doc prune; a
-        # lazy checkpoint would be raced into concurrent recomputes
-        # of the MinHash front half (measured: 15.7 s lazy vs ~5.5 s
-        # eager for the whole operator at sf0.1).
-        .localCheckpoint()
-    )
+    # re-runs the band self-join (and, pre-r21, the whole MinHash
+    # front half: measured 8.5 s -> ~3 s at sf0.1).
+    # r21: candidate generation moved to the shared first-match-band
+    # helper (training._lsh_cand_pairs) — MinHash chain hashed ONCE
+    # into a checkpointed band table instead of once per self-join
+    # side, DISTINCT exchange gone; exact same pair set (pinned by
+    # tests/test_r21_opt_laws.py + oracle hash match).
+    # EAGER: cand feeds a broadcast exchange and the doc prune; a
+    # lazy checkpoint would be raced into concurrent recomputes
+    # of the band self-join (measured r11: 15.7 s lazy vs ~5.5 s
+    # eager for the whole operator at sf0.1).
+    from duckdb_data_eng_proj_spark.queries.training import _lsh_cand_pairs
+
+    cand = _lsh_cand_pairs(spark, sf_dir).localCheckpoint()
     docs = t(spark, sf_dir, "documents")
     cdocs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -194,6 +189,17 @@ def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreter setup per (pair, diag) group × millions of groups
     # (measured ~15 s for the fold form at sf0.1); the codegen'd
     # window pays once per row.
+    # r21: the window partitions by (doc_a, doc_b) ONLY, ordering by
+    # (diag, ia) — same sort keys as partitioning by (pair, diag) and
+    # ordering by ia, but now BOTH downstream groupBys reuse the
+    # window's hashpartitioning(doc_a, doc_b) (3 shuffles -> 2; the
+    # old shape re-exchanged `runs` for the per-pair max). Exact:
+    # within one diag the pair-wide row_number is the per-diag
+    # row_number plus a constant (the count of that pair's rows on
+    # smaller diagonals), so `grp` shifts by a per-diag constant —
+    # groups and their counts are unchanged, and `diag` stays in the
+    # group key so cross-diag collisions cannot merge runs. Pinned by
+    # tests/test_r21_opt_laws.py::test_lcs_pairwide_window_identity.
     r = m.select(
         "doc_a",
         "doc_b",
@@ -201,7 +207,7 @@ def txt_longest_common_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("ia")
             - F.row_number().over(
-                Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+                Window.partitionBy("doc_a", "doc_b").orderBy("diag", "ia")
             )
         ).alias("grp"),
     )

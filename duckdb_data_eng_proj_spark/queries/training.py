@@ -227,6 +227,72 @@ def _bigram_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.select("doc_id", distinct_ngrams(F.col("tk"), 2).alias("bg"))
 
 
+def _lsh_cand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b), each emitted EXACTLY once —
+    the r21 front half for candidate-only consumers (currently
+    txt_longest_common_substring; graph_jaccard_neighbors A/B'd the
+    same move and read ~+0.2 s under the bench protocol — its extra
+    band-table checkpoint job floor isn't paid back by a tail as light
+    as its two SMJs — so it deliberately keeps the DISTINCT shape).
+
+    Shape (the r20 corpus._near_dup_pairs pattern, minus the shingle
+    sets those verifying callers need): ONE eagerly checkpointed band
+    table carrying each doc's full bucket vector feeds both sides of
+    the (band, bucket) self-join, and the FIRST-MATCH-BAND predicate
+    (suppress at band b when any band j < b also agrees) replaces
+    DISTINCT — each pair appears at its smallest agreeing band only.
+    vs the previous bands-self-join-then-DISTINCT form this computes
+    the MinHash hashing chain ONCE (it used to run once per join side:
+    one side sits under a BroadcastExchange, so ReuseExchange never
+    dedups it) and drops the DISTINCT exchange. Exact multiset
+    equality with the DISTINCT form measured at sf0.1 (72228 pairs,
+    exceptAll both ways empty) and pinned by
+    tests/test_r21_opt_laws.py; per-call cost 0.91 s -> 0.73 s.
+    Buckets are all-null or all-non-null per doc (every h_j is null
+    iff the shingle set is empty, and null buckets never enter the
+    band table), so the null-safe negation can never suppress a
+    legitimate pair. Returns the LAZY pair stream over the
+    checkpointed band table; callers checkpoint the result when it
+    feeds more than one consumer."""
+    from duckdb_data_eng_proj_spark.operators.textops import (
+        lsh_band_buckets,
+        minhash_from_pairs,
+        minhash_pairs,
+    )
+
+    bg = _bigram_sets_df(spark, sf_dir)
+    ps = bg.select("doc_id", minhash_pairs(F.col("bg")).alias("ps"))
+    sig = ps.select("doc_id", *minhash_from_pairs(F.col("ps"), _N_HASHES))
+    bks = lsh_band_buckets([f"h{j}" for j in range(_N_HASHES)], _ROWS_PER_BAND)
+    n_bands = len(bks)
+    sigb = sig.select("doc_id", *[b.alias(f"b{i}") for i, b in enumerate(bks)])
+    bands = (
+        sigb.select(
+            "doc_id",
+            *[f"b{i}" for i in range(n_bands)],
+            F.posexplode(
+                F.array(*[F.col(f"b{i}") for i in range(n_bands)])
+            ).alias("band", "bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+        .localCheckpoint()
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cond = (
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
+    )
+    for j in range(n_bands - 1):
+        cond &= ~(
+            (F.lit(j) < F.col("x.band"))
+            & F.col(f"x.b{j}").eqNullSafe(F.col(f"y.b{j}"))
+        )
+    return x.join(y, cond).select(
+        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
