@@ -89,25 +89,27 @@ def _near_dup_pairs(
     (r16: that caller previously carried a full copy of this
     pipeline).
 
-    Shape (r20, the dedup_lsh_tune arm-2 pattern): ONE checkpointed
-    band table carrying each doc's shingle set and all band buckets
-    feeds both sides of the (band, bucket) self-join; each matching
-    pair is emitted exactly once by the FIRST-MATCH-BAND predicate
-    (suppress at band b when any band j < b also agrees) and verified
-    in place by a SINGLE-intersect integer Jaccard qualifier written
-    LAST in the join condition. vs the previous
-    DISTINCT-then-join-shingles-twice form this removes the distinct
-    exchange, a second checkpoint job and two hashed-relation builds,
-    and halves the interpreted array_intersect evaluations — measured
-    1.48 s -> 0.90 s per call at sf0.1 (exact multiset equality on
-    both output forms, 30200 pairs). The condition order matters:
-    left as a trailing .filter(), Catalyst pushes the Jaccard
-    predicate into the join condition PREPENDED, making every
-    bucket-coincident ordered pair pay the intersect before the cheap
-    doc_id< check (the dedup_lsh_tune r20 finding). At 100 TB the
-    checkpointed table is the persisted signature table of standard
-    LSH practice (corpus-linear at n_bands rows/doc); pair rows never
-    shuffle — the only exchange moves signature rows."""
+    Shape (r20 first-match base + the r21 bg-narrow probe side): ONE
+    checkpointed band table carrying each doc's shingle set and all
+    band buckets feeds both sides of the (band, bucket) self-join;
+    each matching pair is emitted exactly once by the FIRST-MATCH-BAND
+    predicate (suppress at band b when any band j < b also agrees).
+    The PROBE side is a bg-narrow projection of the checkpoint, so the
+    widest column moves n_bands× on one side only (VERDICT r20 item 1
+    flagged the both-sides inflation; guide §2.3); bg_a is re-attached
+    to the deduped pair stream by ONE doc-keyed join against the
+    band-0 slice and the single-intersect integer Jaccard qualifier
+    runs there. vs the r19 DISTINCT-then-join-shingles-twice form this
+    still saves the distinct exchange, a checkpoint job and a
+    hashed-relation build (r20: 1.48 -> 0.90 s/call); vs the r20
+    both-sides-wide form the ×16 stress A/B (default profile,
+    interleaved) reads mean −9% with sf0.1 cost ≤ +0.06 s/call, exact
+    multiset equality at both thresholds and both output forms. At
+    100 TB the checkpointed table is the persisted signature table of
+    standard LSH practice (corpus-linear at n_bands rows/doc; the bg
+    payload still stored n_bands× — ADVICE r20 notes the single-copy
+    alternative if checkpoint memory ever binds, A/B'd this round as
+    a local wash)."""
     from duckdb_data_eng_proj_spark.operators.textops import (
         lsh_band_buckets,
         minhash_from_pairs,
@@ -140,7 +142,21 @@ def _near_dup_pairs(
         .filter(F.col("bucket").isNotNull())
         .localCheckpoint()
     )
-    x, y = bands.alias("x"), bands.alias("y")
+    # r21 (VERDICT r20 item 1, guide §2.3 "shuffle fewer bytes"): the
+    # PROBE side of the self-join is a bg-NARROW projection of the same
+    # checkpoint — the widest column (the shingle array) no longer
+    # rides the x-side exchange at all; the y side still verifies with
+    # bg on its band rows, and bg_a is re-attached to the deduped pair
+    # stream ONCE by a doc-keyed join against the band-0 slice. Byte
+    # math at scale: bg moves n_bands× on ONE side + once per pair,
+    # vs n_bands× on BOTH sides before. Measured: ×16 stress,
+    # SPARK_GRAFT_PROFILE=default, interleaved laps — current
+    # 13.46/13.75/13.61/16.48 s vs narrow 12.77/13.41/13.81/12.24 s
+    # (mean −9%, two independent sessions agree); sf0.1 bench-protocol
+    # cost ≤ +0.06 s/call (means 1.03 vs 1.07). Exact multiset
+    # equality at both thresholds and both output forms (exceptAll
+    # both ways empty, 30200/829 pairs).
+    x, y = bands.drop("bg").alias("x"), bands.alias("y")
     cond = (
         (F.col("x.band") == F.col("y.band"))
         & (F.col("x.bucket") == F.col("y.bucket"))
@@ -156,27 +172,33 @@ def _near_dup_pairs(
             (F.lit(j) < F.col("x.band"))
             & F.col(f"x.b{j}").eqNullSafe(F.col(f"y.b{j}"))
         )
-    inter = F.size(F.array_intersect(F.col("x.bg"), F.col("y.bg")))
+    pairs0 = x.join(y, cond).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col("y.bg").alias("bg_b"),
+    )
+    bga = bands.filter(F.col("band") == 0).select(
+        F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a")
+    )
+    inter = F.size(F.array_intersect(F.col("bg_a"), F.col("bg_b")))
     mult = _JACC_INT_MULT.get(threshold)
     if mult is not None:
-        cond &= (F.lit(mult) * inter) >= (
-            F.size(F.col("x.bg")) + F.size(F.col("y.bg"))
+        qual = (F.lit(mult) * inter) >= (
+            F.size(F.col("bg_a")) + F.size(F.col("bg_b"))
         )
     else:  # pragma: no cover - no current caller; exact double form
-        union_ = F.size(F.col("x.bg")) + F.size(F.col("y.bg")) - inter
-        cond &= (inter.cast("double") / union_) >= F.lit(threshold)
-    verified = x.join(y, cond)
+        union_ = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
+        qual = (inter.cast("double") / union_) >= F.lit(threshold)
+    verified = pairs0.join(bga, "doc_a").filter(qual)
     if keep_sizes:
-        union_ = F.size(F.col("x.bg")) + F.size(F.col("y.bg")) - inter
+        union_ = F.size(F.col("bg_a")) + F.size(F.col("bg_b")) - inter
         return verified.select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             inter.cast("long").alias("inter"),
             union_.cast("long").alias("uni"),
         )
-    return verified.select(
-        F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-    )
+    return verified.select("doc_a", "doc_b")
 
 
 def _near_dup_losers(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
